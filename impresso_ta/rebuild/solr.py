@@ -1,0 +1,342 @@
+"""Canonical → rebuilt ("solr") pipeline, Spark-first.
+
+Replaces the reference's driver-side loop + Dask bag pipeline
+(ref: rebuilders/rebuilder.py:155-292 ``filter_and_process_cis`` /
+``rebuild_issues``) with ONE distributed job:
+
+    issues ⨝ supports (cogrouped by issue id, one shuffle)
+        → per-issue UDTF: rejoin CIs (J3/J4) + assemble fulltext (W3/W4)
+        → rebuilt rows with errors-as-data columns (F5/S15)
+
+Scale posture: issues are independent units of a few MB each — the cogroup
+key (issue id) is high-cardinality and unskewed, so this is one even
+shuffle of the pages table; at 100 TB both sides can additionally be
+bucketed by issue id at write time to make the cogroup shuffle-free.
+All CI-level joins the reference hand-rolls in Python dict scans
+(ref: paper_rebuilders.py:285-313 page lookup + pOf region filter) happen
+inside the task against a single issue's data.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Any, Iterable, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, StringType, StructField, StructType
+
+from impresso_ta.schemas import REBUILT_CI_SCHEMA, TYPE_MAPPINGS
+from impresso_ta.rebuild.text import rebuild_audio_text, rebuild_text
+
+# Rebuilt schema + errors-as-data columns (never throw per-record; the
+# reference logs and continues — ref: core.py:110-146, helpers.py:52-77).
+REBUILT_WITH_ERRORS_SCHEMA = StructType(
+    REBUILT_CI_SCHEMA.fields
+    + [
+        StructField("has_problem", BooleanType(), False),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def _to_py(value: Any) -> Any:
+    """Normalize Arrow/pandas values (numpy arrays/scalars) to plain Python."""
+    import numpy as np
+
+    if isinstance(value, np.ndarray):
+        return [_to_py(v) for v in value]
+    if isinstance(value, (list, tuple)):
+        return [_to_py(v) for v in value]
+    if isinstance(value, dict):
+        return {k: _to_py(v) for k, v in value.items()}
+    if isinstance(value, np.generic):
+        return value.item()
+    if value is pd.NA or (isinstance(value, float) and pd.isna(value)):
+        return None
+    return value
+
+
+def _find_support(supports: list[dict], marker: str) -> Optional[dict]:
+    """Find the support doc whose id contains e.g. ``p0004`` (ref:
+    paper_rebuilders.py:290-295 substring match, first hit)."""
+    for doc in supports:
+        if marker in (doc.get("id") or ""):
+            return doc
+    return None
+
+
+def _consensus_cc(docs: list[dict]) -> Optional[bool]:
+    """cc = mean(support.cc) == 1.0; None when any cc missing (ref:
+    paper_rebuilders.py:315-319)."""
+    try:
+        ccs = [bool(d["cc"]) for d in docs]
+        if not ccs:
+            return None
+        return sum(ccs) / len(ccs) == 1.0
+    except (KeyError, TypeError):
+        return None
+
+
+def _base_solr_ci(
+    ci: dict, issue: dict, ts: Optional[str]
+) -> tuple[dict, Optional[str], Optional[str]]:
+    """Metadata part of the rebuilt CI (ref: rebuilders/helpers.py:176-259
+    ``rebuild_for_solr``). Returns (solr_ci, mapped_type, language)."""
+    m = ci["m"]
+    ci_id = m["id"]
+    year, month, day, _, ci_num = ci_id.split("-")[1:]
+    d = datetime.date(int(year), int(month), int(day)).isoformat()
+
+    tp = m.get("tp")
+    mapped_type = TYPE_MAPPINGS.get(tp, tp)
+    lang = m.get("lg")
+    reading_order = m["ro"] if m.get("ro") is not None else int(ci_num[1:])
+    st = issue.get("st")
+    sm = issue.get("sm")
+    is_audio = sm == "audio"
+    has_olr = not (mapped_type is None or st == "radio_broadcast")
+
+    solr_ci: dict[str, Any] = {
+        "id": ci_id,
+        "ts": ts,
+        "d": d,
+        "cc": True if is_audio else ci.get("_cc"),
+        "olr": has_olr,
+        "st": st,
+        "sm": sm,
+        "lg": lang,
+        "tp": mapped_type,
+        "ro": reading_order,
+        "title": m.get("t"),
+        "var_t": m.get("var_t"),
+        "archival_note": m.get("archival_note"),
+        "rp": issue.get("rp") if st == "radio_broadcast" else None,
+        "rc": issue.get("rc") if st == "radio_broadcast" else None,
+    }
+    if is_audio:
+        solr_ci["rr"] = sorted({int(r) for r in (m.get("rr") or [])})
+    else:
+        solr_ci["pp"] = sorted({int(p) for p in (m.get("pp") or [])})
+    return solr_ci, mapped_type, lang
+
+
+def _reconstruct_iiif_link(ci: dict) -> Optional[str]:
+    """Image-CI IIIF link (ref: helpers.py:441-485). Python twin of
+    functions/iiif.py for use inside the UDTF."""
+    import posixpath
+
+    from impresso_ta.functions.iiif import (
+        DEFAULT_IMG_SUFFIX,
+        IIIF_ENDPOINT_BASE_2_SUFFIX,
+    )
+
+    m = ci.get("m") or {}
+    iiif = m.get("iiif_link") or ci.get("iiif_link")
+    coords = ci.get("c") or m.get("c")
+    if not iiif or not coords:
+        return None
+    coords_str = ",".join(str(int(c)) for c in coords)
+    uri_base, old_suffix = posixpath.split(iiif)
+    img_suffix = DEFAULT_IMG_SUFFIX
+    for base, suffix in IIIF_ENDPOINT_BASE_2_SUFFIX.items():
+        if base in uri_base:
+            img_suffix = suffix
+    if old_suffix == "default.jpg":
+        if coords_str in iiif and img_suffix in iiif:
+            return iiif
+        uri_base = "/".join(uri_base.split("/")[:-3])
+    return posixpath.join(uri_base, coords_str, img_suffix)
+
+
+def rebuild_issue_cis(
+    issue: dict,
+    supports: list[dict],
+    ts: Optional[str] = None,
+) -> Iterable[dict]:
+    """Rebuild every content item of one issue (pure Python, one task).
+
+    ``supports`` are the issue's canonical page docs (print) or audio
+    record docs (audio), in any order. Yields rebuilt-CI dicts with
+    ``has_problem``/``error`` set instead of raising.
+    """
+    is_audio = issue.get("sm") == "audio"
+    supports = sorted(supports, key=lambda d: d.get("id") or "")
+
+    for ci in issue.get("i") or []:
+        m = ci.get("m") or {}
+        ci_id = m.get("id") or f"{issue.get('id')}-i????"
+        try:
+            solr_ci, mapped_type, lang = _base_solr_ci(
+                {**ci, "_cc": None}, issue, ts
+            )
+            nos = solr_ci["rr"] if is_audio else solr_ci["pp"]
+            prefix = "r" if is_audio else "p"
+
+            found: list[dict] = []
+            missing: list[str] = []
+            for no in nos:
+                marker = f"{prefix}{str(no).zfill(4)}"
+                doc = _find_support(supports, marker)
+                if doc is None:
+                    missing.append(marker)
+                else:
+                    found.append(doc)
+            if missing:
+                solr_ci["has_problem"] = True
+                solr_ci["error"] = (
+                    f"{'Audio' if is_audio else 'Page'} {','.join(missing)} "
+                    f"not found for item {ci_id}"
+                )
+                yield solr_ci
+                continue
+
+            if is_audio:
+                # stt/dur of the first record of the CI (ref:
+                # helpers.py:348-351); cc is True by default for audio.
+                if nos and len(supports) >= nos[0]:
+                    rec = supports[nos[0] - 1]
+                    solr_ci["stt"] = rec.get("stt")
+                    solr_ci["dur"] = rec.get("dur")
+            else:
+                solr_ci["cc"] = _consensus_cc(found)
+
+            if mapped_type == "img":
+                solr_ci["iiif_link"] = _reconstruct_iiif_link(ci)
+                solr_ci["has_problem"] = False
+                solr_ci["error"] = None
+                yield solr_ci
+                continue
+
+            issue_id = issue.get("id")
+            fulltext = ""
+            if is_audio:
+                ssb: list[int] = []
+                ub: list[int] = []
+                sb: list[int] = []
+                rreb = []
+                for no in nos:
+                    marker = f"r{str(no).zfill(4)}"
+                    rec = _find_support(supports, marker)
+                    sections = [
+                        s
+                        for s in (rec.get("s") or [])
+                        if s.get("pOf") == ci_id
+                    ]
+                    fulltext, coords, offsets = rebuild_audio_text(
+                        sections, lang, fulltext or None
+                    )
+                    ssb += offsets["speech_seg"]
+                    ub += offsets["utterance"]
+                    sb += offsets["section"]
+                    rreb.append(
+                        {
+                            "id": f"{issue_id}-{marker}",
+                            "n": no,
+                            "t": coords["tokens"],
+                            "u": coords["utterances"],
+                            "s": coords["sections"],
+                        }
+                    )
+                solr_ci.update(
+                    {"ssb": ssb, "ub": ub, "sb": sb, "rreb": rreb, "ft": fulltext}
+                )
+            else:
+                lb: list[int] = []
+                pb: list[int] = []
+                rb: list[int] = []
+                ppreb = []
+                for no in nos:
+                    marker = f"p{str(no).zfill(4)}"
+                    page = _find_support(supports, marker)
+                    regions = [
+                        r
+                        for r in (page.get("r") or [])
+                        if r.get("pOf") == ci_id
+                    ]
+                    fulltext, coords, offsets = rebuild_text(
+                        regions, lang, fulltext or None
+                    )
+                    lb += offsets["line"]
+                    pb += offsets["para"]
+                    rb += offsets["region"]
+                    ppreb.append(
+                        {
+                            "id": f"{issue_id}-{marker}",
+                            "n": no,
+                            "t": coords["tokens"],
+                            "r": coords["regions"],
+                        }
+                    )
+                solr_ci.update(
+                    {"lb": lb, "pb": pb, "rb": rb, "ppreb": ppreb, "ft": fulltext}
+                )
+
+            solr_ci["has_problem"] = False
+            solr_ci["error"] = None
+            yield solr_ci
+        except Exception as exc:  # noqa: BLE001 — errors-as-data, never throw
+            yield {
+                "id": ci_id,
+                "has_problem": True,
+                "error": f"{type(exc).__name__}: {exc}",
+            }
+
+
+_FIELD_NAMES = [f.name for f in REBUILT_WITH_ERRORS_SCHEMA.fields]
+
+
+def _issue_support_cogroup(ts: Optional[str]):
+    """Build the cogrouped applyInPandas function."""
+
+    def fn(issues_pdf: pd.DataFrame, supports_pdf: pd.DataFrame) -> pd.DataFrame:
+        out: list[dict] = []
+        supports = [_to_py(r) for r in supports_pdf.to_dict("records")]
+        for row in issues_pdf.to_dict("records"):
+            issue = _to_py(row)
+            for ci in rebuild_issue_cis(issue, supports, ts=ts):
+                out.append({k: ci.get(k) for k in _FIELD_NAMES})
+        return pd.DataFrame(out, columns=_FIELD_NAMES)
+
+    return fn
+
+
+def support_issue_id(id_col):
+    """Derive the issue id from a support id (``...-a-p0004`` → ``...-a``)."""
+    return F.regexp_replace(id_col, "-[pr][0-9]{4}$", "")
+
+
+def rebuild_issues_solr(
+    issues_df: DataFrame,
+    supports_df: DataFrame,
+    ts: Optional[str] = None,
+) -> DataFrame:
+    """Rebuild all CIs: one cogroup by issue id, one UDTF pass.
+
+    ``issues_df`` rows follow ISSUE_SCHEMA; ``supports_df`` rows follow
+    PAGE_SCHEMA or AUDIO_RECORD_SCHEMA. Returns REBUILT_WITH_ERRORS_SCHEMA;
+    split problem rows with ``split_errors``.
+    """
+    keyed_supports = supports_df.withColumn(
+        "issue_id", support_issue_id(F.col("id"))
+    )
+    cogrouped = issues_df.groupBy("id").cogroup(
+        keyed_supports.groupBy("issue_id")
+    )
+    return cogrouped.applyInPandas(
+        _issue_support_cogroup(ts), schema=REBUILT_WITH_ERRORS_SCHEMA
+    )
+
+
+def split_errors(rebuilt_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """F5: split problem-free CIs from the error channel
+    (ref: helpers.py:52-77 + rebuilder.py:206-212)."""
+    ok = rebuilt_df.filter(~F.col("has_problem")).drop("has_problem", "error")
+    errors = rebuilt_df.filter(F.col("has_problem")).select(
+        F.col("id").alias("canonical_path"),
+        F.lit("rebuild").alias("stage"),
+        F.coalesce(F.col("error"), F.lit("unknown")).alias("error"),
+    )
+    return ok, errors
