@@ -1,0 +1,93 @@
+"""Text-analysis operators for corpus preparation: language-ID, quality
+scoring, token counting, fingerprinting.
+
+All pure column expressions (JVM-side, codegen'd, no UDFs) so they run at
+scan speed over 100 TB — these are per-row maps with no shuffle at all.
+Regexes are kept to the portable subset shared by Java regex and RE2 so
+the DuckDB oracles express the identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker sets for the n-gram/stopword heuristic.
+# Deterministic and engine-portable; ties break alphabetically.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "nicht", "das"],
+    "en": ["the", "and", "of", "is", "to"],
+    "es": ["el", "la", "que", "los", "una"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def _marker_hits(text: Column, markers: list[str]) -> Column:
+    pattern = r"\b(" + "|".join(markers) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pattern))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language guess: argmax of marker-hit counts, ties broken
+    by language code ascending; 'und' (undetermined) when no marker hits.
+
+    CJK short-circuit: any CJK codepoint → 'zh' (n-gram heuristic for
+    ideographic scripts).
+    """
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    # alphabetical order + strict '>' → ties go to the alphabetically
+    # first language, 'und' only when every count is zero.
+    for lang in sorted(LANG_MARKERS):
+        hits = _marker_hits(text, LANG_MARKERS[lang])
+        better = hits > best_hits
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(better, hits).otherwise(best_hits)
+    return F.when(
+        F.regexp_count(text, F.lit(r"[一-鿿]")) > 0, F.lit("zh")
+    ).otherwise(best_lang)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (portable: split on \\s+ of trimmed text)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: alpha runs, digit runs, single symbols —
+    a deterministic proxy for BPE token counts."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
+def quality_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document quality features: token counts, type/token ratio,
+    mean token length, punctuation ratio."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_chars = F.length(text)
+    tok_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_punct = F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]"))
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_uniq.cast("long").alias("n_uniq_tokens"),
+        F.round(n_uniq / n_tokens, 4).alias("uniq_ratio"),
+        F.round(tok_chars / n_tokens, 4).alias("avg_token_len"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        bpe_ish_token_count(text).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (lowercased,
+    whitespace collapsed) — the exact-dedup key."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))

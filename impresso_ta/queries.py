@@ -1,0 +1,1030 @@
+"""Query catalog: one entry per SURVEY §2 operator family, each with a
+Spark implementation and (where SQL-expressible) a DuckDB oracle.
+
+Contract (driver harness): every entry is ``(spark, sf_dir) -> DataFrame``
+whose column names/types match the oracle SQL exactly — every computed
+column is aliased identically on both sides, aggregates over doubles are
+rounded so engine-order-of-summation differences can't flip the value
+hash, and counts are cast to the same width.
+
+The queries run over the driver's synthetic TPC-H-ish tables; each maps a
+reference operator (file:line cited per entry) onto that star schema so
+the semantics are oracle-checkable. Engine-native operators (rebuild,
+importers) are additionally exercised on canonical fixtures in tests/.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from impresso_ta.operators import dedup, similarity, text_analysis
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's
+        # vectorized reader rejects; read nanos as long and convert.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def q(name: str, oracle: str | None, doc: str = ""):
+    def wrap(fn):
+        REGISTRY[name] = Query(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+# =====================================================================
+# Headline relational queries (A2-style stats, multi-join lifecycles)
+# =====================================================================
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "Yearly-stats-style full-scan aggregation (SURVEY A2; ref core.py:649-653)",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    "3-table join + top-k (SURVEY J2/O4)",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                            AND s_nationkey = c_nationkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY n_name
+    """,
+    "5-way join with dimension pruning (SURVEY J9 broadcast dims)",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# =====================================================================
+# Filters (SURVEY F1-F11)
+# =====================================================================
+
+@q(
+    "f1_alias_filter",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+    GROUP BY c_mktsegment
+    """,
+    "Alias include-filter (SURVEY F1; ref detect.py:159-166)",
+)
+def f1_alias_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@q(
+    "f2_date_filter",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1997-12-31 00:00:00'
+    GROUP BY 1
+    """,
+    "Config-driven date-range predicate (SURVEY F2; ref detect.py:12-66)",
+)
+def f2_date_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").between(
+                F.lit("1996-01-01 00:00:00").cast("timestamp"),
+                F.lit("1997-12-31 00:00:00").cast("timestamp"),
+            )
+        )
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@q(
+    "f3_incremental_antijoin",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders
+    FROM orders
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_linenumber >= 5
+    )
+    GROUP BY o_orderstatus
+    """,
+    "Incremental-skip anti-join (SURVEY F3/J1; ref generic_importer.py:240-249)",
+)
+def f3_incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    done = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") >= 5)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(done, "o_orderkey", "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@q(
+    "f6_language_filter",
+    """
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang IN ('fr', 'de')
+    GROUP BY lang
+    """,
+    "Language keep-filter (SURVEY F6; ref rebuilder.py:269-276)",
+)
+def f6_language_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin("fr", "de"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+# =====================================================================
+# Joins (SURVEY J2/J3/J9)
+# =====================================================================
+
+@q(
+    "j2_attach_supports",
+    """
+    SELECT o_orderkey, o.n_items, round(o.sum_qty, 2) AS sum_qty,
+           round(o_totalprice, 2) AS totalprice
+    FROM orders JOIN (
+        SELECT l_orderkey, count(*)::BIGINT AS n_items, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+    ) o ON l_orderkey = o_orderkey
+    """,
+    "Issue⋈pages attach (SURVEY J2; ref rebuilders/helpers.py:136-173)",
+)
+def j2_attach_supports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+    return o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey",
+        "n_items",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+@q(
+    "j3_missing_support_flag",
+    """
+    SELECT has_problem, count(*) AS n_orders
+    FROM (
+        SELECT o_orderkey,
+               (l.l_orderkey IS NULL) AS has_problem
+        FROM orders LEFT JOIN (
+            SELECT DISTINCT l_orderkey FROM lineitem WHERE l_linenumber = 4
+        ) l ON l.l_orderkey = o_orderkey
+    )
+    GROUP BY has_problem
+    """,
+    "Left-outer with problem flag (SURVEY J3; ref paper_rebuilders.py:285-306)",
+)
+def j3_missing_support_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    l4 = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 4)
+        .select("l_orderkey")
+        .distinct()
+    )
+    return (
+        o.join(l4, o.o_orderkey == l4.l_orderkey, "left")
+        .select(F.col("l_orderkey").isNull().alias("has_problem"))
+        .groupBy("has_problem")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@q(
+    "j9_broadcast_metadata_lookup",
+    """
+    SELECT p_brand, count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    "Broadcast dimension lookup (SURVEY J9; ref fedgaz/classes.py:175-241)",
+)
+def j9_broadcast_metadata_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+# =====================================================================
+# Aggregations (SURVEY A2/A5/A6/A7)
+# =====================================================================
+
+@q(
+    "a2_yearly_stats",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS year,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY 1
+    """,
+    "Manifest yearly stats (SURVEY A2; ref core.py:649-653)",
+)
+def a2_yearly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@q(
+    "a5_year_chunk",
+    """
+    SELECT CAST(year(o_orderdate) - year(o_orderdate) % 2 AS INT) AS year_chunk,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+    "Year-window chunk grouping (SURVEY A5; ref core.py:365-383)",
+)
+def a5_year_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yr = F.year("o_orderdate")
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy((yr - yr % 2).alias("year_chunk"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@q(
+    "a6_majority_vote",
+    """
+    SELECT n_name, o_orderpriority AS top_priority, n AS n_votes
+    FROM (
+        SELECT n_name, o_orderpriority, count(*) AS n,
+               row_number() OVER (
+                   PARTITION BY n_name
+                   ORDER BY count(*) DESC, o_orderpriority ASC
+               ) AS rk
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, o_orderpriority
+    ) WHERE rk = 1
+    """,
+    "Majority vote / mode (SURVEY A6; ref ina/classes.py:234-249)",
+)
+def a6_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    counts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "n_name",
+            F.col("o_orderpriority").alias("top_priority"),
+            F.col("n").alias("n_votes"),
+        )
+    )
+
+
+@q(
+    "a7_bounding_box",
+    """
+    SELECT label,
+           round(min(list_min(embedding))::DOUBLE, 4) AS min_val,
+           round(max(list_max(embedding))::DOUBLE, 4) AS max_val,
+           count(*) AS n_vecs
+    FROM embeddings GROUP BY label
+    """,
+    "Enclosing-box aggregation (SURVEY A7; ref swissinfo/helpers.py:118-131)",
+)
+def a7_bounding_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(
+            F.round(F.min(F.array_min("embedding")).cast("double"), 4).alias("min_val"),
+            F.round(F.max(F.array_max("embedding")).cast("double"), 4).alias("max_val"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
+
+
+# =====================================================================
+# Windows (SURVEY W1/W3/W4)
+# =====================================================================
+
+@q(
+    "w1_reading_order",
+    """
+    SELECT o_orderkey,
+           o_custkey,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS INT) AS reading_order
+    FROM orders
+    """,
+    "Deterministic reading order (SURVEY W1; ref utils.py:139-158)",
+)
+def w1_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.row_number().over(w).alias("reading_order"),
+        )
+    )
+
+
+@q(
+    "w3_running_offsets",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(sum(line_qty) OVER (
+               PARTITION BY l_orderkey ORDER BY l_linenumber
+               ROWS UNBOUNDED PRECEDING
+           ), 2) AS running_qty
+    FROM (
+        SELECT l_orderkey, l_linenumber, sum(l_quantity) AS line_qty
+        FROM lineitem GROUP BY 1, 2
+    )
+    """,
+    "Char-offset accumulation (SURVEY W3; ref paper_rebuilders.py:10-97)",
+)
+def w3_running_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data, so
+    # pre-aggregate to make the running-sum traversal order total — the
+    # same discipline the engine applies to all W2/W3 offsets (stable IDs
+    # require explicitly total orders).
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.sum("l_quantity").alias("line_qty"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sum("line_qty").over(w), 2).alias("running_qty"),
+        )
+    )
+
+
+@q(
+    "w4_prev_next_context",
+    """
+    SELECT event_id,
+           lag(event_type) OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "prev/next token context (SURVEY W4; ref paper_rebuilders.py:76-83)",
+)
+def w4_prev_next_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+    )
+
+
+# =====================================================================
+# Sort / set ops / scalar functions (SURVEY O2, SET2, X4/X5/X9/X13)
+# =====================================================================
+
+@q(
+    "o2_sort_dedup_pages",
+    """
+    SELECT l_orderkey,
+           array_to_string(list_sort(list_distinct(list(l_partkey))), ',') AS part_list
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    "sorted(set(pp)) page lists (SURVEY O2; ref rebuilders/helpers.py:355-358)",
+)
+def o2_sort_dedup_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("l_partkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("part_list")
+        )
+    )
+
+
+@q(
+    "set2_carveout_union",
+    """
+    WITH with_orders AS (
+        SELECT DISTINCT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ),
+    finished AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT branch, c_mktsegment, count(*) AS n FROM (
+        SELECT 'active_only' AS branch, c_mktsegment
+        FROM with_orders WHERE c_custkey NOT IN (SELECT o_custkey FROM finished)
+        UNION ALL
+        SELECT 'with_finished' AS branch, c_mktsegment
+        FROM with_orders WHERE c_custkey IN (SELECT o_custkey FROM finished)
+    ) GROUP BY branch, c_mktsegment
+    """,
+    "Semi/anti carve-out + union (SURVEY SET2/SET3; ref lux/helpers.py:120-149)",
+)
+def set2_carveout_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    with_orders = c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")).distinct(), "c_custkey", "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+    finished = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    active_only = with_orders.join(finished, "c_custkey", "left_anti").withColumn(
+        "branch", F.lit("active_only")
+    )
+    with_finished = with_orders.join(finished, "c_custkey", "left_semi").withColumn(
+        "branch", F.lit("with_finished")
+    )
+    return (
+        active_only.unionByName(with_finished)
+        .groupBy("branch", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "x4_canonical_ids",
+    """
+    SELECT printf('ORD-%s-%s', strftime(o_orderdate, '%Y-%m-%d'),
+                  chr(97 + CAST(o_orderkey % 3 AS INT))) AS issue_id,
+           o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS parsed_year,
+           chr(97 + CAST(o_orderkey % 3 AS INT)) AS parsed_edition
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+    "Canonical ID mint + parse round-trip (SURVEY X4; ref core.py:264-276)",
+)
+def x4_canonical_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    edition = F.char(F.lit(97) + (F.col("o_orderkey") % 3).cast("int"))
+    issue_id = F.concat_ws(
+        "-", F.lit("ORD"), F.date_format("o_orderdate", "yyyy-MM-dd"), edition
+    )
+    parsed = F.split(issue_id, "-")
+    return o.select(
+        issue_id.alias("issue_id"),
+        "o_orderkey",
+        parsed[1].cast("int").alias("parsed_year"),
+        F.element_at(parsed, -1).alias("parsed_edition"),
+    )
+
+
+@q(
+    "x5_date_parts",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+           count(*) AS n
+    FROM orders GROUP BY 1, 2, 3
+    """,
+    "Date construction/parts (SURVEY X5; ref detect.py:193, helpers.py:194-219)",
+)
+def x5_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "x9_iiif_links",
+    """
+    SELECT p_partkey,
+           'https://iiif.example.org/' || p_partkey || '/' ||
+           p_size || ',0,' || p_size || ',' || p_size ||
+           '/full/0/default.jpg' AS iiif_link
+    FROM part WHERE p_size >= 30
+    """,
+    "IIIF link reconstruction (SURVEY X9; ref rebuilders/helpers.py:441-485)",
+)
+def x9_iiif_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") >= 30)
+    return p.select(
+        "p_partkey",
+        F.concat(
+            F.lit("https://iiif.example.org/"),
+            F.col("p_partkey").cast("string"),
+            F.lit("/"),
+            F.col("p_size").cast("string"),
+            F.lit(",0,"),
+            F.col("p_size").cast("string"),
+            F.lit(","),
+            F.col("p_size").cast("string"),
+            F.lit("/full/0/default.jpg"),
+        ).alias("iiif_link"),
+    )
+
+
+@q(
+    "x13_json_extract",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    "JSON decode (SURVEY X13; ref rebuilder.py:279-286)",
+)
+def x13_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 4).alias("avg_k"), F.count("*").alias("n"))
+    )
+
+
+# =====================================================================
+# Streaming-style windowed aggregation (batch parity; SURVEY §2.9)
+# =====================================================================
+
+@q(
+    "events_hourly_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "Tumbling event-time window (Structured Streaming parity in batch)",
+)
+def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
+# =====================================================================
+# LLM-corpus operators: dedup / similarity / text analysis
+# =====================================================================
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           count(*) AS n_docs,
+           min(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+    "Exact dedup via content-hash groupBy",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(t(spark, sf_dir, "documents"))
+
+
+_JACCARD_ORACLE = """
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   for i in range(1, greatest(len(w) - 2, 1) + 1)
+               ]) AS shingles
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                 (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))), 4) >= {thr}
+"""
+
+
+@q(
+    "dedup_ngram_jaccard",
+    _JACCARD_ORACLE.format(thr=0.7),
+    "Exact 3-gram Jaccard near-dup pairs (explode+join, no cross product)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(
+        t(spark, sf_dir, "documents"), k=3, threshold=0.7
+    )
+
+
+@q(
+    "dedup_minhash_lsh",
+    _JACCARD_ORACLE.format(thr=0.8),
+    "MinHash-LSH (24 perm, 8 bands × 3 rows) + exact-Jaccard verify — "
+    "recall at j≥0.8 is ≥1-3e-4 so the exact-Jaccard oracle matches",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"),
+        k=3,
+        num_perm=24,
+        bands=8,
+        threshold=0.8,
+    )
+
+
+_SIMHASH_ORACLE = (
+    "WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w"
+    "           FROM documents),"
+    " h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 4))::BIGINT AS h FROM w),"
+    " bits AS (SELECT doc_id, "
+    + ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(16)
+    )
+    + " FROM h GROUP BY doc_id)"
+    " SELECT doc_id, CAST("
+    + " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    + " AS BIGINT) AS simhash FROM bits"
+)
+
+
+@q(
+    "dedup_simhash",
+    _SIMHASH_ORACLE,
+    "16-bit SimHash fingerprints (per-bit majority vote over token hashes)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash16(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "similarity_topk_cosine",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(
+                   list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                       x -> x[1]::DOUBLE * x[2]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(q.embedding, v -> v::DOUBLE * v::DOUBLE)))
+                    * sqrt(list_sum(list_transform(c.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+               4) AS cosine
+        FROM q, c
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    "Brute-force cosine top-k (broadcast queries, JVM-side dot products)",
+)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        corpus=emb.filter(F.col("vec_id") >= 5),
+        queries=emb.filter(F.col("vec_id") < 5),
+        k=3,
+    )
+
+
+@q(
+    "text_quality",
+    """
+    SELECT doc_id,
+           len(w)::BIGINT AS n_tokens,
+           len(list_distinct(w))::BIGINT AS n_uniq_tokens,
+           round(len(list_distinct(w))::DOUBLE / len(w), 4) AS uniq_ratio,
+           round(list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w), 4)
+               AS avg_token_len,
+           round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE /
+                 greatest(len(text), 1), 4) AS punct_ratio,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+               AS n_bpe_tokens
+    FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents)
+    """,
+    "Quality scoring: token stats, type/token ratio, punctuation ratio",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.quality_features(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_langid",
+    """
+    WITH hits AS (
+        SELECT doc_id, lang,
+            len(regexp_extract_all(lower(text), '\\b(der|die|und|nicht|das)\\b')) AS hde,
+            len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to)\\b')) AS hen,
+            len(regexp_extract_all(lower(text), '\\b(el|la|que|los|una)\\b')) AS hes,
+            len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b')) AS hfr,
+            len(regexp_extract_all(text, '[一-鿿]')) AS cjk
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN cjk > 0 THEN 'zh'
+                WHEN hde = 0 AND hen = 0 AND hes = 0 AND hfr = 0 THEN 'und'
+                WHEN hde >= hen AND hde >= hes AND hde >= hfr THEN 'de'
+                WHEN hen >= hes AND hen >= hfr THEN 'en'
+                WHEN hes >= hfr THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM hits
+    """,
+    "Heuristic language ID (stopword-marker argmax, deterministic ties)",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        text_analysis.lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@q(
+    "token_count_stats",
+    """
+    SELECT source,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+               AS total_tokens,
+           round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4)
+               AS avg_tokens,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+    "Token counting rolled up per source",
+)
+def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(text_analysis.tokens(F.col("text")))
+    return (
+        d.select("source", n_tok.alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+@q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+    "Per-document content fingerprint (rolling-hash analog, md5-based)",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text_analysis.rolling_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Public accessors (driver contract)
+# ---------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: query.fn for name, query in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: query.oracle
+        for name, query in REGISTRY.items()
+        if query.oracle is not None
+    }
