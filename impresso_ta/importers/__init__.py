@@ -1,0 +1,16 @@
+"""Format-plugin importers: OCR source files → canonical DataFrames.
+
+Each plugin is, in Spark terms, a UDTF family (SURVEY §2.10): a pure
+function from an issue directory to canonical issue + page rows, wrapped
+in ``mapInPandas`` over the discovery DataFrame. Plugins register here:
+
+    from impresso_ta.importers import register, get_plugin
+"""
+
+from impresso_ta.importers.base import (  # noqa: F401
+    FormatPlugin,
+    get_plugin,
+    import_issues,
+    register,
+)
+from impresso_ta.importers import mets_alto as _mets_alto  # noqa: F401

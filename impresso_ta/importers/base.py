@@ -1,0 +1,151 @@
+"""Importer plugin protocol + the distributed import pipeline.
+
+The reference's import driver (ref: importers/core.py:330-527) hand-builds
+Dask bags with tuned partition sizes, two shuffles, FileLock-guarded
+appends and manual memory release. Here the whole import is ONE
+``mapInPandas`` pass over the discovery DataFrame: each task parses a
+batch of issue directories (executor-side IO, like the reference's
+workers) and emits a combined (issue, pages[], error) row; downstream
+splits and partitioned writes replace the Dask groupby shuffles
+(SURVEY A1/A3 → partitioned write).
+
+Errors-as-data: a failing issue becomes an error row (canonical_path +
+message, matching ref core.py:54-88 formatting), never a task failure.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+from impresso_ta.schemas import ERROR_SCHEMA, ISSUE_SCHEMA, PAGE_SCHEMA
+
+_PLUGINS: dict[str, "FormatPlugin"] = {}
+
+
+class FormatPlugin:
+    """A format importer: one issue directory → canonical issue + pages.
+
+    Subclasses implement ``parse_issue_dir`` returning the canonical issue
+    dict with an extra ``_pages`` key holding the canonical page dicts.
+    Implementations must be deterministic (stable CI numbering over
+    explicitly sorted inputs — SURVEY W2) and must raise on unparseable
+    input (the pipeline converts raises into error rows).
+    """
+
+    name: str = "abstract"
+
+    def parse_issue_dir(
+        self, alias: str, date: str, edition: str, path: str
+    ) -> dict[str, Any]:
+        raise NotImplementedError
+
+
+def register(plugin: FormatPlugin) -> None:
+    _PLUGINS[plugin.name] = plugin
+
+
+def get_plugin(name: str) -> FormatPlugin:
+    if name not in _PLUGINS:
+        raise KeyError(
+            f"Unknown importer format {name!r}; registered: {sorted(_PLUGINS)}"
+        )
+    return _PLUGINS[name]
+
+
+IMPORT_ROW_SCHEMA = StructType(
+    [
+        StructField("issue", ISSUE_SCHEMA, True),
+        StructField("pages", ArrayType(PAGE_SCHEMA), True),
+        StructField("canonical_path", StringType(), False),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def _import_udtf(ts: Optional[str]):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from impresso_ta.importers import get_plugin as _get
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                date_str = (
+                    row.date.strftime("%Y-%m-%d")
+                    if hasattr(row.date, "strftime")
+                    else str(row.date)
+                )
+                canonical_path = f"{row.alias}-{date_str}-{row.edition}"
+                try:
+                    plugin = _get(row.format)
+                    issue = plugin.parse_issue_dir(
+                        row.alias, date_str, row.edition, row.path
+                    )
+                    pages = issue.pop("_pages", [])
+                    if ts is not None:
+                        issue.setdefault("cdt", ts)
+                        issue.setdefault("ts", ts)
+                        for p in pages:
+                            p.setdefault("cdt", ts)
+                            p.setdefault("ts", ts)
+                    out.append(
+                        {
+                            "issue": issue,
+                            "pages": pages,
+                            "canonical_path": canonical_path,
+                            "error": None,
+                        }
+                    )
+                except Exception as exc:  # noqa: BLE001 errors-as-data
+                    out.append(
+                        {
+                            "issue": None,
+                            "pages": None,
+                            "canonical_path": canonical_path,
+                            "error": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["issue", "pages", "canonical_path", "error"]
+            )
+
+    return fn
+
+
+def import_issues(
+    discovery_df: DataFrame, ts: Optional[str] = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Run the import: discovery rows → (issues_df, pages_df, errors_df).
+
+    One UDTF pass, no shuffle; at 100 TB the discovery frame is
+    repartitioned so each task holds a handful of issues (an issue is a
+    few MB of XML; the reference used 20 issues/partition, core.py:394 —
+    here AQE-sized input splits achieve the same without tuning).
+    """
+    combined = discovery_df.mapInPandas(
+        _import_udtf(ts), schema=IMPORT_ROW_SCHEMA
+    )
+    issues_df = combined.filter(F.col("error").isNull()).select("issue.*")
+    pages_df = (
+        combined.filter(F.col("error").isNull())
+        .select(F.explode("pages").alias("page"))
+        .select("page.*")
+    )
+    errors_df = (
+        combined.filter(F.col("error").isNotNull())
+        .select(
+            "canonical_path",
+            F.lit("import").alias("stage"),
+            "error",
+        )
+    )
+    return issues_df, pages_df, errors_df
+
+
+def empty_errors_df(spark) -> DataFrame:
+    return spark.createDataFrame([], ERROR_SCHEMA)

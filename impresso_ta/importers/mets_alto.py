@@ -1,0 +1,361 @@
+"""Generic METS/ALTO importer plugin.
+
+Re-implements the semantics of the reference's generic Mets/Alto layer
+(ref: importers/mets_alto/alto.py:30-152 token/region/style parsing,
+classes.py:120-135 block→CI mapping, and the structMap-driven CI
+extraction its five subclasses share) with stdlib ``xml.etree`` — no
+BeautifulSoup, no lxml dependency; parsing happens executor-side inside
+the import UDTF (SURVEY S5).
+
+Token semantics (ref: alto.py:50-68):
+- ``String`` elements → tokens with [x,y,w,h] from HPOS/VPOS/WIDTH/HEIGHT
+  (int(float(...)) — ALTO files carry decimals),
+- ``SUBS_TYPE=HypPart1`` → tx += '-', hy=True,
+- ``SUBS_TYPE=HypPart2`` → nf = SUBS_CONTENT,
+- strings without coordinates are skipped with a note.
+
+CI extraction: logical ``structMap`` divs that are not page/issue
+containers become content items ordered by (ORDER, ID) — an explicitly
+total order so CI numbering is deterministic across runs (SURVEY W2:
+stable IDs are a hard engine invariant).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import xml.etree.ElementTree as ET
+from typing import Any, Optional
+
+from impresso_ta.importers.base import FormatPlugin, register
+
+# METS div TYPEs that are containers, not content items
+_CONTAINER_TYPES = {
+    "page",
+    "issue",
+    "volume",
+    "newspaper",
+    "title",
+    "document",
+    "heading",
+}
+
+# METS div TYPE → canonical CI type (ref: the per-format importers map
+# these in their _parse_mets; e.g. lux/classes.py section handling)
+_DIV_TYPE_MAP = {
+    "article": "article",
+    "textblock": "article",
+    "headline": "article",
+    "motto": "article",
+    "advertisement": "advertisement",
+    "death_notice": "death_notice",
+    "obituary": "obituary",
+    "weather": "weather",
+    "image": "image",
+    "illustration": "image",
+    "table": "table",
+    "chronicle": "chronicle",
+    "section": "section",
+}
+
+
+def _strip_ns(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _iter_named(root: ET.Element, name: str):
+    for el in root.iter():
+        if _strip_ns(el.tag) == name:
+            yield el
+
+
+def _coords(el: ET.Element) -> Optional[list[int]]:
+    try:
+        return [
+            int(float(el.get("HPOS"))),
+            int(float(el.get("VPOS"))),
+            int(float(el.get("WIDTH"))),
+            int(float(el.get("HEIGHT"))),
+        ]
+    except (TypeError, ValueError):
+        return None
+
+
+def parse_alto_styles(root: ET.Element) -> list[dict]:
+    """TextStyle elements → canonical styles (ref: alto.py:129-152)."""
+    styles = []
+    for st in _iter_named(root, "TextStyle"):
+        name = st.get("FONTFAMILY")
+        if st.get("FONTSTYLE"):
+            name = f"{name}-{st.get('FONTSTYLE')}"
+        fs = st.get("FONTSIZE")
+        styles.append(
+            {
+                "id": _style_num(st.get("ID")),
+                "f": name,
+                "fs": float(fs) if fs not in (None, "") else None,
+                "rgb": None,
+            }
+        )
+    return styles
+
+
+def _style_num(style_id: Optional[str]) -> Optional[int]:
+    if style_id is None:
+        return None
+    m = re.search(r"(\d+)$", style_id)
+    return int(m.group(1)) if m else None
+
+
+def parse_alto_page(
+    xml_bytes: bytes, mappings: dict[str, str]
+) -> tuple[list[dict], list[str], list[dict]]:
+    """One ALTO file → (regions, notes, styles).
+
+    ``mappings``: OCR block id → canonical CI id (built from the issue's
+    legacy parts, ref: classes.py:120-131; SURVEY J5).
+    """
+    root = ET.fromstring(xml_bytes)
+    regions: list[dict] = []
+    notes: list[str] = []
+
+    for ps in _iter_named(root, "PrintSpace"):
+        for block in list(ps):
+            if _strip_ns(block.tag) != "TextBlock":
+                continue
+            block_coords = _coords(block)
+            lines = []
+            for line_el in _iter_named(block, "TextLine"):
+                tokens = []
+                for child in list(line_el):
+                    if _strip_ns(child.tag) != "String":
+                        continue
+                    c = _coords(child)
+                    if c is None:
+                        notes.append(
+                            f"Token {child.get('ID')} does not have coordinates"
+                        )
+                        continue
+                    token: dict[str, Any] = {"tx": child.get("CONTENT"), "c": c}
+                    subs = child.get("SUBS_TYPE")
+                    if subs == "HypPart1":
+                        token["tx"] = (token["tx"] or "") + "-"
+                        token["hy"] = True
+                    elif subs == "HypPart2":
+                        token["nf"] = child.get("SUBS_CONTENT")
+                    style = _style_num(
+                        (child.get("STYLEREFS") or "").split(" ")[0] or None
+                    )
+                    if style is not None:
+                        token["s"] = style
+                    tokens.append(token)
+                lines.append({"c": _coords(line_el), "t": tokens})
+
+            # generic ALTO: one paragraph per text block (ref: alto.py:117-119)
+            region = {
+                "c": block_coords,
+                "p": [{"c": block_coords, "l": lines}],
+                "pOf": mappings.get(block.get("ID")),
+            }
+            regions.append(region)
+
+    return regions, notes, parse_alto_styles(root)
+
+
+def parse_mets_cis(
+    xml_bytes: bytes, issue_id: str
+) -> tuple[list[dict], list[str]]:
+    """METS logical structMap → content items with legacy parts.
+
+    Deterministic: divs sorted by (ORDER as int, div ID); CIs minted
+    ``{issue_id}-i{n:04}`` in that order; ``m.pp`` derived from the page
+    numbers of the div's area FILEIDs (resolved through the fileSec).
+    Returns (content_items, notes).
+    """
+    root = ET.fromstring(xml_bytes)
+    notes: list[str] = []
+
+    # fileSec: file ID → page number (from the file's group/SEQ or the
+    # numeric suffix of its href)
+    file_to_page: dict[str, int] = {}
+    for fel in _iter_named(root, "file"):
+        fid = fel.get("ID")
+        if not fid:
+            continue
+        seq = fel.get("SEQ") or fel.get("GROUPID")
+        page_no = None
+        if seq and seq.isdigit():
+            page_no = int(seq)
+        else:
+            for flocat in _iter_named(fel, "FLocat"):
+                href = (
+                    flocat.get("{http://www.w3.org/1999/xlink}href")
+                    or flocat.get("href")
+                    or ""
+                )
+                m = re.search(r"(\d+)(?:\.\w+)?$", href)
+                if m:
+                    page_no = int(m.group(1))
+                    break
+        if page_no is not None:
+            file_to_page[fid] = page_no
+
+    # logical structMap divs → candidate CIs
+    logical = None
+    for sm in _iter_named(root, "structMap"):
+        if (sm.get("TYPE") or "").lower() == "logical":
+            logical = sm
+            break
+    if logical is None:
+        logical = root
+
+    candidates = []
+    for div in _iter_named(logical, "div"):
+        dtype = (div.get("TYPE") or "").lower()
+        if dtype in _CONTAINER_TYPES or dtype == "":
+            continue
+        order = div.get("ORDER")
+        order_key = int(order) if order and order.isdigit() else 10**9
+        candidates.append((order_key, div.get("ID") or "", div, dtype))
+
+    candidates.sort(key=lambda x: (x[0], x[1]))
+
+    cis: list[dict] = []
+    for n, (_, div_id, div, dtype) in enumerate(candidates, start=1):
+        ci_id = f"{issue_id}-i{str(n).zfill(4)}"
+        parts = []
+        pages = set()
+        for area in _iter_named(div, "area"):
+            fileid = area.get("FILEID")
+            comp_id = area.get("BEGIN") or fileid
+            page_no = file_to_page.get(fileid)
+            if page_no is not None:
+                pages.add(page_no)
+            parts.append(
+                {
+                    "comp_role": dtype,
+                    "comp_id": comp_id,
+                    "comp_fileid": fileid,
+                    "comp_page_no": page_no,
+                }
+            )
+        # fptr without area: resolve page via FILEID attr on fptr
+        if not parts:
+            for fptr in _iter_named(div, "fptr"):
+                fileid = fptr.get("FILEID")
+                page_no = file_to_page.get(fileid)
+                if page_no is not None:
+                    pages.add(page_no)
+                parts.append(
+                    {
+                        "comp_role": dtype,
+                        "comp_id": fileid,
+                        "comp_fileid": fileid,
+                        "comp_page_no": page_no,
+                    }
+                )
+        if not pages:
+            notes.append(f"{ci_id}: no pages resolved from METS div {div_id}")
+
+        cis.append(
+            {
+                "m": {
+                    "id": ci_id,
+                    "pp": sorted(pages),
+                    "tp": _DIV_TYPE_MAP.get(dtype, "article"),
+                    "t": div.get("LABEL"),
+                    "ro": n,
+                },
+                "l": {"id": div_id, "parts": parts},
+            }
+        )
+    return cis, notes
+
+
+def _find_mets_file(path: str) -> Optional[str]:
+    try:
+        hits = sorted(
+            f for f in os.listdir(path) if "mets.xml" in f.lower()
+        )
+    except OSError:
+        return None
+    return os.path.join(path, hits[0]) if hits else None
+
+
+def _find_page_files(path: str) -> list[str]:
+    """ALTO page files: ``text/`` subdir if present (Lux layout,
+    ref: lux/detect.py:63-84), else *.xml next to the METS file."""
+    text_dir = os.path.join(path, "text")
+    base = text_dir if os.path.isdir(text_dir) else path
+    try:
+        return sorted(
+            os.path.join(base, f)
+            for f in os.listdir(base)
+            if f.lower().endswith(".xml") and "mets" not in f.lower()
+        )
+    except OSError:
+        return []
+
+
+class MetsAltoPlugin(FormatPlugin):
+    """Issue directory with a ``*mets.xml`` + ALTO page files."""
+
+    name = "mets_alto"
+
+    def parse_issue_dir(
+        self, alias: str, date: str, edition: str, path: str
+    ) -> dict:
+        issue_id = f"{alias}-{date}-{edition}"
+        mets_path = _find_mets_file(path)
+        if mets_path is None:
+            raise FileNotFoundError(f"Could not find METS file in {path}")
+        with open(mets_path, "rb") as f:
+            cis, notes = parse_mets_cis(f.read(), issue_id)
+
+        # block id → ci id through legacy parts (ref: classes.py:120-131)
+        mappings: dict[str, str] = {}
+        for ci in cis:
+            for part in ci["l"]["parts"]:
+                if part["comp_id"]:
+                    mappings[part["comp_id"]] = ci["m"]["id"]
+
+        pages = []
+        page_files = _find_page_files(path)
+        issue_styles: list[dict] = []
+        seen_styles: set[int] = set()
+        for idx, pf in enumerate(page_files, start=1):
+            m = re.search(r"(\d+)\.xml$", pf, re.IGNORECASE)
+            page_no = int(m.group(1)) if m else idx
+            page_id = f"{issue_id}-p{str(page_no).zfill(4)}"
+            with open(pf, "rb") as f:
+                regions, page_notes, styles = parse_alto_page(
+                    f.read(), mappings
+                )
+            for st in styles:
+                if st["id"] is not None and st["id"] not in seen_styles:
+                    seen_styles.add(st["id"])
+                    issue_styles.append(st)
+            pages.append(
+                {
+                    "id": page_id,
+                    "st": "newspaper",
+                    "sm": "print",
+                    "cc": True,  # generic ALTO coords are iiif-ready
+                    "r": regions,
+                    "n": page_notes or None,
+                }
+            )
+
+        return {
+            "id": issue_id,
+            "st": "newspaper",
+            "sm": "print",
+            "i": cis,
+            "pp": [p["id"] for p in pages],
+            "s": issue_styles or None,
+            "n": "; ".join(notes) if notes else None,
+            "_pages": pages,
+        }
+
+
+register(MetsAltoPlugin())

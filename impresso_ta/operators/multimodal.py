@@ -1,0 +1,190 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The reference handles non-text media by reference only (IIIF image URIs,
+mp3 metadata via mutagen — SURVEY X15); a 100 TB training-data pipeline
+additionally needs the binary payloads in-table. Design:
+
+- payloads are ``binary`` columns with a typed metadata struct alongside
+  (mime, byte size, checksum) — Spark shuffles/persists them like any
+  column; ``spark.read.format("binaryFile")`` is the scan path,
+- decode / feature-extraction / frame-sampling run as Arrow-batched
+  ``mapInPandas`` UDTFs — one Python roundtrip per batch, schema fixed
+  up front,
+- the actual codec work is pluggable: the real decoders (PIL/librosa/
+  pyav) are NOT in this container, so the default decoder is a
+  clearly-marked deterministic fake (seeded from the payload checksum)
+  that keeps every piece of Spark plumbing — schemas, batching,
+  partitioning — real and testable. Pass ``decoder=...`` to plug a real
+  one in; ``strict=True`` raises NotImplementedError instead of faking.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("mime", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("sha1", StringType(), True),
+        StructField("content", BinaryType(), True),
+    ]
+)
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mode", StringType(), True),
+        StructField("mean_luma", DoubleType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("offset_bytes", LongType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("features", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def read_media_dir(spark: SparkSession, path: str, mime: Optional[str] = None) -> DataFrame:
+    """binaryFile scan → MEDIA_SCHEMA rows (one task per file group; Spark
+    handles listing/splitting; pushdown on path/length works).
+
+    Note: Spark's binaryFile source skips zero-length files entirely —
+    empty payloads never reach the table.
+    """
+    df = spark.read.format("binaryFile").load(path)
+    return df.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("media_id"),
+        F.lit(mime).alias("mime"),
+        F.col("length").alias("n_bytes"),
+        F.sha1(F.col("content")).alias("sha1"),
+        F.col("content"),
+    )
+
+
+def _fake_image_decode(content: bytes) -> dict:
+    """DETERMINISTIC FAKE (real image libs absent in this environment):
+    pseudo-dimensions/luma seeded from the payload hash. Replace with a
+    PIL-backed decoder in production."""
+    h = hashlib.sha1(content or b"").digest()
+    return {
+        "width": 64 + h[0] * 8,
+        "height": 64 + h[1] * 8,
+        "mode": "RGB" if h[2] % 2 == 0 else "L",
+        "mean_luma": round(h[3] / 255.0, 6),
+    }
+
+
+def decode_images(
+    media_df: DataFrame,
+    decoder: Optional[Callable[[bytes], dict]] = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Binary images → typed metadata via Arrow-batched mapInPandas."""
+    if strict and decoder is None:
+        raise NotImplementedError(
+            "No real image decoder available in this environment; "
+            "pass decoder= (e.g. PIL-based) or use the deterministic fake"
+        )
+    dec = decoder or _fake_image_decode
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                meta = dec(row.content)
+                out.append({"media_id": row.media_id, **meta})
+            yield pd.DataFrame(
+                out, columns=[f.name for f in IMAGE_META_SCHEMA.fields]
+            )
+
+    return media_df.select("media_id", "content").mapInPandas(
+        fn, schema=IMAGE_META_SCHEMA
+    )
+
+
+def sample_frames(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Deterministic frame sampling: n evenly-spaced byte-range slices per
+    payload (the real path swaps the slicer for a pyav keyframe reader;
+    the fan-out shape — one row in, n rows out — is the true plumbing)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                content = row.content or b""
+                step = max(len(content) // n_frames, 1)
+                for i in range(n_frames):
+                    off = min(i * step, max(len(content) - 1, 0))
+                    out.append(
+                        {
+                            "media_id": row.media_id,
+                            "frame_idx": i,
+                            "offset_bytes": off,
+                            "frame": content[off : off + step],
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return media_df.select("media_id", "content").mapInPandas(
+        fn, schema=FRAME_SCHEMA
+    )
+
+
+def byte_histogram_features(media_df: DataFrame, bins: int = 16) -> DataFrame:
+    """Feature extraction stub with real vectorized shape: normalized
+    byte-value histogram per payload (numpy over Arrow batches — the same
+    batch contract a real embedding model would use)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = np.frombuffer(row.content or b"", dtype=np.uint8)
+                if arr.size:
+                    hist = np.histogram(arr, bins=bins, range=(0, 256))[0]
+                    feats = (hist / arr.size).round(6).tolist()
+                else:
+                    feats = [0.0] * bins
+                out.append({"media_id": row.media_id, "features": feats})
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FEATURE_SCHEMA.fields]
+            )
+
+    return media_df.select("media_id", "content").mapInPandas(
+        fn, schema=FEATURE_SCHEMA
+    )

@@ -1,0 +1,115 @@
+"""Issue discovery: directory trees → the discovery DataFrame (SURVEY S1/S2)
+plus the config-driven filters F1 (alias), F2 (dates), F3 (incremental).
+
+The reference walks ``base/{alias}/{yyyy}/{mm}/{dd}[/{ed}]`` on the driver
+(ref: importers/detect.py:127-217). Here the walk is also driver-side (a
+directory listing is tiny relative to the data — millions of rows at
+most), but the result is a DataFrame immediately so every downstream step
+is distributed; on object stores, swap the walker for a
+``spark.read.format("binaryFile")`` listing + ``regexp_extract`` of the
+same path pattern without touching anything else.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from datetime import date as _date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from impresso_ta.schemas import DISCOVERY_SCHEMA
+
+# base/{alias}/{yyyy}/{mm}/{dd}/{edition}
+_EDITION_RE = re.compile(r"^[a-z]$")
+
+
+def detect_issues(
+    spark: SparkSession,
+    base_dir: str,
+    fmt: str,
+    default_edition: str = "a",
+) -> DataFrame:
+    """Walk ``base/{alias}/{yyyy}/{mm}/{dd}[/{ed}]`` → discovery DataFrame.
+
+    Directories without an edition level get ``default_edition`` (the
+    reference does the same, ref: detect.py:175-189). Listing order is
+    normalized (sorted) so downstream numbering is deterministic.
+    """
+    rows = []
+    for alias in sorted(os.listdir(base_dir)):
+        alias_dir = os.path.join(base_dir, alias)
+        if not os.path.isdir(alias_dir):
+            continue
+        for root, dirs, _files in os.walk(alias_dir):
+            dirs.sort()  # deterministic traversal
+            rel = os.path.relpath(root, alias_dir)
+            parts = [] if rel == "." else rel.split(os.sep)
+            if len(parts) == 3 and all(p.isdigit() for p in parts):
+                yyyy, mm, dd = (int(p) for p in parts)
+                editions = [d for d in sorted(dirs) if _EDITION_RE.match(d)]
+                if editions:
+                    for ed in editions:
+                        rows.append(
+                            (
+                                alias,
+                                _date(yyyy, mm, dd),
+                                ed,
+                                os.path.join(root, ed),
+                                fmt,
+                            )
+                        )
+                    dirs.clear()  # don't descend past the edition level
+                else:
+                    rows.append(
+                        (alias, _date(yyyy, mm, dd), default_edition, root, fmt)
+                    )
+                    dirs.clear()
+    return spark.createDataFrame(rows, DISCOVERY_SCHEMA)
+
+
+def alias_filter(
+    discovery_df: DataFrame, aliases: list[str], exclude: bool = False
+) -> DataFrame:
+    """F1 (ref: detect.py:159-166): keep/drop titles."""
+    pred = F.col("alias").isin(aliases)
+    return discovery_df.filter(~pred if exclude else pred)
+
+
+def date_filter(
+    discovery_df: DataFrame,
+    ranges: dict[str, tuple[str, str]] | None = None,
+    year_only: bool = False,
+) -> DataFrame:
+    """F2 (ref: detect.py:12-66): per-title date ranges
+    (``{"GDL": ("1900-01-01", "1950-12-31")}``); ``year_only`` compares
+    years instead of full dates."""
+    if not ranges:
+        return discovery_df
+    pred = None
+    for alias, (start, end) in ranges.items():
+        if year_only:
+            clause = (F.col("alias") == alias) & F.year("date").between(
+                int(start[:4]), int(end[:4])
+            )
+        else:
+            clause = (F.col("alias") == alias) & F.col("date").between(
+                F.lit(start).cast("date"), F.lit(end).cast("date")
+            )
+        pred = clause if pred is None else (pred | clause)
+    # titles without a configured range pass through untouched
+    unconfigured = ~F.col("alias").isin(list(ranges))
+    return discovery_df.filter(pred | unconfigured)
+
+
+def incremental_filter(
+    discovery_df: DataFrame, done_df: DataFrame
+) -> DataFrame:
+    """F3/J1 (ref: generic_importer.py:240-249): LEFT ANTI join against the
+    already-imported (alias, date, edition) set."""
+    return discovery_df.join(
+        done_df.select("alias", "date", "edition"),
+        ["alias", "date", "edition"],
+        "left_anti",
+    )

@@ -1,0 +1,40 @@
+"""Canonical store readers (SURVEY S7/S8).
+
+The reference fetches issues and pages object-by-object from S3 inside
+workers (ref: rebuilders/helpers.py:80-173). Here a canonical store is
+just a path (local, s3a://, ...) read with the fixed schemas — Catalyst
+prunes columns and pushes partition filters into the listing, replacing
+the hand-rolled per-issue fetch loop with one distributed scan + the J2
+join in the rebuild pipeline.
+
+Both jsonl(.bz2) — the reference's packaging — and parquet are supported;
+parquet is the engine-internal format (columnar pruning at 100 TB),
+jsonl.bz2 the interchange/parity format (bz2 is splittable on read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from impresso_ta.schemas import AUDIO_RECORD_SCHEMA, ISSUE_SCHEMA, PAGE_SCHEMA
+
+
+def _read(spark: SparkSession, path: str, schema) -> DataFrame:
+    if path.rstrip("/").endswith(".parquet") or "parquet" in path.split("/")[-1]:
+        return spark.read.schema(schema).parquet(path)
+    fmt = spark.read.schema(schema)
+    return fmt.json(path)
+
+
+def read_issues(spark: SparkSession, path: str) -> DataFrame:
+    """Canonical issues from jsonl(.bz2) or parquet with the fixed schema
+    (never inferred — IDs and shapes are contractual)."""
+    return _read(spark, path, ISSUE_SCHEMA)
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    return _read(spark, path, PAGE_SCHEMA)
+
+
+def read_audio_records(spark: SparkSession, path: str) -> DataFrame:
+    return _read(spark, path, AUDIO_RECORD_SCHEMA)

@@ -1,0 +1,69 @@
+"""Incremental ingest as Structured Streaming (SURVEY §2.9 extension).
+
+The reference's "incremental" mode is an offline anti-join against the
+already-imported set (F3/J1, ref: generic_importer.py:240-249) — re-run
+the whole CLI, skip known issues. The streaming-native equivalent: a file
+source over the canonical drop zone with ``availableNow`` trigger —
+checkpointing replaces the anti-join (each file processed exactly once
+across restarts), and the same code runs continuously on a live feed.
+
+Batch semantics remain the correctness target: with ``availableNow`` the
+stream drains everything currently present and stops, equivalent to the
+reference's batch re-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from impresso_ta.schemas import ISSUE_SCHEMA
+
+
+def stream_canonical_issues(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Watch a drop directory of canonical issue jsonl files, append new
+    ones to the parquet store. Exactly-once per input file via checkpoint.
+
+    Returns the StreamingQuery (call ``awaitTermination()``; with
+    ``available_now`` it stops when the backlog is drained).
+    """
+    stream = (
+        spark.readStream.schema(ISSUE_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .json(in_path)
+    )
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling window counts with late-data watermark — the
+    streaming twin of the batch ``events_hourly_window`` query (same
+    result on a drained stream)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
