@@ -14,3 +14,4 @@ from impresso_ta.importers.base import (  # noqa: F401
     register,
 )
 from impresso_ta.importers import mets_alto as _mets_alto  # noqa: F401
+from impresso_ta.importers import zip_archive as _zip_archive  # noqa: F401

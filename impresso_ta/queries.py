@@ -1028,3 +1028,287 @@ def oracle_sql() -> dict[str, str]:
         for name, query in REGISTRY.items()
         if query.oracle is not None
     }
+
+
+# =====================================================================
+# Additional inventory coverage (W2, A8/A9, F8, X6/X7/X10, embedding ops)
+# =====================================================================
+
+@q(
+    "w2_ci_numbering",
+    """
+    SELECT printf('%s-i%04d', printf('C%05d', o_custkey),
+                  CAST(row_number() OVER (
+                      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ) AS INT)) AS ci_id,
+           o_orderkey
+    FROM orders
+    """,
+    "Deterministic CI numbering i0001.. (SURVEY W2; ref lux/classes.py:249-303)",
+)
+def w2_ci_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.format_string(
+                "%s-i%04d",
+                F.format_string("C%05d", F.col("o_custkey")),
+                F.row_number().over(w),
+            ).alias("ci_id"),
+            "o_orderkey",
+        )
+    )
+
+
+@q(
+    "a8_avg_group_size",
+    """
+    SELECT o_orderpriority,
+           round(avg(n_items), 4) AS avg_items,
+           count(*) AS n_orders
+    FROM (
+        SELECT o_orderpriority, o_orderkey, count(*)::BIGINT AS n_items
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ) GROUP BY o_orderpriority
+    """,
+    "Average group size (SURVEY A8; ref swissinfo/classes.py:76-78)",
+)
+def a8_avg_group_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority", "o_orderkey")
+        .agg(F.count("*").alias("n_items"))
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.round(F.avg("n_items"), 4).alias("avg_items"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@q(
+    "a9_consensus_flag",
+    """
+    SELECT all_clean, count(*) AS n_orders FROM (
+        SELECT l_orderkey, bool_and(l_returnflag <> 'R') AS all_clean
+        FROM lineitem GROUP BY l_orderkey
+    ) GROUP BY all_clean
+    """,
+    "Convert-coords consensus bool_and (SURVEY A9; ref paper_rebuilders.py:315-319)",
+)
+def a9_consensus_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.bool_and(F.col("l_returnflag") != "R").alias("all_clean"))
+        .groupBy("all_clean")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@q(
+    "f8_title_blacklist",
+    """
+    SELECT p_brand,
+           count(*) FILTER (clean_name IS NULL) AS n_blacklisted,
+           count(*) FILTER (clean_name IS NOT NULL) AS n_titled
+    FROM (
+        SELECT p_brand,
+               CASE WHEN lower(p_name) LIKE 'part_0%' THEN NULL
+                    ELSE p_name END AS clean_name
+        FROM part
+    ) GROUP BY p_brand
+    """,
+    "Title blacklist nulling (SURVEY F8; ref olive/helpers.py:217-233)",
+)
+def f8_title_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").withColumn(
+        "clean_name",
+        F.when(F.lower(F.col("p_name")).like("part_0%"), None).otherwise(
+            F.col("p_name")
+        ),
+    )
+    return p.groupBy("p_brand").agg(
+        F.count(F.when(F.col("clean_name").isNull(), 1)).alias("n_blacklisted"),
+        F.count("clean_name").alias("n_titled"),
+    )
+
+
+@q(
+    "x6_coords_roundtrip",
+    """
+    SELECT p_partkey,
+           array_to_string([p_size, p_size * 2, p_size + 10, p_size + 20], ',')
+               AS xywh,
+           array_to_string([p_size, p_size * 2, p_size + p_size + 10,
+                            p_size * 2 + p_size + 20], ',') AS corners
+    FROM part WHERE p_partkey % 10 = 0
+    """,
+    "xywh↔corner conversion (SURVEY X6; ref utils.py:256-285)",
+)
+def x6_coords_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.functions.coords import xywh_to_corners
+
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    xywh = F.array(
+        F.col("p_size"),
+        F.col("p_size") * 2,
+        F.col("p_size") + 10,
+        F.col("p_size") + 20,
+    )
+    corners = xywh_to_corners(xywh)
+    as_str = lambda c: F.array_join(  # noqa: E731
+        F.transform(c, lambda x: x.cast("string")), ","
+    )
+    return p.select(
+        "p_partkey",
+        as_str(xywh).alias("xywh"),
+        as_str(corners).alias("corners"),
+    )
+
+
+@q(
+    "x7_rescale_coords",
+    """
+    SELECT p_partkey,
+           array_to_string(list_transform(
+               [p_size, p_size * 2, p_size + 10, p_size + 20],
+               v -> CAST(round(v * 300.0 / 254.0) AS INT)), ',') AS rescaled
+    FROM part WHERE p_partkey % 10 = 0
+    """,
+    "Resolution-based coordinate rescale (SURVEY X7; ref lux/helpers.py:12-37)",
+)
+def x7_rescale_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.functions.coords import rescale_coords
+
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    xywh = F.array(
+        F.col("p_size"),
+        F.col("p_size") * 2,
+        F.col("p_size") + 10,
+        F.col("p_size") + 20,
+    )
+    rescaled = rescale_coords(xywh, F.lit(300.0 / 254.0))
+    return p.select(
+        "p_partkey",
+        F.array_join(
+            F.transform(rescaled, lambda x: x.cast("string")), ","
+        ).alias("rescaled"),
+    )
+
+
+@q(
+    "x10_text_breaks",
+    """
+    SELECT doc_id,
+           substring(text, 1, 40) AS chunk0,
+           substring(text, 41, 40) AS chunk1,
+           length(text)::BIGINT AS n_chars
+    FROM documents
+    """,
+    "Break-offset substring application (SURVEY X10; ref helpers.py:390-414)",
+)
+def x10_text_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("chunk0"),
+        F.substring("text", 41, 40).alias("chunk1"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@q(
+    "dedup_embedding_cosine",
+    """
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT vec_a, vec_b, cosine,
+               CAST(row_number() OVER (ORDER BY cosine DESC, vec_a ASC, vec_b ASC)
+                    AS INT) AS rk
+        FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(
+                       list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                           x -> x[1]::DOUBLE * x[2]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE)))
+                        * sqrt(list_sum(list_transform(b.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+                   4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        )
+    ) WHERE rk <= 20
+    """,
+    "Embedding-cosine near-dup: top-20 most similar pairs (all-pairs join)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.similarity import cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a",
+        "vec_b",
+        F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cosine"),
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def _lsh_planes(n_planes: int = 4, dims: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes shared by the Spark impl
+    and the generated oracle SQL (Weyl-sequence coefficients)."""
+    planes = []
+    for i in range(n_planes):
+        planes.append(
+            [
+                round(((i * dims + j) * 2654435761 % 1000) / 500.0 - 1.0, 6)
+                for j in range(dims)
+            ]
+        )
+    return planes
+
+
+def _lsh_bucket_sql() -> str:
+    terms = []
+    for i, plane in enumerate(_lsh_planes()):
+        lits = ", ".join(str(v) for v in plane)
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(embedding::DOUBLE[], "
+            f"[{lits}]::DOUBLE[]), x -> x[1] * x[2])) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return (
+        "SELECT CAST(" + " + ".join(terms) + " AS INT) AS bucket, "
+        "count(*) AS n_vecs, min(vec_id) AS min_vec "
+        "FROM embeddings GROUP BY 1"
+    )
+
+
+@q(
+    "similarity_lsh_buckets",
+    _lsh_bucket_sql(),
+    "Random-hyperplane LSH bucketing (the ANN scale path: candidates ∝ corpus/2^planes)",
+)
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.similarity import hyperplane_bucket
+
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "vec_id",
+            hyperplane_bucket(F.col("embedding"), _lsh_planes()).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec"))
+    )

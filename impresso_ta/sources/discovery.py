@@ -69,6 +69,31 @@ def detect_issues(
     return spark.createDataFrame(rows, DISCOVERY_SCHEMA)
 
 
+def detect_issues_from_csv(
+    spark: SparkSession, csv_path: str, fmt: str
+) -> DataFrame:
+    """S3 (ref: swa/detect.py:60-185): a CSV manifest drives discovery —
+    first-class DataFrame source instead of a pandas partition-apply.
+
+    Expected columns: alias, date (yyyy-mm-dd), edition, path. Extra
+    columns are ignored; rows with an unparseable date are dropped (the
+    reference logs-and-skips the same way).
+    """
+    raw = spark.read.option("header", "true").csv(csv_path)
+    return (
+        raw.select(
+            F.col("alias"),
+            # try_to_date: malformed dates → null → dropped (ANSI-mode
+            # to_date would fail the whole job on one bad manifest row)
+            F.try_to_date("date").alias("date"),
+            F.coalesce(F.col("edition"), F.lit("a")).alias("edition"),
+            F.col("path"),
+            F.lit(fmt).alias("format"),
+        )
+        .filter(F.col("date").isNotNull())
+    )
+
+
 def alias_filter(
     discovery_df: DataFrame, aliases: list[str], exclude: bool = False
 ) -> DataFrame:
