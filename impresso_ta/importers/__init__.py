@@ -13,5 +13,7 @@ from impresso_ta.importers.base import (  # noqa: F401
     import_issues,
     register,
 )
+from impresso_ta.importers.base import ImportResult  # noqa: F401
 from impresso_ta.importers import mets_alto as _mets_alto  # noqa: F401
 from impresso_ta.importers import zip_archive as _zip_archive  # noqa: F401
+from impresso_ta.importers import ina_asr as _ina_asr  # noqa: F401

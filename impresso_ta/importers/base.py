@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
-from impresso_ta.schemas import ERROR_SCHEMA, ISSUE_SCHEMA, PAGE_SCHEMA
+from impresso_ta.schemas import (
+    AUDIO_RECORD_SCHEMA,
+    ERROR_SCHEMA,
+    ISSUE_SCHEMA,
+    PAGE_SCHEMA,
+)
 
 _PLUGINS: dict[str, "FormatPlugin"] = {}
 
@@ -62,6 +67,7 @@ IMPORT_ROW_SCHEMA = StructType(
     [
         StructField("issue", ISSUE_SCHEMA, True),
         StructField("pages", ArrayType(PAGE_SCHEMA), True),
+        StructField("records", ArrayType(AUDIO_RECORD_SCHEMA), True),
         StructField("canonical_path", StringType(), False),
         StructField("error", StringType(), True),
     ]
@@ -86,17 +92,19 @@ def _import_udtf(ts: Optional[str]):
                     issue = plugin.parse_issue_dir(
                         row.alias, date_str, row.edition, row.path
                     )
-                    pages = issue.pop("_pages", [])
+                    supports = issue.pop("_pages", [])
+                    is_audio = issue.get("sm") == "audio"
                     if ts is not None:
                         issue.setdefault("cdt", ts)
                         issue.setdefault("ts", ts)
-                        for p in pages:
+                        for p in supports:
                             p.setdefault("cdt", ts)
                             p.setdefault("ts", ts)
                     out.append(
                         {
                             "issue": issue,
-                            "pages": pages,
+                            "pages": None if is_audio else supports,
+                            "records": supports if is_audio else None,
                             "canonical_path": canonical_path,
                             "error": None,
                         }
@@ -106,12 +114,14 @@ def _import_udtf(ts: Optional[str]):
                         {
                             "issue": None,
                             "pages": None,
+                            "records": None,
                             "canonical_path": canonical_path,
                             "error": f"{type(exc).__name__}: {exc}",
                         }
                     )
             yield pd.DataFrame(
-                out, columns=["issue", "pages", "canonical_path", "error"]
+                out,
+                columns=["issue", "pages", "records", "canonical_path", "error"],
             )
 
     return fn
@@ -119,8 +129,10 @@ def _import_udtf(ts: Optional[str]):
 
 def import_issues(
     discovery_df: DataFrame, ts: Optional[str] = None
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Run the import: discovery rows → (issues_df, pages_df, errors_df).
+) -> "ImportResult":
+    """Run the import: discovery rows → ImportResult(issues, pages,
+    records, errors). Unpacks as a 3-tuple (issues, supports, errors)
+    for print-only corpora.
 
     One UDTF pass, no shuffle; at 100 TB the discovery frame is
     repartitioned so each task holds a handful of issues (an issue is a
@@ -130,21 +142,39 @@ def import_issues(
     combined = discovery_df.mapInPandas(
         _import_udtf(ts), schema=IMPORT_ROW_SCHEMA
     )
-    issues_df = combined.filter(F.col("error").isNull()).select("issue.*")
+    ok = combined.filter(F.col("error").isNull())
+    issues_df = ok.select("issue.*")
     pages_df = (
-        combined.filter(F.col("error").isNull())
+        ok.filter(F.col("pages").isNotNull())
         .select(F.explode("pages").alias("page"))
         .select("page.*")
     )
-    errors_df = (
-        combined.filter(F.col("error").isNotNull())
-        .select(
-            "canonical_path",
-            F.lit("import").alias("stage"),
-            "error",
-        )
+    records_df = (
+        ok.filter(F.col("records").isNotNull())
+        .select(F.explode("records").alias("record"))
+        .select("record.*")
     )
-    return issues_df, pages_df, errors_df
+    errors_df = combined.filter(F.col("error").isNotNull()).select(
+        "canonical_path",
+        F.lit("import").alias("stage"),
+        "error",
+    )
+    return ImportResult(issues_df, pages_df, records_df, errors_df)
+
+
+class ImportResult:
+    """Named result: .issues, .pages, .records, .errors. Also unpacks as
+    ``issues, pages, errors = import_issues(...)`` for print-only corpora
+    (audio corpora use the named ``.records``)."""
+
+    def __init__(self, issues, pages, records, errors):
+        self.issues = issues
+        self.pages = pages
+        self.records = records
+        self.errors = errors
+
+    def __iter__(self):
+        return iter((self.issues, self.pages, self.errors))
 
 
 def empty_errors_df(spark) -> DataFrame:
