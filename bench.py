@@ -63,6 +63,19 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # Flagship engine benchmark: rebuild a synthetic canonical corpus
+    # derived from the documents table (one issue+page+CI per doc).
+    from impresso_ta.plans import synthetic_canonical_corpus
+    from impresso_ta.rebuild import rebuild_issues_solr
+
+    docs = catalog.t(spark, sf_dir, "documents")
+    issues_df, pages_df = synthetic_canonical_corpus(docs)
+    t0 = time.time()
+    rebuild_issues_solr(issues_df, pages_df).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["rebuild_solr_synthetic"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

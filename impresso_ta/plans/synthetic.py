@@ -1,0 +1,104 @@
+"""Synthetic canonical corpus derived from the documents table.
+
+Turns each document row into one canonical issue with one page and one
+article content item whose tokens are the document's words — entirely
+with JVM column expressions (no UDF): ``transform`` over the split word
+array builds the token structs, so corpus synthesis runs at scan speed
+and the rebuild benchmark measures the REBUILD engine, not Python row
+assembly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def synthetic_canonical_corpus(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """documents(doc_id, text, lang, ...) → (issues_df, pages_df).
+
+    Issue id ``SYN-{yyyy-mm-dd}-{edition}`` minted from doc_id (dates
+    cycle over ~10 years, editions a-c) — valid canonical ids, unique per
+    doc. One CI per issue covering the whole page.
+    """
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    date_str = F.date_format(
+        F.date_add(F.lit("1900-01-01").cast("date"), (F.col("doc_id") % 3650).cast("int")),
+        "yyyy-MM-dd",
+    )
+    edition = F.concat(
+        F.lit("a"),
+        (F.col("doc_id") / 3650).cast("long").cast("string"),
+    )
+    issue_id = F.concat_ws("-", F.lit("SYN"), date_str, edition)
+    ci_id = F.concat(issue_id, F.lit("-i0001"))
+    page_id = F.concat(issue_id, F.lit("-p0001"))
+
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    tokens = F.transform(
+        words,
+        lambda w, i: F.struct(
+            w.alias("tx"),
+            F.array(i * 10, F.lit(0), F.lit(9), F.lit(12)).alias("c"),
+            F.lit(None).cast("boolean").alias("hy"),
+            F.lit(None).cast("string").alias("nf"),
+            F.lit(None).cast("boolean").alias("gn"),
+            F.lit(None).cast("int").alias("s"),
+        ),
+    )
+    line = F.struct(
+        F.array(F.lit(0), F.lit(0), F.lit(2000), F.lit(12)).alias("c"),
+        tokens.alias("t"),
+    )
+    para = F.struct(line["c"].alias("c"), F.array(line).alias("l"))
+    region = F.struct(
+        para["c"].alias("c"), ci_id.alias("pOf"), F.array(para).alias("p")
+    )
+
+    base = d.select(
+        "doc_id", "lang", issue_id.alias("issue_id"), ci_id.alias("ci_id"),
+        page_id.alias("page_id"), region.alias("region"),
+    )
+
+    ci = F.struct(
+        F.struct(
+            F.col("ci_id").alias("id"),
+            F.array(F.lit(1)).alias("pp"),
+            F.lit(None).cast("array<int>").alias("rr"),
+            F.lit("article").alias("tp"),
+            F.lit(None).cast("string").alias("t"),
+            F.col("lang").alias("lg"),
+            F.lit(1).alias("ro"),
+            F.lit(None).cast("string").alias("iiif_link"),
+            F.lit(None).cast("boolean").alias("cc"),
+            F.lit(None).cast("string").alias("var_t"),
+            F.lit(None).cast("string").alias("archival_note"),
+        ).alias("m"),
+    )
+
+    issues_df = base.select(
+        F.col("issue_id").alias("id"),
+        F.lit(None).cast("string").alias("cdt"),
+        F.lit(None).cast("string").alias("ts"),
+        F.lit("newspaper").alias("st"),
+        F.lit("print").alias("sm"),
+        F.array(ci).alias("i"),
+        F.array(F.col("page_id")).alias("pp"),
+    )
+
+    pages_df = base.select(
+        F.col("page_id").alias("id"),
+        F.lit(None).cast("string").alias("cdt"),
+        F.lit(None).cast("string").alias("ts"),
+        F.lit("newspaper").alias("st"),
+        F.lit("print").alias("sm"),
+        F.lit(True).alias("cc"),
+        F.array(F.col("region")).alias("r"),
+    )
+    return issues_df, pages_df

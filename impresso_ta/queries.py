@@ -1312,3 +1312,161 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec"))
     )
+
+
+# =====================================================================
+# Remaining inventory: F9/F11, SET4, A1, X8/X12, O5
+# =====================================================================
+
+@q(
+    "f9_token_filter",
+    """
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           w -> len(w) >= 4))::BIGINT AS n_long_tokens,
+           len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+    FROM documents
+    """,
+    "Token drop-filter on the exploded/array token frame (SURVEY F9; "
+    "ref tetml/helpers.py:43-73)",
+)
+def f9_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(toks, lambda w: F.length(w) >= 4))
+        .cast("long")
+        .alias("n_long_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+
+
+@q(
+    "f11_medium_dispatch",
+    """
+    SELECT medium, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM (
+        SELECT CASE WHEN o_orderstatus = 'O' THEN 'audio'
+                    WHEN o_orderstatus = 'F' THEN 'print'
+                    ELSE 'typescript' END AS medium,
+               o_totalprice
+        FROM orders
+    ) GROUP BY medium
+    """,
+    "Source-medium dispatch into per-branch pipelines (SURVEY F11; "
+    "ref core.py:182-206)",
+)
+def f11_medium_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").withColumn(
+        "medium",
+        F.when(F.col("o_orderstatus") == "O", "audio")
+        .when(F.col("o_orderstatus") == "F", "print")
+        .otherwise("typescript"),
+    )
+    return o.groupBy("medium").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@q(
+    "set4_inverted_index",
+    """
+    SELECT w AS token, count(DISTINCT doc_id) AS df, min(doc_id) AS first_doc
+    FROM (
+        SELECT doc_id, unnest(list_distinct(
+            regexp_split_to_array(trim(text), '\\s+'))) AS w
+        FROM documents
+    ) GROUP BY w HAVING count(DISTINCT doc_id) >= 100
+    """,
+    "Inverted index token→docs (SURVEY SET4; ref olive/helpers.py:704-724)",
+)
+def set4_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+            ).alias("token"),
+        )
+        .groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("df") >= 100)
+    )
+
+
+@q(
+    "a1_package_grouping",
+    """
+    SELECT source, lang, count(*) AS n_docs,
+           min(doc_id) AS first_id, max(doc_id) AS last_id,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source, lang
+    """,
+    "Package-by-(alias,year) grouping for the sink (SURVEY A1/A3; "
+    "ref core.py:406-414)",
+)
+def a1_package_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_id"),
+            F.max("doc_id").alias("last_id"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@q(
+    "x8_ark_encoding",
+    """
+    SELECT p_partkey,
+           replace('ark:/12148/item' || p_partkey || '/page/1', '/', '%2f')
+               AS encoded_ark
+    FROM part WHERE p_partkey % 20 = 0
+    """,
+    "ARK percent-encoding (SURVEY X8; ref lux/helpers.py:40-49)",
+)
+def x8_ark_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0)
+    ark = F.concat(
+        F.lit("ark:/12148/item"),
+        F.col("p_partkey").cast("string"),
+        F.lit("/page/1"),
+    )
+    return p.select(
+        "p_partkey",
+        F.regexp_replace(ark, "/", "%2f").alias("encoded_ark"),
+    )
+
+
+@q(
+    "x12_language_normalization",
+    """
+    SELECT norm_lang, count(*) AS n_docs FROM (
+        SELECT CASE lang WHEN 'fr' THEN 'french' WHEN 'de' THEN 'german'
+                         WHEN 'en' THEN 'english' WHEN 'es' THEN 'spanish'
+                         ELSE lang END AS norm_lang
+        FROM documents
+    ) GROUP BY norm_lang
+    """,
+    "Literal-map language normalization (SURVEY X12; "
+    "ref olive/helpers.py:690-701)",
+)
+def x12_language_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mapping = F.create_map(
+        F.lit("fr"), F.lit("french"),
+        F.lit("de"), F.lit("german"),
+        F.lit("en"), F.lit("english"),
+        F.lit("es"), F.lit("spanish"),
+    )
+    d = t(spark, sf_dir, "documents").select(
+        F.coalesce(mapping[F.col("lang")], F.col("lang")).alias("norm_lang")
+    )
+    return d.groupBy("norm_lang").agg(F.count("*").alias("n_docs"))

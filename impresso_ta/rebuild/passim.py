@@ -102,23 +102,29 @@ def rebuild_issue_passim(
             }
 
 
-def _cogroup_fn(issues_pdf: pd.DataFrame, supports_pdf: pd.DataFrame) -> pd.DataFrame:
-    out: list[dict] = []
-    supports = [_to_py(r) for r in supports_pdf.to_dict("records")]
-    for row in issues_pdf.to_dict("records"):
-        issue = _to_py(row)
-        for doc in rebuild_issue_passim(issue, supports):
-            out.append({k: doc.get(k) for k in _FIELD_NAMES})
-    return pd.DataFrame(out, columns=_FIELD_NAMES)
+def _batch_fn(batches):
+    for pdf in batches:
+        out: list[dict] = []
+        for row in pdf.to_dict("records"):
+            issue = _to_py(row)
+            supports = issue.pop("_supports", None) or []
+            for doc in rebuild_issue_passim(issue, supports):
+                out.append({k: doc.get(k) for k in _FIELD_NAMES})
+        yield pd.DataFrame(out, columns=_FIELD_NAMES)
 
 
 def rebuild_issues_passim(
     issues_df: DataFrame, supports_df: DataFrame
 ) -> DataFrame:
-    """Passim rebuild: cogroup issues with their pages, one UDTF pass."""
-    keyed = supports_df.withColumn("issue_id", support_issue_id(F.col("id")))
-    return (
-        issues_df.groupBy("id")
-        .cogroup(keyed.groupBy("issue_id"))
-        .applyInPandas(_cogroup_fn, schema=PASSIM_WITH_ERRORS_SCHEMA)
+    """Passim rebuild: supports grouped per issue + batch-level UDTF (same
+    plan shape as the solr pipeline)."""
+    support_cols = [F.col(f.name) for f in supports_df.schema.fields]
+    grouped = (
+        supports_df.withColumn("issue_id", support_issue_id(F.col("id")))
+        .groupBy("issue_id")
+        .agg(F.collect_list(F.struct(*support_cols)).alias("_supports"))
     )
+    joined = issues_df.join(
+        grouped, issues_df["id"] == grouped["issue_id"], "left"
+    ).drop("issue_id")
+    return joined.mapInPandas(_batch_fn, schema=PASSIM_WITH_ERRORS_SCHEMA)

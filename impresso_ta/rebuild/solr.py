@@ -288,17 +288,25 @@ def rebuild_issue_cis(
 _FIELD_NAMES = [f.name for f in REBUILT_WITH_ERRORS_SCHEMA.fields]
 
 
-def _issue_support_cogroup(ts: Optional[str]):
-    """Build the cogrouped applyInPandas function."""
+def _rebuild_udtf(ts: Optional[str], arrow_schema):
+    """Batch-level mapInArrow function over issues with attached supports.
 
-    def fn(issues_pdf: pd.DataFrame, supports_pdf: pd.DataFrame) -> pd.DataFrame:
-        out: list[dict] = []
-        supports = [_to_py(r) for r in supports_pdf.to_dict("records")]
-        for row in issues_pdf.to_dict("records"):
-            issue = _to_py(row)
-            for ci in rebuild_issue_cis(issue, supports, ts=ts):
-                out.append({k: ci.get(k) for k in _FIELD_NAMES})
-        return pd.DataFrame(out, columns=_FIELD_NAMES)
+    One Python roundtrip per Arrow batch (~thousands of issues), not per
+    issue — the per-key applyInPandas cogroup was measured ~3× slower on
+    small-issue corpora (each key pays a full pandas/Arrow cycle), and
+    ``RecordBatch.to_pylist()`` converts the nested structs to plain
+    Python C-side (another ~2× over pandas + per-value numpy coercion).
+    """
+    import pyarrow as pa
+
+    def fn(batches):
+        for batch in batches:
+            out: list[dict] = []
+            for issue in batch.to_pylist():
+                supports = issue.pop("_supports", None) or []
+                for ci in rebuild_issue_cis(issue, supports, ts=ts):
+                    out.append({k: ci.get(k) for k in _FIELD_NAMES})
+            yield pa.RecordBatch.from_pylist(out, schema=arrow_schema)
 
     return fn
 
@@ -313,20 +321,32 @@ def rebuild_issues_solr(
     supports_df: DataFrame,
     ts: Optional[str] = None,
 ) -> DataFrame:
-    """Rebuild all CIs: one cogroup by issue id, one UDTF pass.
+    """Rebuild all CIs: supports grouped per issue (J2, one shuffle),
+    joined to issues (co-partitioned on the same key), then ONE
+    batch-level UDTF pass.
 
     ``issues_df`` rows follow ISSUE_SCHEMA; ``supports_df`` rows follow
     PAGE_SCHEMA or AUDIO_RECORD_SCHEMA. Returns REBUILT_WITH_ERRORS_SCHEMA;
     split problem rows with ``split_errors``.
     """
-    keyed_supports = supports_df.withColumn(
-        "issue_id", support_issue_id(F.col("id"))
+    support_cols = [
+        F.col(f.name) for f in supports_df.schema.fields
+    ]
+    grouped_supports = (
+        supports_df.withColumn("issue_id", support_issue_id(F.col("id")))
+        .groupBy("issue_id")
+        .agg(F.collect_list(F.struct(*support_cols)).alias("_supports"))
     )
-    cogrouped = issues_df.groupBy("id").cogroup(
-        keyed_supports.groupBy("issue_id")
-    )
-    return cogrouped.applyInPandas(
-        _issue_support_cogroup(ts), schema=REBUILT_WITH_ERRORS_SCHEMA
+    joined = issues_df.join(
+        grouped_supports,
+        issues_df["id"] == grouped_supports["issue_id"],
+        "left",
+    ).drop("issue_id")
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return joined.mapInArrow(
+        _rebuild_udtf(ts, to_arrow_schema(REBUILT_WITH_ERRORS_SCHEMA)),
+        schema=REBUILT_WITH_ERRORS_SCHEMA,
     )
 
 
