@@ -1,0 +1,46 @@
+"""Ordering-sensitive operators (SURVEY W1-W4) as engine APIs.
+
+The reference computes reading order in Python after sorting CI dicts
+(ref: utils.py:139-158 ``get_reading_order``: sort by (first page, item
+number), store dense rank in ``m.ro``). Here it's a window over an
+explicitly total order — determinism is an engine invariant (stable IDs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def assign_reading_order(issues_df: DataFrame) -> DataFrame:
+    """W1: recompute ``m.ro`` for every content item of every issue:
+    rank by (first page number, CI number) — without exploding the issue
+    row (array sort + in-place transform keeps it one map, no shuffle).
+    """
+    def sort_key(ci):
+        first_page = F.coalesce(
+            F.element_at(F.array_sort(ci["m"]["pp"]), 1), F.lit(10**9)
+        )
+        ci_num = F.regexp_extract(ci["m"]["id"], r"i(\d{4})$", 1).cast("int")
+        return F.struct(first_page.alias("p"), ci_num.alias("n"))
+
+    sorted_cis = F.array_sort(
+        F.transform(
+            F.coalesce(F.col("i"), F.array()),
+            lambda ci: F.struct(sort_key(ci).alias("k"), ci.alias("ci")),
+        )
+    )
+    renumbered = F.transform(
+        sorted_cis,
+        lambda entry, idx: entry["ci"].withField("m.ro", idx + 1),
+    )
+    return issues_df.withColumn("i", renumbered)
+
+
+def token_context(tokens_df: DataFrame, partition_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """W4: attach prev/next token text over an explicit total order."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return tokens_df.withColumn("prev_tx", F.lag("tx").over(w)).withColumn(
+        "next_tx", F.lead("tx").over(w)
+    )
