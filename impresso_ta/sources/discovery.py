@@ -94,6 +94,31 @@ def detect_issues_from_csv(
     )
 
 
+def detect_issues_from_api(
+    spark: SparkSession,
+    fetch,
+    fmt: str,
+) -> DataFrame:
+    """S4 (ref: bnf_en/detect.py:162-361): API-enumerated discovery.
+
+    ``fetch`` is a callable returning an iterable of dicts with keys
+    alias/date(iso str or date)/edition/path — the HTTP specifics (Gallica
+    pagination, ark resolution) live in the injected fetcher so the engine
+    stays pure and the result is cacheable. Runs driver-side (a discovery
+    listing is tiny); the returned DataFrame then joins/filters like any
+    other discovery source (J11 = broadcast join downstream).
+    """
+    rows = []
+    for item in fetch():
+        d = item["date"]
+        if isinstance(d, str):
+            d = _date.fromisoformat(d)
+        rows.append(
+            (item["alias"], d, item.get("edition", "a"), item["path"], fmt)
+        )
+    return spark.createDataFrame(rows, DISCOVERY_SCHEMA)
+
+
 def alias_filter(
     discovery_df: DataFrame, aliases: list[str], exclude: bool = False
 ) -> DataFrame:
