@@ -55,13 +55,23 @@ def main() -> None:
     for name in catalog.TABLES:
         catalog.t(spark, sf_dir, name).count()
 
+    def timed(build) -> float:
+        # min of 2 runs, cache cleared between queries: isolates each
+        # query from frames persisted by earlier operators and from
+        # one-off JIT/GC noise.
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            build().write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
     registry = catalog.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = timed(lambda fn=fn: fn(spark, sf_dir))
 
     # Flagship engine benchmark: rebuild a synthetic canonical corpus
     # derived from the documents table (one issue+page+CI per doc).
@@ -70,11 +80,9 @@ def main() -> None:
 
     docs = catalog.t(spark, sf_dir, "documents")
     issues_df, pages_df = synthetic_canonical_corpus(docs)
-    t0 = time.time()
-    rebuild_issues_solr(issues_df, pages_df).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    timings["rebuild_solr_synthetic"] = round(time.time() - t0, 3)
+    timings["rebuild_solr_synthetic"] = timed(
+        lambda: rebuild_issues_solr(issues_df, pages_df)
+    )
 
     total = round(sum(timings.values()), 3)
     print(

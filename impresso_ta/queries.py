@@ -1470,3 +1470,45 @@ def x12_language_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(mapping[F.col("lang")], F.col("lang")).alias("norm_lang")
     )
     return d.groupBy("norm_lang").agg(F.count("*").alias("n_docs"))
+
+
+@q(
+    "events_sessionize",
+    """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    "Session windows (30-min gap) — Structured Streaming session_window "
+    "semantics checked against a gaps-and-islands oracle",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
