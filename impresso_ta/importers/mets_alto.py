@@ -29,33 +29,44 @@ from typing import Any, Optional
 
 from impresso_ta.importers.base import FormatPlugin, register
 
-# METS div TYPEs that are containers, not content items
+# Transparent container divs (recursed through, never CIs themselves)
 _CONTAINER_TYPES = {
     "page",
     "issue",
     "volume",
     "newspaper",
-    "title",
+    "title_section",
+    "content",
     "document",
-    "heading",
 }
 
-# METS div TYPE → canonical CI type (ref: the per-format importers map
-# these in their _parse_mets; e.g. lux/classes.py section handling)
-_DIV_TYPE_MAP = {
+# div TYPEs that ARE content items: everything underneath them (heading,
+# body, paragraph, text, author, ...) contributes parts, not new CIs
+# (observed in BNL METS: ARTICLE > HEADING/BODY/BODY_CONTENT/PARAGRAPH
+# divs each carrying <area BEGIN=block-id>)
+_CI_TYPES = {
     "article": "article",
-    "textblock": "article",
-    "headline": "article",
-    "motto": "article",
     "advertisement": "advertisement",
+    "section": "section",
     "death_notice": "death_notice",
     "obituary": "obituary",
     "weather": "weather",
     "image": "image",
     "illustration": "image",
+    "picture": "image",
     "table": "table",
     "chronicle": "chronicle",
-    "section": "section",
+}
+
+# component divs that only become CIs when they appear OUTSIDE any
+# CI-type div (e.g. TEXTBLOCK/HEADLINE children of TITLE_SECTION)
+_COMPONENT_AS_CI = {
+    "textblock": "article",
+    "headline": "article",
+    "motto": "article",
+    "publishing_stmt": "article",
+    "paragraph": "article",
+    "text": "article",
 }
 
 
@@ -200,7 +211,20 @@ def parse_mets_cis(
         if page_no is not None:
             file_to_page[fid] = page_no
 
-    # logical structMap divs → candidate CIs
+    # dmdSec MODS metadata: DMDID → ISO language code (BNL articles carry
+    # <mods:languageTerm> per dmdSec)
+    dmd_lang: dict[str, str] = {}
+    for dmd in _iter_named(root, "dmdSec"):
+        dmd_id = dmd.get("ID")
+        if not dmd_id:
+            continue
+        for lt in _iter_named(dmd, "languageTerm"):
+            if lt.text and lt.text.strip():
+                dmd_lang[dmd_id] = lt.text.strip()
+                break
+
+    # logical structMap → CI divs in DOCUMENT ORDER (depth-first) — an
+    # explicitly total, input-stable order (SURVEY W2).
     logical = None
     for sm in _iter_named(root, "structMap"):
         if (sm.get("TYPE") or "").lower() == "logical":
@@ -209,22 +233,9 @@ def parse_mets_cis(
     if logical is None:
         logical = root
 
-    candidates = []
-    for div in _iter_named(logical, "div"):
-        dtype = (div.get("TYPE") or "").lower()
-        if dtype in _CONTAINER_TYPES or dtype == "":
-            continue
-        order = div.get("ORDER")
-        order_key = int(order) if order and order.isdigit() else 10**9
-        candidates.append((order_key, div.get("ID") or "", div, dtype))
-
-    candidates.sort(key=lambda x: (x[0], x[1]))
-
-    cis: list[dict] = []
-    for n, (_, div_id, div, dtype) in enumerate(candidates, start=1):
-        ci_id = f"{issue_id}-i{str(n).zfill(4)}"
-        parts = []
-        pages = set()
+    def _div_parts(div: ET.Element, role: str) -> tuple[list[dict], set[int]]:
+        parts: list[dict] = []
+        pages: set[int] = set()
         for area in _iter_named(div, "area"):
             fileid = area.get("FILEID")
             comp_id = area.get("BEGIN") or fileid
@@ -233,37 +244,69 @@ def parse_mets_cis(
                 pages.add(page_no)
             parts.append(
                 {
-                    "comp_role": dtype,
+                    "comp_role": role,
                     "comp_id": comp_id,
                     "comp_fileid": fileid,
                     "comp_page_no": page_no,
                 }
             )
-        # fptr without area: resolve page via FILEID attr on fptr
         if not parts:
             for fptr in _iter_named(div, "fptr"):
                 fileid = fptr.get("FILEID")
+                if fileid is None:
+                    continue
                 page_no = file_to_page.get(fileid)
                 if page_no is not None:
                     pages.add(page_no)
                 parts.append(
                     {
-                        "comp_role": dtype,
+                        "comp_role": role,
                         "comp_id": fileid,
                         "comp_fileid": fileid,
                         "comp_page_no": page_no,
                     }
                 )
+        return parts, pages
+
+    ci_divs: list[tuple[ET.Element, str]] = []
+
+    def _collect(el: ET.Element) -> None:
+        for child in list(el):
+            if _strip_ns(child.tag) != "div":
+                _collect(child)
+                continue
+            dtype = (child.get("TYPE") or "").lower()
+            if dtype in _CI_TYPES:
+                ci_divs.append((child, _CI_TYPES[dtype]))
+                # descendants are components of this CI — don't recurse
+            elif dtype in _COMPONENT_AS_CI:
+                ci_divs.append((child, _COMPONENT_AS_CI[dtype]))
+            else:
+                # container (or unknown): recurse
+                _collect(child)
+
+    _collect(logical)
+
+    cis: list[dict] = []
+    for n, (div, tp) in enumerate(ci_divs, start=1):
+        ci_id = f"{issue_id}-i{str(n).zfill(4)}"
+        div_id = div.get("ID") or ""
+        parts, pages = _div_parts(div, (div.get("TYPE") or "").lower())
         if not pages:
             notes.append(f"{ci_id}: no pages resolved from METS div {div_id}")
-
+        lang = None
+        for dmd_id in (div.get("DMDID") or "").split():
+            if dmd_id in dmd_lang:
+                lang = dmd_lang[dmd_id]
+                break
         cis.append(
             {
                 "m": {
                     "id": ci_id,
                     "pp": sorted(pages),
-                    "tp": _DIV_TYPE_MAP.get(dtype, "article"),
+                    "tp": tp,
                     "t": div.get("LABEL"),
+                    "lg": lang,
                     "ro": n,
                 },
                 "l": {"id": div_id, "parts": parts},
