@@ -326,10 +326,15 @@ def _find_mets_file(path: str) -> Optional[str]:
 
 
 def _find_page_files(path: str) -> list[str]:
-    """ALTO page files: ``text/`` subdir if present (Lux layout,
-    ref: lux/detect.py:63-84), else *.xml next to the METS file."""
-    text_dir = os.path.join(path, "text")
-    base = text_dir if os.path.isdir(text_dir) else path
+    """ALTO page files: ``text/`` subdir (Lux layout, ref:
+    lux/detect.py:63-84), ``ALTO/`` subdir (RERO layout, ref:
+    rero/detect.py:63-97), else *.xml next to the METS file."""
+    base = path
+    for sub in ("text", "ALTO", "alto"):
+        cand = os.path.join(path, sub)
+        if os.path.isdir(cand):
+            base = cand
+            break
     try:
         return sorted(
             os.path.join(base, f)

@@ -155,6 +155,7 @@ def rebuild_issue_cis(
     issue: dict,
     supports: list[dict],
     ts: Optional[str] = None,
+    default_language: Optional[str] = None,
 ) -> Iterable[dict]:
     """Rebuild every content item of one issue (pure Python, one task).
 
@@ -172,6 +173,12 @@ def rebuild_issue_cis(
             solr_ci, mapped_type, lang = _base_solr_ci(
                 {**ci, "_cc": None}, issue, ts
             )
+            if lang is None and default_language is not None:
+                # opt-in divergence from the reference: without a language
+                # the whitespace rules return None (tokens glue together);
+                # a corpus-level default keeps rebuilt text usable
+                lang = default_language
+                solr_ci["lg"] = default_language
             nos = solr_ci["rr"] if is_audio else solr_ci["pp"]
             prefix = "r" if is_audio else "p"
 
@@ -288,7 +295,7 @@ def rebuild_issue_cis(
 _FIELD_NAMES = [f.name for f in REBUILT_WITH_ERRORS_SCHEMA.fields]
 
 
-def _rebuild_udtf(ts: Optional[str], arrow_schema):
+def _rebuild_udtf(ts: Optional[str], arrow_schema, default_language: Optional[str] = None):
     """Batch-level mapInArrow function over issues with attached supports.
 
     One Python roundtrip per Arrow batch (~thousands of issues), not per
@@ -304,7 +311,9 @@ def _rebuild_udtf(ts: Optional[str], arrow_schema):
             out: list[dict] = []
             for issue in batch.to_pylist():
                 supports = issue.pop("_supports", None) or []
-                for ci in rebuild_issue_cis(issue, supports, ts=ts):
+                for ci in rebuild_issue_cis(
+                    issue, supports, ts=ts, default_language=default_language
+                ):
                     out.append({k: ci.get(k) for k in _FIELD_NAMES})
             yield pa.RecordBatch.from_pylist(out, schema=arrow_schema)
 
@@ -320,6 +329,7 @@ def rebuild_issues_solr(
     issues_df: DataFrame,
     supports_df: DataFrame,
     ts: Optional[str] = None,
+    default_language: Optional[str] = None,
 ) -> DataFrame:
     """Rebuild all CIs: supports grouped per issue (J2, one shuffle),
     joined to issues (co-partitioned on the same key), then ONE
@@ -345,7 +355,11 @@ def rebuild_issues_solr(
     from pyspark.sql.pandas.types import to_arrow_schema
 
     return joined.mapInArrow(
-        _rebuild_udtf(ts, to_arrow_schema(REBUILT_WITH_ERRORS_SCHEMA)),
+        _rebuild_udtf(
+            ts,
+            to_arrow_schema(REBUILT_WITH_ERRORS_SCHEMA),
+            default_language=default_language,
+        ),
         schema=REBUILT_WITH_ERRORS_SCHEMA,
     )
 
