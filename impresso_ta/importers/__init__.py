@@ -19,3 +19,4 @@ from impresso_ta.importers import zip_archive as _zip_archive  # noqa: F401
 from impresso_ta.importers import ina_asr as _ina_asr  # noqa: F401
 from impresso_ta.importers import tetml as _tetml  # noqa: F401
 from impresso_ta.importers import abbyy_bcul as _abbyy_bcul  # noqa: F401
+from impresso_ta.importers import olive as _olive  # noqa: F401
