@@ -131,16 +131,17 @@ def parse_alto_page(
     notes: list[str] = []
 
     for ps in _iter_named(root, "PrintSpace"):
-        for block in list(ps):
-            if _strip_ns(block.tag) != "TextBlock":
-                continue
+        for block in _iter_named(ps, "TextBlock"):
             block_coords = _coords(block)
             lines = []
+            first_string_id: Optional[str] = None
             for line_el in _iter_named(block, "TextLine"):
                 tokens = []
                 for child in list(line_el):
                     if _strip_ns(child.tag) != "String":
                         continue
+                    if first_string_id is None:
+                        first_string_id = child.get("ID")
                     c = _coords(child)
                     if c is None:
                         notes.append(
@@ -162,11 +163,14 @@ def parse_alto_page(
                     tokens.append(token)
                 lines.append({"c": _coords(line_el), "t": tokens})
 
-            # generic ALTO: one paragraph per text block (ref: alto.py:117-119)
+            # generic ALTO: one paragraph per text block (ref: alto.py:117-119).
+            # pOf: block-id mapping (BNL/RERO) or word-id mapping of the
+            # block's first token (BL word-range areas).
             region = {
                 "c": block_coords,
                 "p": [{"c": block_coords, "l": lines}],
-                "pOf": mappings.get(block.get("ID")),
+                "pOf": mappings.get(block.get("ID"))
+                or (mappings.get(first_string_id) if first_string_id else None),
             }
             regions.append(region)
 
@@ -287,11 +291,82 @@ def parse_mets_cis(
 
     _collect(logical)
 
+    # BL-style indirection: self-closing article divs linked to PHYSICAL
+    # pagearea divs via <structLink><smLinkGrp> (observed in BL METS:
+    # smLocatorLink #art0001 ↔ #pa0001001..., pagearea areas carry
+    # word-id ranges into the ALTO files).
+    XLINK = "{http://www.w3.org/1999/xlink}"
+    link_groups: dict[str, list[str]] = {}
+    for grp in _iter_named(root, "smLinkGrp"):
+        hrefs = [
+            (loc.get(f"{XLINK}href") or "").lstrip("#")
+            for loc in _iter_named(grp, "smLocatorLink")
+        ]
+        if hrefs:
+            link_groups[hrefs[0]] = hrefs[1:]
+    phys_divs: dict[str, ET.Element] = {}
+    phys_parent_order: dict[str, Optional[int]] = {}
+    for sm in _iter_named(root, "structMap"):
+        if (sm.get("TYPE") or "").lower() != "physical":
+            continue
+        for page_div in _iter_named(sm, "div"):
+            if (page_div.get("TYPE") or "").lower() != "page":
+                continue
+            order = page_div.get("ORDER")
+            page_no = int(order) if order and order.isdigit() else None
+            for sub in _iter_named(page_div, "div"):
+                sid = sub.get("ID")
+                if sid:
+                    phys_divs[sid] = sub
+                    phys_parent_order[sid] = page_no
+
+    def _expand_range(begin: str, end: Optional[str]) -> list[str]:
+        if not end or end == begin:
+            return [begin]
+        mb = re.match(r"(.*?)(\d+)$", begin)
+        me = re.match(r"(.*?)(\d+)$", end)
+        if not mb or not me or mb.group(1) != me.group(1):
+            return [begin]
+        lo, hi = int(mb.group(2)), int(me.group(2))
+        if hi < lo or hi - lo > 10000:
+            return [begin]
+        width = len(mb.group(2))
+        return [f"{mb.group(1)}{str(i).zfill(width)}" for i in range(lo, hi + 1)]
+
+    extra_mappings: dict[str, str] = {}
     cis: list[dict] = []
     for n, (div, tp) in enumerate(ci_divs, start=1):
         ci_id = f"{issue_id}-i{str(n).zfill(4)}"
         div_id = div.get("ID") or ""
         parts, pages = _div_parts(div, (div.get("TYPE") or "").lower())
+        if not parts and div_id in link_groups:
+            # BL path: resolve through structLink → physical pagearea divs
+            role = (div.get("TYPE") or "").lower()
+            for phys_id in link_groups[div_id]:
+                pd = phys_divs.get(phys_id)
+                if pd is None:
+                    continue
+                page_no = phys_parent_order.get(phys_id)
+                fileid = None
+                for area in _iter_named(pd, "area"):
+                    if area.get("BETYPE") == "IDREF":
+                        fileid = area.get("FILEID")
+                        if page_no is None:
+                            page_no = file_to_page.get(fileid)
+                        for wid in _expand_range(
+                            area.get("BEGIN"), area.get("END")
+                        ):
+                            extra_mappings[wid] = ci_id
+                if page_no is not None:
+                    pages.add(page_no)
+                parts.append(
+                    {
+                        "comp_role": role,
+                        "comp_id": phys_id,
+                        "comp_fileid": fileid,
+                        "comp_page_no": page_no,
+                    }
+                )
         if not pages:
             notes.append(f"{ci_id}: no pages resolved from METS div {div_id}")
         lang = None
@@ -312,7 +387,7 @@ def parse_mets_cis(
                 "l": {"id": div_id, "parts": parts},
             }
         )
-    return cis, notes
+    return cis, notes, extra_mappings
 
 
 def _find_mets_file(path: str) -> Optional[str]:
@@ -358,14 +433,15 @@ class MetsAltoPlugin(FormatPlugin):
         if mets_path is None:
             raise FileNotFoundError(f"Could not find METS file in {path}")
         with open(mets_path, "rb") as f:
-            cis, notes = parse_mets_cis(f.read(), issue_id)
+            cis, notes, extra_mappings = parse_mets_cis(f.read(), issue_id)
 
-        # block id → ci id through legacy parts (ref: classes.py:120-131)
-        mappings: dict[str, str] = {}
+        # block id → ci id through legacy parts (ref: classes.py:120-131),
+        # plus word-level mappings from BL-style structLink ranges
+        mappings: dict[str, str] = dict(extra_mappings)
         for ci in cis:
             for part in ci["l"]["parts"]:
                 if part["comp_id"]:
-                    mappings[part["comp_id"]] = ci["m"]["id"]
+                    mappings.setdefault(part["comp_id"], ci["m"]["id"])
 
         pages = []
         page_files = _find_page_files(path)

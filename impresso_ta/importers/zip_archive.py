@@ -60,13 +60,15 @@ class ZipMetsAltoPlugin(FormatPlugin):
                 raise FileNotFoundError(
                     f"No METS member in archive {os.path.basename(zip_path)}"
                 )
-            cis, notes = parse_mets_cis(zf.read(mets_names[0]), issue_id)
+            cis, notes, extra_mappings = parse_mets_cis(
+                zf.read(mets_names[0]), issue_id
+            )
 
-            mappings: dict[str, str] = {}
+            mappings: dict[str, str] = dict(extra_mappings)
             for ci in cis:
                 for part in ci["l"]["parts"]:
                     if part["comp_id"]:
-                        mappings[part["comp_id"]] = ci["m"]["id"]
+                        mappings.setdefault(part["comp_id"], ci["m"]["id"])
 
             pages = []
             page_members = [n for n in names if self.member_is_page(n)]
