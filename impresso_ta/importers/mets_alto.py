@@ -397,7 +397,22 @@ def _find_mets_file(path: str) -> Optional[str]:
         )
     except OSError:
         return None
-    return os.path.join(path, hits[0]) if hits else None
+    if hits:
+        return os.path.join(path, hits[0])
+    # BNF "Oeuvre" layout: the METS lives in toc/T*.xml under a
+    # non-mets name — accept any XML in toc/ whose root element is mets.
+    toc_dir = os.path.join(path, "toc")
+    if os.path.isdir(toc_dir):
+        for f in sorted(os.listdir(toc_dir)):
+            if not f.lower().endswith(".xml"):
+                continue
+            cand = os.path.join(toc_dir, f)
+            try:
+                for _, el in ET.iterparse(cand, events=("start",)):
+                    return cand if _strip_ns(el.tag) == "mets" else None
+            except ET.ParseError:
+                continue
+    return None
 
 
 def _find_page_files(path: str) -> list[str]:
@@ -405,7 +420,7 @@ def _find_page_files(path: str) -> list[str]:
     lux/detect.py:63-84), ``ALTO/`` subdir (RERO layout, ref:
     rero/detect.py:63-97), else *.xml next to the METS file."""
     base = path
-    for sub in ("text", "ALTO", "alto"):
+    for sub in ("text", "ALTO", "alto", "ocr"):
         cand = os.path.join(path, sub)
         if os.path.isdir(cand):
             base = cand
