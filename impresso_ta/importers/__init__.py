@@ -20,3 +20,4 @@ from impresso_ta.importers import ina_asr as _ina_asr  # noqa: F401
 from impresso_ta.importers import tetml as _tetml  # noqa: F401
 from impresso_ta.importers import abbyy_bcul as _abbyy_bcul  # noqa: F401
 from impresso_ta.importers import olive as _olive  # noqa: F401
+from impresso_ta.importers import swa as _swa  # noqa: F401
