@@ -91,11 +91,17 @@ def rebuild_text(
 
                     if n == n_tok - 1:
                         # line break offset: at the start of a hyphenated
-                        # tail, else after the token text
+                        # tail, else after the EMITTED text. The reference
+                        # uses len(tx) here (paper_rebuilders.py:92-93)
+                        # which overshoots the fulltext when a normalized
+                        # form shorter than tx ends a line (found by
+                        # property testing); identical for plain tokens.
                         if hyphen_start:
                             offsets["line"].append(entry["s"])
                         else:
-                            offsets["line"].append(entry["s"] + (len(tx) if tx else 0))
+                            offsets["line"].append(
+                                entry["s"] + len(token_text or "")
+                            )
 
                     coordinates["tokens"].append(entry)
 
