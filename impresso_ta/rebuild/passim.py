@@ -118,7 +118,10 @@ def rebuild_issues_passim(
 ) -> DataFrame:
     """Passim rebuild: supports grouped per issue + batch-level UDTF (same
     plan shape as the solr pipeline)."""
-    support_cols = [F.col(f.name) for f in supports_df.schema.fields]
+    _USED = {"id", "cc", "r"}
+    support_cols = [
+        F.col(f.name) for f in supports_df.schema.fields if f.name in _USED
+    ]
     grouped = (
         supports_df.withColumn("issue_id", support_issue_id(F.col("id")))
         .groupBy("issue_id")

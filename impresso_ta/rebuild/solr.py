@@ -339,8 +339,15 @@ def rebuild_issues_solr(
     PAGE_SCHEMA or AUDIO_RECORD_SCHEMA. Returns REBUILT_WITH_ERRORS_SCHEMA;
     split problem rows with ``split_errors``.
     """
+    # Only the fields the assembly actually reads ride the shuffle —
+    # cdt/ts/st/sm/iiif/notes etc. are dead weight in the grouped join
+    # (the r/s token trees dominate, but header pruning still trims the
+    # per-row payload and, at 100 TB, the scan itself via column pruning).
+    _USED = {"id", "cc", "r", "stt", "dur", "s"}
     support_cols = [
-        F.col(f.name) for f in supports_df.schema.fields
+        F.col(f.name)
+        for f in supports_df.schema.fields
+        if f.name in _USED
     ]
     grouped_supports = (
         supports_df.withColumn("issue_id", support_issue_id(F.col("id")))
