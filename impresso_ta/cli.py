@@ -1,0 +1,176 @@
+"""Command-line entry points mirroring the reference's CLI surface.
+
+The reference ships ``impresso-txt-importer`` (docopt, ref:
+importers/generic_importer.py:180-208) and ``impresso-rebuilder``
+(ref: rebuilders/rebuilder.py:306-327). Same capabilities here, Spark-
+backed:
+
+    python -m impresso_ta.cli import --input-dir DIR --format FMT \
+        --output-dir OUT [--aliases A,B] [--exclude] \
+        [--date-ranges GDL=1900-01-01:1950-12-31] [--incremental] [--ts TS]
+
+    python -m impresso_ta.cli rebuild --issues PATH --supports PATH \
+        --output-dir OUT [--fmt solr|passim] [--languages fr,de] \
+        [--default-language LG] [--ts TS]
+
+Both run as ONE Spark job each (no per-year driver loops, no manual
+memory management — SURVEY §3 lifecycle collapsed into declarative
+pipelines).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="impresso_ta")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    imp = sub.add_parser("import", help="OCR source tree → canonical store")
+    imp.add_argument("--input-dir", required=True)
+    imp.add_argument("--format", required=True, help="registered plugin name")
+    imp.add_argument("--output-dir", required=True)
+    imp.add_argument("--aliases", help="comma-separated alias filter (F1)")
+    imp.add_argument("--exclude", action="store_true", help="invert --aliases")
+    imp.add_argument(
+        "--date-ranges",
+        help="ALIAS=start:end[,ALIAS=start:end] per-title date filter (F2)",
+    )
+    imp.add_argument(
+        "--incremental",
+        action="store_true",
+        help="anti-join against issues already in --output-dir (F3)",
+    )
+    imp.add_argument("--ts", help="deterministic timestamp to stamp rows with")
+    imp.add_argument("--store-format", default="json", choices=["json", "parquet"])
+
+    reb = sub.add_parser("rebuild", help="canonical store → rebuilt docs")
+    reb.add_argument("--issues", required=True)
+    reb.add_argument("--supports", required=True, help="pages or audio records")
+    reb.add_argument("--output-dir", required=True)
+    reb.add_argument("--fmt", default="solr", choices=["solr", "passim"])
+    reb.add_argument("--languages", help="keep only these CI languages (F6)")
+    reb.add_argument("--default-language")
+    reb.add_argument("--audio", action="store_true", help="supports are audio records")
+    reb.add_argument("--ts")
+    reb.add_argument("--store-format", default="json", choices=["json", "parquet"])
+    return p
+
+
+def cmd_import(args, spark) -> int:
+    from pyspark.sql import functions as F
+
+    from impresso_ta.importers import import_issues
+    from impresso_ta.sources import (
+        alias_filter,
+        date_filter,
+        detect_issues,
+        incremental_filter,
+        manifest_stats,
+        write_errors,
+        write_issues,
+        write_pages,
+    )
+    from impresso_ta.sources.readers import read_issues
+
+    disc = detect_issues(spark, args.input_dir, args.format)
+    if args.aliases:
+        disc = alias_filter(disc, args.aliases.split(","), exclude=args.exclude)
+    if args.date_ranges:
+        ranges = {}
+        for spec in args.date_ranges.split(","):
+            alias, rng = spec.split("=")
+            start, end = rng.split(":")
+            ranges[alias] = (start, end)
+        disc = date_filter(disc, ranges)
+    if args.incremental:
+        try:
+            done = read_issues(spark, f"{args.output_dir}/issues").select(
+                F.split("id", "-")[0].alias("alias"),
+                F.to_date(
+                    F.concat_ws(
+                        "-",
+                        F.split("id", "-")[1],
+                        F.split("id", "-")[2],
+                        F.split("id", "-")[3],
+                    )
+                ).alias("date"),
+                F.element_at(F.split("id", "-"), -1).alias("edition"),
+            )
+            disc = incremental_filter(disc, done)
+        except Exception:  # noqa: BLE001 — empty store → nothing to skip
+            pass
+
+    res = import_issues(disc, ts=args.ts)
+    write_issues(res.issues, f"{args.output_dir}/issues", fmt=args.store_format)
+    write_pages(res.pages, f"{args.output_dir}/pages", fmt=args.store_format)
+    if res.records.take(1):
+        write_pages(
+            res.records, f"{args.output_dir}/records", fmt=args.store_format
+        )
+    write_errors(res.errors, f"{args.output_dir}/errors")
+    stats = manifest_stats(res.issues).collect()
+    for row in stats:
+        print(
+            f"{row['alias']}-{row['year']}: {row['n_issues']} issues, "
+            f"{row['n_content_items']} content items, {row['n_pages']} pages"
+        )
+    return 0
+
+
+def cmd_rebuild(args, spark) -> int:
+    from pyspark.sql import functions as F
+
+    from impresso_ta.rebuild import rebuild_issues_passim, rebuild_issues_solr
+    from impresso_ta.rebuild.solr import split_errors
+    from impresso_ta.sources import write_errors, write_rebuilt
+    from impresso_ta.sources.readers import (
+        read_audio_records,
+        read_issues,
+        read_pages,
+    )
+
+    issues = read_issues(spark, args.issues)
+    supports = (
+        read_audio_records(spark, args.supports)
+        if args.audio
+        else read_pages(spark, args.supports)
+    )
+    if args.fmt == "solr":
+        out = rebuild_issues_solr(
+            issues, supports, ts=args.ts, default_language=args.default_language
+        )
+        ok, errors = split_errors(out)
+    else:
+        out = rebuild_issues_passim(issues, supports)
+        ok = out.filter(~F.col("has_problem")).drop("has_problem", "error")
+        errors = out.filter(F.col("has_problem")).select(
+            F.col("id").alias("canonical_path"),
+            F.lit("rebuild").alias("stage"),
+            F.coalesce(F.col("error"), F.lit("unknown")).alias("error"),
+        )
+    if args.languages:
+        ok = ok.filter(F.col("lg").isin(args.languages.split(",")))
+    write_rebuilt(ok, f"{args.output_dir}/rebuilt", fmt=args.store_format)
+    write_errors(errors, f"{args.output_dir}/errors")
+    print(f"rebuilt {ok.count()} content items")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from impresso_ta.session import get_spark
+
+    spark = get_spark(app_name=f"impresso_ta-{args.command}")
+    try:
+        if args.command == "import":
+            return cmd_import(args, spark)
+        return cmd_rebuild(args, spark)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

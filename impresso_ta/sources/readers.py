@@ -19,11 +19,23 @@ from pyspark.sql import DataFrame, SparkSession
 from impresso_ta.schemas import AUDIO_RECORD_SCHEMA, ISSUE_SCHEMA, PAGE_SCHEMA
 
 
+def _is_parquet_store(path: str) -> bool:
+    if ".parquet" in path:
+        return True
+    import glob
+    import os
+
+    if not os.path.isdir(path):
+        return False
+    return bool(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+
+
 def _read(spark: SparkSession, path: str, schema) -> DataFrame:
-    if path.rstrip("/").endswith(".parquet") or "parquet" in path.split("/")[-1]:
+    if _is_parquet_store(path):
         return spark.read.schema(schema).parquet(path)
-    fmt = spark.read.schema(schema)
-    return fmt.json(path)
+    return spark.read.schema(schema).json(path)
 
 
 def read_issues(spark: SparkSession, path: str) -> DataFrame:

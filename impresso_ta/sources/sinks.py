@@ -16,14 +16,15 @@ from pyspark.sql import functions as F
 
 
 def _with_partition_cols(df: DataFrame) -> DataFrame:
-    # alias / year derived from the canonical id: {alias}-{yyyy}-{mm}-{dd}-...
-    parts = F.split(F.col("id"), "-")
-    alias = F.array_join(F.slice(parts, 1, F.size(parts) - 4), "-")
-    # issues have 4 trailing parts (y,m,d,ed); pages/records 5. Find the
-    # year as the first all-digit 4-char part after the alias.
-    year = F.element_at(
-        F.filter(parts, lambda p: p.rlike("^[0-9]{4}$")), 1
-    ).cast("int")
+    # alias / year derived from the canonical id by anchoring on the date
+    # component — works for issue (5 parts), page/record/CI (6 parts) and
+    # multi-dash aliases alike.
+    alias = F.regexp_extract(
+        F.col("id"), r"^(.*?)-\d{4}-\d{2}-\d{2}-", 1
+    )
+    year = F.regexp_extract(F.col("id"), r"-(\d{4})-\d{2}-\d{2}-", 1).cast(
+        "int"
+    )
     return df.withColumn("alias", alias).withColumn("year", year)
 
 
