@@ -349,10 +349,17 @@ def rebuild_issues_solr(
         for f in supports_df.schema.fields
         if f.name in _USED
     ]
-    grouped_supports = (
-        supports_df.withColumn("issue_id", support_issue_id(F.col("id")))
-        .groupBy("issue_id")
-        .agg(F.collect_list(F.struct(*support_cols)).alias("_supports"))
+    # A store that already carries issue_id (e.g. written bucketed by it,
+    # see sinks.write_pages_bucketed) keeps its bucketing through the
+    # groupBy — the shuffle disappears. Otherwise derive the key.
+    if "issue_id" in supports_df.columns:
+        keyed = supports_df
+    else:
+        keyed = supports_df.withColumn(
+            "issue_id", support_issue_id(F.col("id"))
+        )
+    grouped_supports = keyed.groupBy("issue_id").agg(
+        F.collect_list(F.struct(*support_cols)).alias("_supports")
     )
     joined = issues_df.join(
         grouped_supports,
