@@ -18,6 +18,7 @@ from impresso_ta.importers import mets_alto as _mets_alto  # noqa: F401
 from impresso_ta.importers import zip_archive as _zip_archive  # noqa: F401
 from impresso_ta.importers import ina_asr as _ina_asr  # noqa: F401
 from impresso_ta.importers import tetml as _tetml  # noqa: F401
+from impresso_ta.importers import fedgaz as _fedgaz  # noqa: F401
 from impresso_ta.importers import abbyy_bcul as _abbyy_bcul  # noqa: F401
 from impresso_ta.importers import olive as _olive  # noqa: F401
 from impresso_ta.importers import swa as _swa  # noqa: F401
