@@ -10,10 +10,17 @@ ref: fedgaz/classes.py:242-345) to vector similarity:
   queries hashed into sign-pattern buckets; only same-bucket pairs are
   scored. The scale path: the corpus side shuffles once on bucket id and
   each query probes its bucket — candidate volume ∝ corpus/2^bits.
+- ``ivf_assign`` / ``ivf_refine`` / ``ivf_topk``: inverted-file (IVF)
+  index — corpus partitioned into Voronoi cells of a small centroid set,
+  queries probe only the ``nprobe`` nearest cells. Centroids live on the
+  driver and are baked into the plan as literals (the same broadcast
+  pattern Spark MLlib KMeans uses), so cell ASSIGNMENT is a pure
+  map-side expression: zero shuffle over the corpus. Lloyd refinement is
+  one groupBy whose shuffle carries only nlist×dims partial averages.
 
-At 100 TB the corpus side is the big table: both paths avoid shuffling it
-by key (broadcast join / bucket-pruned join) and prune columns to
-(id, vector) at the scan.
+At 100 TB the corpus side is the big table: all paths avoid shuffling it
+by key (broadcast join / bucket-pruned join / literal-centroid argmax)
+and prune columns to (id, vector) at the scan.
 """
 
 from __future__ import annotations
@@ -125,6 +132,145 @@ def lsh_bucketed_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _cell_scores(
+    vec: Column, centroids: list[tuple[int, list[float]]], round_to: int
+) -> list[Column]:
+    """(rounded cosine, -cell) struct per centroid — struct comparison
+    then picks max cosine with ties to the SMALLEST cell id."""
+    return [
+        F.struct(
+            F.round(cosine(vec, _lit_vec(cv)), round_to).alias("cos"),
+            F.lit(-cell).alias("negcell"),
+        )
+        for cell, cv in centroids
+    ]
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Assign each corpus vector to its nearest centroid cell (max cosine,
+    ties → smallest cell id).
+
+    ``centroids`` is a driver-side list of (cell_id, vector) — nlist is
+    small by construction (≪ corpus), so the argmax is a literal
+    ``greatest`` over per-centroid score structs: whole-stage codegen,
+    NO shuffle, no UDF. Cosines are rounded before comparison so the
+    DuckDB oracle (which ranks with round(...,4)) agrees on ties.
+    """
+    scores = _cell_scores(F.col(vec_col), centroids, round_to)
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (-best["negcell"]).cast("int").alias("cell"),
+    )
+
+
+def ivf_refine(
+    assigned: DataFrame,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """One Lloyd step: per-cell element-wise mean of member vectors.
+
+    posexplode → groupBy(cell, pos) avg → re-collect. Map-side partial
+    aggregation means the shuffle carries only nlist×dims running sums,
+    independent of corpus size; the driver collects nlist tiny rows
+    (exactly what MLlib KMeans does per iteration). Component averages
+    are rounded so refined centroids are engine-portable.
+    """
+    per_dim = (
+        assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("v"), round_to).alias("m"))
+    )
+    rows = (
+        per_dim.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+        .collect()
+    )
+    return sorted((r["cell"], list(r["centroid"])) for r in rows)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    nlist: int = 8,
+    nprobe: int = 2,
+    k: int = 3,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: score only corpus vectors in the ``nprobe``
+    cells nearest each query.
+
+    Seeds default to the ``nlist`` smallest-id corpus vectors (cell id =
+    seed id) — deterministic, engine-portable; ``refine_iters`` Lloyd
+    steps (``ivf_refine``) sharpen them, each re-assigning with the
+    refreshed literals. Per-query probe cells are computed map-side
+    (sort the literal score array, slice nprobe); the only corpus
+    shuffle is the equi-join on ``cell``, and candidate volume is
+    ~corpus·nprobe/nlist. Generalizes the reference's staged
+    candidate-filter search (SURVEY X11, ref: fedgaz/classes.py:242-345)
+    to vector similarity.
+    """
+    if centroids is None:
+        seed_rows = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .orderBy(id_col)
+            .limit(nlist)
+            .collect()
+        )
+        centroids = [(int(r[id_col]), list(r[vec_col])) for r in seed_rows]
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, round_to)
+    for _ in range(refine_iters):
+        centroids = ivf_refine(assigned, vec_col)
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col, round_to)
+
+    scores = F.array(*_cell_scores(F.col(vec_col), centroids, round_to))
+    probe_cells = F.transform(
+        F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
+        lambda s: (-s["negcell"]).cast("int"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe_cells).alias("cell"),
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col(vec_col)), round_to).alias("cosine"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

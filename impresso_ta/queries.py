@@ -1512,3 +1512,65 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine(a, b) rounded to 4 — mirror of similarity.cosine."""
+    def sq(v: str) -> str:
+        return f"sqrt(list_sum(list_transform({v}, v -> v::DOUBLE * v::DOUBLE)))"
+
+    return (
+        f"round(list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> x[1]::DOUBLE * x[2]::DOUBLE)) / ({sq(a)} * {sq(b)}), 4)"
+    )
+
+
+_IVF_SQL = f"""
+    WITH seeds AS (
+        SELECT vec_id AS cell, embedding AS sv FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, s.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql('e.embedding', 's.sv')} DESC, s.cell ASC
+                   ) AS rk
+            FROM embeddings e CROSS JOIN seeds s
+        ) WHERE rk = 1
+    ),
+    probes AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.vec_id AS query_id, q.embedding AS qv, s.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_cos_sql('q.embedding', 's.sv')} DESC, s.cell ASC
+                   ) AS rk
+            FROM embeddings q CROSS JOIN seeds s WHERE q.vec_id % 97 = 0
+        ) WHERE rk <= 2
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rnk FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_cos_sql('p.qv', 'a.embedding')} AS cosine,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY {_cos_sql('p.qv', 'a.embedding')} DESC, a.vec_id ASC
+               ) AS rk
+        FROM probes p JOIN assigned a USING (cell)
+    ) WHERE rk <= 3
+"""
+
+
+@q(
+    "similarity_ivf_topk",
+    _IVF_SQL,
+    "IVF approximate nearest neighbors: corpus Voronoi-partitioned over "
+    "nlist=8 seed centroids (zero-shuffle literal argmax), queries probe "
+    "nprobe=2 cells — candidate volume ∝ corpus·nprobe/nlist",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 97 == 0)
+    return similarity.ivf_topk(e, qs, nlist=8, nprobe=2, k=3).withColumnRenamed(
+        "rank", "rnk"
+    )

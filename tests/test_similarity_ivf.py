@@ -1,0 +1,97 @@
+"""IVF index: assignment, Lloyd refinement (vs a numpy reference), and
+probe-search recall against the exact brute-force top-k."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from impresso_ta.operators.similarity import (
+    cosine_topk,
+    ivf_assign,
+    ivf_refine,
+    ivf_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    return df, {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64) for r in df.collect()}
+
+
+def _np_cos(a, b):
+    return round(float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 4)
+
+
+def _np_assign(vecs, centroids):
+    out = {}
+    for vid, v in vecs.items():
+        best = max(centroids, key=lambda c: (_np_cos(v, c[1]), -c[0]))
+        out[vid] = best[0]
+    return out
+
+
+def test_ivf_assign_matches_numpy(emb):
+    df, vecs = emb
+    seeds = [(vid, list(vecs[vid])) for vid in sorted(vecs)[:4]]
+    got = {
+        int(r["vec_id"]): int(r["cell"])
+        for r in ivf_assign(df, seeds).collect()
+    }
+    want = _np_assign(vecs, [(c, np.array(v)) for c, v in seeds])
+    assert got == want
+
+
+def test_ivf_refine_matches_numpy_means(emb):
+    df, vecs = emb
+    seeds = [(vid, list(vecs[vid])) for vid in sorted(vecs)[:4]]
+    assigned = ivf_assign(df, seeds)
+    refined = dict(ivf_refine(assigned))
+    cells = _np_assign(vecs, [(c, np.array(v)) for c, v in seeds])
+    for cell in refined:
+        members = [vecs[vid] for vid, c in cells.items() if c == cell]
+        want = np.round(np.mean(members, axis=0), 6)
+        np.testing.assert_allclose(refined[cell], want, atol=1e-6)
+
+
+def test_ivf_refine_converges(emb):
+    """Within-cell mean cosine must not decrease over a Lloyd step."""
+    df, vecs = emb
+    seeds = [(vid, list(vecs[vid])) for vid in sorted(vecs)[:4]]
+
+    def mean_cos(centroids):
+        cells = _np_assign(vecs, [(c, np.array(v)) for c, v in centroids])
+        return np.mean(
+            [_np_cos(vecs[vid], dict(centroids)[c]) for vid, c in cells.items()]
+        )
+
+    refined = [(c, np.array(v)) for c, v in ivf_refine(ivf_assign(df, seeds))]
+    assert mean_cos(refined) >= mean_cos([(c, np.array(v)) for c, v in seeds]) - 1e-9
+
+
+def test_ivf_topk_recall_vs_exact(emb):
+    """nprobe=nlist probes every cell → IVF == exact brute force."""
+    df, _ = emb
+    queries = df.filter(F.col("vec_id") % 53 == 0)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(df, queries, k=3).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(df, queries, nlist=4, nprobe=4, k=3).collect()
+    }
+    assert full == exact
+
+    # partial probe: every result must still be drawn from probed cells,
+    # ranked consistently, k per query
+    part = ivf_topk(df, queries, nlist=4, nprobe=2, k=3, refine_iters=1)
+    rows = part.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for ranks in per_q.values():
+        ranks.sort()
+        assert [rk for rk, _ in ranks] == list(range(1, len(ranks) + 1))
+        cos = [c for _, c in ranks]
+        assert cos == sorted(cos, reverse=True)
