@@ -1,6 +1,8 @@
-"""Structured Streaming extensions (incremental ingest, windowed aggs)."""
+"""Structured Streaming extensions (incremental ingest, windowed aggs,
+stateful sessionization)."""
 
 from impresso_ta.streaming.ingest import (  # noqa: F401
     stream_canonical_issues,
     stream_windowed_event_counts,
 )
+from impresso_ta.streaming.sessions import stream_sessionize  # noqa: F401

@@ -1,0 +1,149 @@
+"""Custom stateful streaming operator: cross-batch sessionization via
+``applyInPandasWithState`` (SURVEY §2.9 extension).
+
+The batch engine already has 30-min session windows (``session_window``,
+oracle ``events_sessionize``). This is the continuous twin for feeds the
+batch form can't serve: sessions that STAY OPEN across micro-batches are
+held in the state store (per-user, fault-tolerant via checkpoint) and
+emitted exactly once when they close — either because a later event for
+the same user arrives past the gap ("gap"), or because the event-time
+watermark passes the open session's deadline with no new data
+("timeout").
+
+Scale posture: state is O(active users), one tiny tuple each; the only
+shuffle is the groupBy on ``user_id`` that Structured Streaming needs to
+co-locate a key's state with its events — the same shuffle the batch
+``session_window`` aggregation pays.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Any, Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("closed_by", StringType()),
+    ]
+)
+
+# state: (session_start_us, last_ts_us, n_events)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+_US = 1_000_000
+
+
+def _ts(us: int) -> datetime.datetime:
+    return datetime.datetime.fromtimestamp(us / _US, tz=datetime.timezone.utc).replace(
+        tzinfo=None
+    )
+
+
+def _sessionize_fn(gap_us: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[dict[str, Any]] = []
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            closed.append(
+                {
+                    "user_id": user_id,
+                    "session_start": _ts(start_us),
+                    "session_end": _ts(last_us),
+                    "n_events": n,
+                    "closed_by": "timeout",
+                }
+            )
+            state.remove()
+        else:
+            cur = state.get if state.exists else None
+            ts_us: list[int] = []
+            for pdf in pdfs:
+                ts_us.extend(
+                    int(v) // 1000 for v in pdf["ts"].astype("int64").tolist()
+                )
+            ts_us.sort()
+            for t in ts_us:
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] <= gap_us:
+                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+                else:
+                    closed.append(
+                        {
+                            "user_id": user_id,
+                            "session_start": _ts(cur[0]),
+                            "session_end": _ts(cur[1]),
+                            "n_events": cur[2],
+                            "closed_by": "gap",
+                        }
+                    )
+                    cur = (t, t, 1)
+            if cur is not None:
+                state.update(cur)
+                # close the open session if no event arrives before
+                # watermark > last_ts + gap
+                state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+
+        if closed:
+            yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA])
+
+    return fn
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 second",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming session windows with explicit cross-batch state.
+
+    ``events`` is a streaming DataFrame with at least (user_col, ts_col).
+    Emits one row per CLOSED session; `closed_by` says whether a later
+    event closed it ("gap") or the watermark did ("timeout"). Gap-closed
+    sessions match the batch ``session_window`` result exactly (tested).
+    """
+    n, unit = gap.split()
+    mult = {"second": 1, "minute": 60, "hour": 3600}[unit.rstrip("s")]
+    gap_us = int(n) * mult * _US
+    return (
+        events.selectExpr(
+            f"CAST({user_col} AS LONG) AS user_id", f"{ts_col} AS ts"
+        )
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_us),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
