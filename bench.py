@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "similarity_topk_cosine",
+    "similarity_ivf_topk",
     "text_quality",
 ]
 
