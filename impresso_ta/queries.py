@@ -1574,3 +1574,33 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, qs, nlist=8, nprobe=2, k=3).withColumnRenamed(
         "rank", "rnk"
     )
+
+
+@q(
+    "a10_salted_skew_agg",
+    """
+    SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+           count(l_quantity) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "Salted two-stage aggregation for skewed keys (SURVEY §7 risk 4) — "
+    "identical semantics to the direct groupBy, hot key spread over 16 "
+    "reducers",
+)
+def a10_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.skew import salted_agg
+
+    li = t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        salt_source="l_orderkey",
+        n_salts=16,
+        sum_qty=("sum", "l_quantity"),
+        n=("count", "l_quantity"),
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.col("n").cast("long").alias("n"),
+    )
