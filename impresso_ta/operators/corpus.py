@@ -1,0 +1,142 @@
+"""Training-corpus export and curation operators.
+
+The last mile of an LLM data pipeline over the rebuilt/deduped corpus:
+
+- ``training_shards``: deterministic global shuffle into N shards — the
+  md5-derived (shard, pos) assignment is a pure row-local expression, so
+  the only movement is the final hash-partitioned write; re-running on
+  the same corpus yields byte-identical shard layout (reproducible
+  training order, no ``rand()``).
+- ``pack_sequences``: greedy contiguous packing of documents into
+  fixed-token-budget blocks (context windows). One window cumsum per
+  shard; documents are never split — a doc that straddles a boundary
+  starts its block at the budget line (standard approximate packing).
+- ``contamination``: per-benchmark-document k-shingle containment
+  against the training corpus (decontamination screen). Expressed as a
+  semi-join on shingles; at 100 TB replace the distinct-shingle join
+  side with a bloom filter (``F.try_element_at`` on a broadcast sketch)
+  — the join form here is the exact-semantics baseline.
+
+All determinism is md5-based for engine portability (DuckDB oracles
+compute identical values — same convention as operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from impresso_ta.operators.dedup import word_shingles
+
+
+def _md5_long(col: Column, chars: int = 12) -> Column:
+    """Portable 48-bit integer hash (md5 prefix), same as the oracles'
+    ('0x' || substr(md5(x), 1, 12))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, chars), 16, 10).cast("long")
+
+
+def training_shards(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document a (shard, pos): shard by id hash, pos by a
+    SECOND independent hash so within-shard order is itself shuffled.
+
+    Returns (id, shard, pos) with pos dense 1..shard_size. The row_number
+    shuffle partitions by shard — exactly the partitioning the subsequent
+    ``write.partitionBy("shard")`` wants, so AQE reuses it and the export
+    is one pass.
+    """
+    key = F.col(id_col).cast("string")
+    assigned = docs.select(
+        F.col(id_col),
+        (_md5_long(key) % n_shards).cast("int").alias("shard"),
+        _md5_long(F.concat(key, F.lit(":pos"))).alias("_order"),
+    )
+    w = Window.partitionBy("shard").orderBy("_order", id_col)
+    return assigned.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy contiguous packing into fixed-token-budget blocks.
+
+    Documents are ordered deterministically within their shard (same
+    hash-order as ``training_shards``), then block = how many full
+    budgets precede the document: ``floor(exclusive_cumsum / budget)``.
+    Whitespace token count stands in for the tokenizer (swap in
+    ``text_analysis.bpe_ish_token_count`` for a closer estimate).
+
+    Returns (id, shard, block, n_tokens, block_offset) — block_offset is
+    the document's token start inside its block's stream.
+    """
+    key = F.col(id_col).cast("string")
+    base = docs.select(
+        F.col(id_col),
+        (_md5_long(key) % n_shards).cast("int").alias("shard"),
+        _md5_long(F.concat(key, F.lit(":pos"))).alias("_order"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_order", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("_cum", F.sum("n_tokens").over(w))
+    return cum.select(
+        id_col,
+        "shard",
+        F.floor((F.col("_cum") - F.col("n_tokens")) / budget)
+        .cast("long")
+        .alias("block"),
+        "n_tokens",
+        ((F.col("_cum") - F.col("n_tokens")) % budget).alias("block_offset"),
+    )
+
+
+def contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-benchmark-doc k-shingle containment in the training corpus.
+
+    (bench_id, n_shingles, n_contaminated, containment) — containment is
+    |bench shingles ∩ train shingles| / |bench shingles|. The train side
+    reduces to its DISTINCT shingle set before the join (semi-join
+    pruning); the bench side is typically tiny, so Catalyst broadcasts
+    it — the training corpus is scanned once and never shuffled by key.
+    """
+    bsh = bench.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    tsh = (
+        train.select(
+            F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = bsh.join(tsh, "shingle", "left")
+    return joined.groupBy("bench_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.count("_hit").alias("n_contaminated"),
+        F.round(F.count("_hit") / F.count("*"), round_to).alias("containment"),
+    )

@@ -1604,3 +1604,106 @@ def a10_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_qty", 2).alias("sum_qty"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+# =====================================================================
+# Training-corpus export / curation (operators/corpus.py)
+# =====================================================================
+
+_MD5_48_SQL = "('0x' || substr(md5({x}), 1, 12))::BIGINT"
+
+
+@q(
+    "corpus_training_shards",
+    f"""
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY ord, doc_id
+           ) AS BIGINT) AS pos
+    FROM (
+        SELECT doc_id,
+               CAST({_MD5_48_SQL.format(x="doc_id::VARCHAR")} % 8 AS INT) AS shard,
+               {_MD5_48_SQL.format(x="doc_id::VARCHAR || ':pos'")} AS ord
+        FROM documents
+    )
+    """,
+    "Deterministic global shuffle into 8 training shards (row-local "
+    "md5 assignment; re-runs are byte-identical)",
+)
+def corpus_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.corpus import training_shards
+
+    return training_shards(t(spark, sf_dir, "documents"), n_shards=8)
+
+
+@q(
+    "corpus_pack_sequences",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST({_MD5_48_SQL.format(x="doc_id::VARCHAR")} % 4 AS INT) AS shard,
+               {_MD5_48_SQL.format(x="doc_id::VARCHAR || ':pos'")} AS ord,
+               len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT *, sum(n_tokens) OVER (
+            PARTITION BY shard ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING
+        ) AS c
+        FROM base
+    )
+    SELECT doc_id, shard,
+           CAST(floor((c - n_tokens) / 2000) AS BIGINT) AS block,
+           n_tokens,
+           (c - n_tokens) % 2000 AS block_offset
+    FROM cum
+    """,
+    "Greedy contiguous sequence packing into 2000-token blocks per shard "
+    "(context-window fill for training)",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.corpus import pack_sequences
+
+    return pack_sequences(
+        t(spark, sf_dir, "documents"), budget=2000, n_shards=4
+    )
+
+
+@q(
+    "corpus_contamination",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   for i in range(1, greatest(len(w) - 2, 1) + 1)
+               ]) AS shingles
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents)
+    ),
+    bsh AS (
+        SELECT doc_id AS bench_id, unnest(shingles) AS shingle
+        FROM sh WHERE doc_id % 200 = 0
+    ),
+    tsh AS (
+        SELECT DISTINCT unnest(shingles) AS shingle
+        FROM sh WHERE doc_id % 200 <> 0
+    )
+    SELECT b.bench_id, count(*) AS n_shingles,
+           count(t.shingle) AS n_contaminated,
+           round(count(t.shingle)::DOUBLE / count(*), 4) AS containment
+    FROM bsh b LEFT JOIN tsh t ON b.shingle = t.shingle
+    GROUP BY b.bench_id
+    """,
+    "Benchmark decontamination screen: 3-shingle containment of each "
+    "held-out doc in the training corpus (semi-join on distinct shingles)",
+)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.corpus import contamination
+
+    d = t(spark, sf_dir, "documents")
+    return contamination(
+        d.filter(F.col("doc_id") % 200 != 0),
+        d.filter(F.col("doc_id") % 200 == 0),
+        k=3,
+    )

@@ -1,0 +1,72 @@
+"""Training-corpus export operators: determinism, packing invariants,
+containment bounds."""
+
+from pyspark.sql import functions as F
+
+from impresso_ta.operators.corpus import (
+    contamination,
+    pack_sequences,
+    training_shards,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_training_shards_deterministic_dense(spark):
+    d = _docs(spark)
+    a = {(r["doc_id"]): (r["shard"], r["pos"]) for r in training_shards(d, 4).collect()}
+    b = {(r["doc_id"]): (r["shard"], r["pos"]) for r in training_shards(d, 4).collect()}
+    assert a == b
+    assert len(a) == d.count()
+    # pos dense 1..n per shard
+    per_shard = {}
+    for shard, pos in a.values():
+        per_shard.setdefault(shard, []).append(pos)
+    for shard, poss in per_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    assert set(per_shard) <= set(range(4))
+
+
+def test_pack_sequences_invariants(spark):
+    d = _docs(spark)
+    rows = pack_sequences(d, budget=500, n_shards=2).collect()
+    assert len(rows) == d.count()
+    for r in rows:
+        # a doc starts strictly inside its block's budget
+        assert 0 <= r["block_offset"] < 500
+        assert r["block"] >= 0
+    # blocks are contiguous per shard: 0..max present
+    for shard in {r["shard"] for r in rows}:
+        blocks = sorted({r["block"] for r in rows if r["shard"] == shard})
+        assert blocks == list(range(len(blocks)))
+    # exclusive cumsum consistency: block * budget + offset is
+    # monotone in pack order and equals sum of preceding docs' tokens
+    for shard in {r["shard"] for r in rows}:
+        mine = sorted(
+            (r["block"] * 500 + r["block_offset"], r["n_tokens"])
+            for r in rows
+            if r["shard"] == shard
+        )
+        acc = 0
+        for start, n_tokens in mine:
+            assert start == acc
+            acc += n_tokens
+
+
+def test_contamination_bounds_and_self(spark):
+    d = _docs(spark)
+    bench = d.filter(F.col("doc_id") % 100 == 0)
+    train_with_bench = d  # bench docs included → full containment
+    full = contamination(train_with_bench, bench).collect()
+    assert all(r["containment"] == 1.0 for r in full)
+
+    disjoint_train = d.filter(F.col("doc_id") % 100 != 0)
+    part = {r["bench_id"]: r for r in contamination(disjoint_train, bench).collect()}
+    assert set(part) == {r["doc_id"] for r in bench.select("doc_id").collect()}
+    for r in part.values():
+        assert 0.0 <= r["containment"] <= 1.0
+        assert r["n_contaminated"] <= r["n_shingles"]
