@@ -82,11 +82,50 @@ def shingle_hash(shingle: Column) -> Column:
     return F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long") % _MERSENNE
 
 
+def shingle_hash48(shingle: Column) -> Column:
+    """48-bit md5-prefix hash — the join/identity key for shingles.
+
+    Everything downstream of the explode operates on this LONG, never the
+    shingle string: the persisted frame is ~3× smaller, equi-joins compare
+    8-byte keys, and md5 runs exactly once per (doc, shingle). Collisions
+    among N distinct shingles inflate an intersection count with
+    probability ~N²/2^49 (≈2e-3 at N=10⁶) — negligible against the exact
+    string-intersection oracle, and irrelevant at any jaccard threshold.
+    """
+    return F.conv(F.substring(F.md5(shingle), 1, 12), 16, 10).cast("long")
+
+
 def _explode_shingles(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
     )
+
+
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin the input across the cluster when the scan yields
+    fewer partitions than cores.
+
+    Parquet parallelism is bounded by ROW GROUPS, not byte splits — a
+    small single-row-group file pins every narrow transform fused onto
+    its scan (shingle md5, tokenization) to ONE core no matter what
+    ``maxPartitionBytes`` says. The explode output is orders of magnitude
+    bigger than the input, so paying one shuffle of the raw rows to
+    unlock N-way compute is the right trade. At 100 TB the scan already
+    has ~10⁶ splits and this is an explicit no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def _explode_shingle_hashes(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    return _explode_shingles(
+        spread_small_input(docs), id_col, text_col, k
+    ).select("doc_id", shingle_hash48(F.col("shingle")).alias("h"))
 
 
 def jaccard_pairs(
@@ -107,26 +146,28 @@ def jaccard_pairs(
     sizes); caching it avoids recomputing split+md5 per consumer
     (measured 4× on the LSH variant). At 100 TB persist the shingle
     table explicitly instead (DISK-backed or a materialized table).
+    All post-explode plumbing rides the 48-bit hash (``shingle_hash48``),
+    never the string.
     """
-    sh = _explode_shingles(docs, id_col, text_col, k)
+    sh = _explode_shingle_hashes(docs, id_col, text_col, k)
     if cache_shingles:
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     if max_shingle_df is not None:
         rare = (
-            sh.groupBy("shingle")
+            sh.groupBy("h")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_shingle_df)
-            .select("shingle")
+            .select("h")
         )
-        sh = sh.join(rare, "shingle")
+        sh = sh.join(rare, "h")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -163,18 +204,14 @@ def minhash_signatures(
     num_perm: int = 24,
 ) -> DataFrame:
     """MinHash signature per document: ``num_perm`` affine re-hashes
-    ((a_i·h + b_i) mod p) of the 31-bit shingle hash, min per permutation.
-
-    Computed without explode: a single ``aggregate`` over the shingle-hash
-    array keeps it map-side (no shuffle until the band join).
+    ((a_i·h + b_i) mod p) of the 48-bit shingle hash, min per permutation.
     """
     # Explode once, md5 once per (doc, shingle), then ONE groupBy with
     # num_perm min-aggregates (map-side partial agg → the shuffle carries
     # only num_perm ints per doc). The naive per-permutation
     # array_min(transform(...)) form re-inlines the md5 pipeline num_perm
     # times after projection collapse — measured 100× slower.
-    sh = _explode_shingles(docs, id_col, text_col, k)
-    hashed = sh.select("doc_id", shingle_hash(F.col("shingle")).alias("h"))
+    hashed = _explode_shingle_hashes(docs, id_col, text_col, k)
     aggs = []
     for i in range(num_perm):
         # deterministic per-permutation coefficients (odd a, seed-free)
@@ -203,20 +240,20 @@ def minhash_lsh_pairs(
     Jaccard on the candidates only.
     """
     rows = num_perm // bands
-    sh = _explode_shingles(docs, id_col, text_col, k)
+    sh = _explode_shingle_hashes(docs, id_col, text_col, k)
     if cache_shingles:
         from pyspark import StorageLevel
 
         # one explode+md5 pass feeds signatures, both verify-join sides
-        # and the size aggregation — measured 4× at sf0.1
+        # and the size aggregation — measured 4× at sf0.1; persisting the
+        # 48-bit hash (not the string) shrinks the cache ~3×
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    hashed = sh.select("doc_id", shingle_hash(F.col("shingle")).alias("h"))
     aggs = []
     for i in range(num_perm):
         a = 2 * i + 1
         b = 104729 * (i + 1) % _MERSENNE
         aggs.append(F.min((a * F.col("h") + b) % _MERSENNE).alias(f"mh{i}"))
-    sigs = hashed.groupBy("doc_id").agg(*aggs)
+    sigs = sh.groupBy("doc_id").agg(*aggs)
     band_cols = []
     for bidx in range(bands):
         parts = [F.col(f"mh{bidx * rows + r}") for r in range(rows)]
@@ -248,7 +285,7 @@ def minhash_lsh_pairs(
         candidates.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(
             sh.withColumnRenamed("doc_id", "doc_b").alias("s2"),
-            ["doc_b", "shingle"],
+            ["doc_b", "h"],
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
@@ -283,7 +320,7 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     16 conditional sums — map-side partial aggregation keeps the shuffle
     tiny (16 ints per doc).
     """
-    words = docs.select(
+    words = spread_small_input(docs).select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
     )
