@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from impresso_ta.operators.partitioning import spread_small_input
+
 # 2^31-1, a Mersenne prime — standard universal-hash modulus.
 _MERSENNE = 2147483647
 
@@ -100,24 +102,6 @@ def _explode_shingles(docs: DataFrame, id_col: str, text_col: str, k: int) -> Da
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
     )
-
-
-def spread_small_input(df: DataFrame) -> DataFrame:
-    """Round-robin the input across the cluster when the scan yields
-    fewer partitions than cores.
-
-    Parquet parallelism is bounded by ROW GROUPS, not byte splits — a
-    small single-row-group file pins every narrow transform fused onto
-    its scan (shingle md5, tokenization) to ONE core no matter what
-    ``maxPartitionBytes`` says. The explode output is orders of magnitude
-    bigger than the input, so paying one shuffle of the raw rows to
-    unlock N-way compute is the right trade. At 100 TB the scan already
-    has ~10⁶ splits and this is an explicit no-op.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
 
 
 def _explode_shingle_hashes(

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from impresso_ta.operators.partitioning import spread_small_input
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ left-to-right in double — JVM higher-order fns, no UDF."""
@@ -63,7 +65,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(
+    c = spread_small_input(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     scored = c.crossJoin(F.broadcast(q)).select(
@@ -115,7 +117,7 @@ def lsh_bucketed_topk(
         F.col(vec_col).alias("qv"),
         hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    bc = corpus.select(
+    bc = spread_small_input(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
@@ -191,7 +193,7 @@ def ivf_assign(
     NO shuffle, no UDF. Cosines are rounded before comparison so the
     DuckDB oracle (which ranks with round(...,4)) agrees on ties.
     """
-    with_norm = corpus.select(
+    with_norm = spread_small_input(corpus).select(
         F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_vnorm")
     )
     scores = _cell_scores(F.col(vec_col), F.col("_vnorm"), centroids, round_to)

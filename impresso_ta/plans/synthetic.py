@@ -23,7 +23,9 @@ def synthetic_canonical_corpus(
     cycle over ~10 years, editions a-c) — valid canonical ids, unique per
     doc. One CI per issue covering the whole page.
     """
-    d = docs.select(
+    from impresso_ta.operators.partitioning import spread_small_input
+
+    d = spread_small_input(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("text"),
         F.col("lang"),
