@@ -90,7 +90,7 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     planes supplied by the caller)."""
     bucket = F.lit(0)
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
+        plane = F.lit([float(x) for x in p])
         bit = F.when(dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket.cast("int")
@@ -140,7 +140,9 @@ def lsh_bucketed_topk(
 
 
 def _lit_vec(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    # ONE py4j call for the whole array — element-wise F.lit() costs a
+    # JVM round trip per component (~1s of plan-build for 8×64 dims)
+    return F.lit([float(x) for x in vec])
 
 
 def _py_norm(vec: list[float]) -> float:
@@ -154,25 +156,42 @@ def _py_norm(vec: list[float]) -> float:
     return math.sqrt(acc)
 
 
-def _cell_scores(
-    vec: Column, vec_norm: Column, centroids: list[tuple[int, list[float]]], round_to: int
-) -> list[Column]:
+def _d(x: float) -> str:
+    """Exact SQL double literal (repr round-trips IEEE doubles)."""
+    return repr(float(x)) + "D"
+
+
+def _dot_sql(vec_sql: str, cv: list[float]) -> str:
+    """SQL text of ``dot(vec, lit(cv))`` — identical expression tree
+    (zip_with + left-to-right aggregate), so values are bit-equal."""
+    lits = ",".join(_d(x) for x in cv)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({lits}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _cell_scores_sql(
+    vec_sql: str,
+    norm_sql: str,
+    centroids: list[tuple[int, list[float]]],
+    round_to: int,
+) -> list[str]:
     """(rounded cosine, -cell) struct per centroid — struct comparison
     then picks max cosine with ties to the SMALLEST cell id.
 
     Centroid norms are literals (driver-computed, bit-identical fold) and
     the row's own norm arrives as a pre-projected column, so each score
-    costs ONE 64-dim dot product instead of three — measured 3× on the
-    sf0.1 bench.
+    costs ONE 64-dim dot product instead of three. Emitted as SQL TEXT:
+    building these via Column lambdas costs a py4j round trip per
+    higher-order function (~2s of driver time per ivf_topk call at
+    nlist=8); one ``F.expr`` over the assembled string is a single call
+    parsed JVM-side.
     """
     return [
-        F.struct(
-            F.round(
-                dot(vec, _lit_vec(cv)) / (vec_norm * F.lit(_py_norm(cv))),
-                round_to,
-            ).alias("cos"),
-            F.lit(-cell).alias("negcell"),
-        )
+        f"struct(round({_dot_sql(vec_sql, cv)} / ({norm_sql} * "
+        f"{_d(_py_norm(cv))}), {round_to}) AS cos, {-cell} AS negcell)"
         for cell, cv in centroids
     ]
 
@@ -196,8 +215,12 @@ def ivf_assign(
     with_norm = spread_small_input(corpus).select(
         F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_vnorm")
     )
-    scores = _cell_scores(F.col(vec_col), F.col("_vnorm"), centroids, round_to)
-    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    frags = _cell_scores_sql(f"`{vec_col}`", "`_vnorm`", centroids, round_to)
+    best = (
+        F.expr(f"greatest({','.join(frags)})")
+        if len(frags) > 1
+        else F.expr(frags[0])
+    )
     return with_norm.select(
         F.col(id_col),
         F.col(vec_col),
@@ -274,9 +297,8 @@ def ivf_topk(
         centroids = ivf_refine(assigned, vec_col)
         assigned = ivf_assign(corpus, centroids, id_col, vec_col, round_to)
 
-    scores = F.array(
-        *_cell_scores(F.col("qv"), F.col("_qnorm"), centroids, round_to)
-    )
+    frags = _cell_scores_sql("`qv`", "`_qnorm`", centroids, round_to)
+    scores = F.expr(f"array({','.join(frags)})")
     probe_cells = F.transform(
         F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
         lambda s: (-s["negcell"]).cast("int"),
