@@ -119,7 +119,7 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.7,
     max_shingle_df: int | None = None,
-    cache_shingles: bool = True,
+    cache_shingles: bool = False,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
 
@@ -127,9 +127,13 @@ def jaccard_pairs(
     ``max_shingle_df`` at corpus scale (drop stop-shingles, standard
     practice; None keeps all, exact semantics for the oracle check).
     The exploded shingle frame feeds three subplans (both join sides +
-    sizes); caching it avoids recomputing split+md5 per consumer
-    (measured 4× on the LSH variant). At 100 TB persist the shingle
-    table explicitly instead (DISK-backed or a materialized table).
+    sizes). Since the explode produces only (long, long) rows, RECOMPUTING
+    it per consumer now beats persist (measured: 2.1s vs 2.8s warm at
+    sf0.1 — cache materialization costs more than three re-scans), so
+    ``cache_shingles`` defaults to False. At 100 TB, where re-scanning
+    the corpus 3× is the dominant cost, write the shingle frame to an
+    explicit materialized table (or pass cache_shingles=True for
+    MEMORY_AND_DISK persist) instead.
     All post-explode plumbing rides the 48-bit hash (``shingle_hash48``),
     never the string.
     """
@@ -213,7 +217,7 @@ def minhash_lsh_pairs(
     num_perm: int = 24,
     bands: int = 8,
     threshold: float = 0.8,
-    cache_shingles: bool = True,
+    cache_shingles: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard.
 
@@ -228,9 +232,10 @@ def minhash_lsh_pairs(
     if cache_shingles:
         from pyspark import StorageLevel
 
-        # one explode+md5 pass feeds signatures, both verify-join sides
-        # and the size aggregation — measured 4× at sf0.1; persisting the
-        # 48-bit hash (not the string) shrinks the cache ~3×
+        # optional: one explode+md5 pass feeds signatures, both
+        # verify-join sides and the size aggregation. Off by default —
+        # the (long, long) explode is cheaper to recompute than to
+        # materialize at bench scale; see jaccard_pairs docstring.
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     aggs = []
     for i in range(num_perm):
