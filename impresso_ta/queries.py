@@ -1707,3 +1707,25 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 200 == 0),
         k=3,
     )
+
+
+@q(
+    "a11_percentile_stats",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+           round(avg(l_extendedprice), 2) AS mean
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "Distribution stats for manifest/corpus profiling (exact interpolated "
+    "percentiles; at 100 TB swap F.percentile for F.approx_percentile — "
+    "t-digest sketch, map-side mergeable, no per-group sort)",
+)
+def a11_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 2).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.95), 2).alias("p95"),
+        F.round(F.avg("l_extendedprice"), 2).alias("mean"),
+    )
