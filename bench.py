@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "similarity_topk_cosine",
     "similarity_ivf_topk",
     "text_quality",
+    "corpus_pack_sequences",
+    "corpus_contamination",
 ]
 
 

@@ -123,3 +123,32 @@ def manifest_stats(issues_df: DataFrame) -> DataFrame:
             )
         ).alias("n_images"),
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_path: str,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Export the corpus as N deterministic training shards.
+
+    Rows land in shard directories (``shard=K/``) ordered by their
+    hash-shuffled ``pos`` (operators/corpus.py training_shards), so a
+    trainer streaming shard files in order sees a reproducible global
+    shuffle. ``repartition(shard)`` aligns the write with the assignment
+    — one shuffle total — and ``sortWithinPartitions`` orders rows
+    inside each file without a global sort.
+    """
+    from impresso_ta.operators.corpus import training_shards
+
+    assigned = training_shards(docs, n_shards, id_col=id_col)
+    (
+        docs.join(assigned, id_col)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.partitionBy("shard")
+        .mode(mode)
+        .parquet(out_path)
+    )

@@ -147,3 +147,65 @@ def stream_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+_DEDUP_OUT_SCHEMA = StructType(
+    [
+        StructField("fingerprint", StringType()),
+        StructField("doc_id", LongType()),
+    ]
+)
+
+_DEDUP_STATE_SCHEMA = StructType([StructField("seen", LongType())])
+
+
+def _dedup_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (fingerprint,) = key
+    if state.exists:
+        return  # fingerprint already emitted in an earlier batch
+    first: int | None = None
+    for pdf in pdfs:
+        m = int(pdf["doc_id"].min())
+        first = m if first is None else min(first, m)
+    if first is None:
+        return
+    state.update((1,))
+    yield pd.DataFrame(
+        [{"fingerprint": fingerprint, "doc_id": first}],
+        columns=["fingerprint", "doc_id"],
+    )
+
+
+def stream_dedup_first_seen(
+    docs: DataFrame,
+    fingerprint_col: str = "fingerprint",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming exact dedup: emit each content fingerprint ONCE — the
+    first time it is seen across all micro-batches — with the smallest
+    doc id of the batch that introduced it.
+
+    The streaming twin of ``dedup.exact_dedup_groups`` and of the
+    reference's incremental skip (F3 anti-join, ref:
+    generic_importer.py:240-249): the state store IS the
+    already-imported set, so re-feeding the same files emits nothing,
+    without re-reading any output table. State is one tombstone row per
+    distinct fingerprint; at 100 TB scope it with a TTL or periodic
+    state compaction.
+    """
+    return (
+        docs.selectExpr(
+            f"{fingerprint_col} AS fingerprint",
+            f"CAST({id_col} AS LONG) AS doc_id",
+        )
+        .groupBy("fingerprint")
+        .applyInPandasWithState(
+            _dedup_fn,
+            outputStructType=_DEDUP_OUT_SCHEMA,
+            stateStructType=_DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -70,3 +70,30 @@ def test_contamination_bounds_and_self(spark):
     for r in part.values():
         assert 0.0 <= r["containment"] <= 1.0
         assert r["n_contaminated"] <= r["n_shingles"]
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    from impresso_ta.sources.sinks import write_training_shards
+
+    d = _docs(spark)
+    out = str(tmp_path / "shards")
+    write_training_shards(d, out, n_shards=4)
+
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+    assert {r["shard"] for r in back.select("shard").distinct().collect()} <= set(
+        range(4)
+    )
+    # written files are ordered by pos inside each shard directory
+    import glob
+
+    for shard_dir in sorted(glob.glob(f"{out}/shard=*")):
+        files = sorted(glob.glob(f"{shard_dir}/*.parquet"))
+        assert files
+        import pyarrow.parquet as pq
+
+        poss = []
+        for fpath in files:
+            poss.extend(pq.read_table(fpath, columns=["pos"])["pos"].to_pylist())
+        # each file is internally sorted (sortWithinPartitions)
+        assert poss == sorted(poss)

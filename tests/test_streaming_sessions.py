@@ -129,3 +129,50 @@ def test_in_batch_gap_split_matches_batch_session_window(spark, tmp_path):
     )
     assert got["session_start"] == want["start"]
     assert got["n_events"] == want["n"]
+
+
+def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
+    import json as _json
+
+    from impresso_ta.streaming.sessions import stream_dedup_first_seen
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("fingerprint", StringType())]
+    )
+    drop = tmp_path / "docs"
+    drop.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(drop))
+        q = (
+            stream_dedup_first_seen(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+        return {
+            (r["fingerprint"], r["doc_id"])
+            for r in spark.read.parquet(str(out)).collect()
+        }
+
+    with open(drop / "a.jsonl", "w") as f:
+        for doc_id, fp in [(2, "fp1"), (1, "fp1"), (3, "fp2")]:
+            f.write(_json.dumps({"doc_id": doc_id, "fingerprint": fp}) + "\n")
+    assert run() == {("fp1", 1), ("fp2", 3)}
+
+    # second batch: fp1 is a cross-batch duplicate, fp3 is new
+    with open(drop / "b.jsonl", "w") as f:
+        for doc_id, fp in [(4, "fp1"), (5, "fp3")]:
+            f.write(_json.dumps({"doc_id": doc_id, "fingerprint": fp}) + "\n")
+    assert run() == {("fp1", 1), ("fp2", 3), ("fp3", 5)}
+
+    # idempotent re-run: nothing new
+    assert run() == {("fp1", 1), ("fp2", 3), ("fp3", 5)}
