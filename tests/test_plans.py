@@ -82,3 +82,15 @@ def test_cosine_topk_corpus_never_shuffled_by_join(spark):
     # query side broadcasts; the only shuffle is the final tiny window
     assert "BroadcastExchange" in plan
     assert _shuffles(topk) == 1
+
+
+def test_multi_join_queries_broadcast_everything(spark):
+    from impresso_ta.queries import REGISTRY
+
+    for name in ["q3_shipping_priority", "q5_local_supplier_volume"]:
+        q = REGISTRY[name].fn(spark, SF)
+        plan = _plan(q)
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        # single shuffle: the final aggregation
+        assert _shuffles(q) <= 2, name
