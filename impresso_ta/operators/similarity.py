@@ -108,9 +108,9 @@ def lsh_bucketed_topk(
     """Approximate top-k: only same-bucket candidates are scored.
 
     With ``b`` planes, candidate volume is ~corpus/2^b per query — the
-    100 TB path. Recall depends on the angular distribution; callers
-    wanting guarantees should multi-probe (hash with several plane sets
-    and union) — composition left to the caller to keep this primitive.
+    100 TB path. Recall depends on the angular distribution; for recall
+    guarantees use ``multiprobe_lsh_topk`` (several plane sets, union of
+    candidates).
     """
     bq = queries.select(
         F.col(id_col).alias("query_id"),
@@ -331,6 +331,62 @@ def ivf_topk(
     )
     return (
         cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def multiprobe_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    plane_sets: list[list[list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Multi-probe LSH: union candidates from several independent plane
+    sets, then rank once — recall compounds as 1-Π(1-r_i) while the
+    corpus is still scanned ONCE (all probe tables hang off the same
+    scan; Spark reuses the exchange-free branches).
+
+    Each table t hashes corpus and queries with its own hyperplanes and
+    joins on (t, bucket); duplicates across tables are dropped before
+    the final window so a candidate is scored once.
+    """
+    spread = spread_small_input(corpus)
+    scored_parts = []
+    for t_idx, planes in enumerate(plane_sets):
+        bq = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        bc = spread.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        scored_parts.append(
+            bc.join(F.broadcast(bq), "bucket").select(
+                "query_id", "neighbor_id", "qv", "cv"
+            )
+        )
+    cand = scored_parts[0]
+    for part in scored_parts[1:]:
+        cand = cand.unionByName(part)
+    scored = cand.dropDuplicates(["query_id", "neighbor_id"]).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cosine"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

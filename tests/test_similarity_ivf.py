@@ -95,3 +95,44 @@ def test_ivf_topk_recall_vs_exact(emb):
         assert [rk for rk, _ in ranks] == list(range(1, len(ranks) + 1))
         cos = [c for _, c in ranks]
         assert cos == sorted(cos, reverse=True)
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(spark):
+    import itertools
+
+    from impresso_ta.operators.similarity import (
+        lsh_bucketed_topk,
+        multiprobe_lsh_topk,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = df.filter(F.col("vec_id") % 53 == 0)
+
+    def planes(seed, n=3, dims=64):
+        return [
+            [((seed * 97 + i * dims + j) * 2654435761 % 1000) / 500.0 - 1.0
+             for j in range(dims)]
+            for i in range(n)
+        ]
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(df, queries, k=3).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucketed_topk(df, queries, planes(1), k=3).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in multiprobe_lsh_topk(
+            df, queries, [planes(1), planes(2), planes(3)], k=3
+        ).collect()
+    }
+    # multi-probe recall ≥ single-probe recall vs exact
+    assert len(multi & exact) >= len(single & exact)
+    # every query keeps ≤ k ranked rows and includes itself (cosine 1.0)
+    qids = {r["vec_id"] for r in queries.select("vec_id").collect()}
+    assert {q for q, _ in multi} <= qids
+    assert all((q, q) in multi for q in {q for q, _ in multi})
