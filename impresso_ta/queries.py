@@ -1729,3 +1729,37 @@ def a11_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", 0.95), 2).alias("p95"),
         F.round(F.avg("l_extendedprice"), 2).alias("mean"),
     )
+
+
+@q(
+    "j12_asof_join",
+    """
+    SELECT l.event_id, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(r.value, 2) AS asof_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') l
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ) r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "Backward as-of join (operator Spark lacks): union + one key-window "
+    "pass vs DuckDB's NATIVE ASOF JOIN — two independent implementations "
+    "agreeing row-for-row",
+)
+def j12_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(views, purchases, key="user_id", value_col="value")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("asof_value", 2).alias("asof_value"),
+    )

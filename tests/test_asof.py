@@ -1,0 +1,36 @@
+"""As-of join edge cases: equal timestamps (same-instant state visible),
+no prior right row (null), state carried across multiple left rows."""
+
+import datetime
+
+from impresso_ta.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 09:00:00")),   # before any right → null
+            (2, 10, _ts("2024-01-01 10:00:00")),   # equal ts → sees 5.0
+            (3, 10, _ts("2024-01-01 10:30:00")),   # carries 5.0
+            (4, 10, _ts("2024-01-01 11:30:00")),   # after update → 7.0
+            (5, 20, _ts("2024-01-01 12:00:00")),   # other key → null
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 10:00:00"), 5.0),
+            (10, _ts("2024-01-01 11:00:00"), 7.0),
+            (30, _ts("2024-01-01 08:00:00"), 9.0),  # key with no lefts
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(left, right, key="user_id").collect()
+    }
+    assert got == {1: None, 2: 5.0, 3: 5.0, 4: 7.0, 5: None}
