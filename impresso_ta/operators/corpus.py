@@ -140,3 +140,29 @@ def contamination(
         F.count("_hit").alias("n_contaminated"),
         F.round(F.count("_hit") / F.count("*"), round_to).alias("containment"),
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: the ``n_per_stratum`` docs with
+    the smallest md5-order within each stratum.
+
+    The training-mix control knob (equal language/source representation,
+    eval holdouts): reproducible across runs and engines — no
+    ``rand()``, so re-sampling the same corpus returns the same rows.
+    One shuffle on the stratum key; per-stratum ordering is the same
+    hash order ``training_shards`` uses.
+    """
+    key = F.col(id_col).cast("string")
+    w = Window.partitionBy(strata_col).orderBy(
+        _md5_long(F.concat(key, F.lit(":sample"))), id_col
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )

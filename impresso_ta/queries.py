@@ -1763,3 +1763,60 @@ def j12_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         F.round("asof_value", 2).alias("asof_value"),
     )
+
+
+@q(
+    "j13_range_join_binned",
+    """
+    SELECT i.event_id AS interval_id, count(*) AS n_views
+    FROM (SELECT event_id, user_id, ts AS start_ts,
+                 ts + INTERVAL 2 HOUR AS end_ts
+          FROM events WHERE event_type = 'purchase') i
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') p
+      ON i.user_id = p.user_id
+     AND p.ts >= i.start_ts AND p.ts < i.end_ts
+    GROUP BY 1
+    """,
+    "Point-in-interval range join as a binned EQUI-join (Spark would "
+    "BNLJ the inequality form) vs DuckDB's native IEJoin plan",
+)
+def j13_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.rangejoin import point_in_interval_join
+
+    ev = t(spark, sf_dir, "events")
+    intervals = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    points = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    joined = point_in_interval_join(
+        intervals, points, key="user_id", bin_seconds=7200
+    )
+    return joined.groupBy(F.col("event_id").alias("interval_id")).agg(
+        F.count("*").alias("n_views")
+    )
+
+
+@q(
+    "corpus_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_MD5_48_SQL.format(x="doc_id::VARCHAR || ':sample'")},
+                            doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+    "Deterministic stratified sample (training-mix control): 20 docs per "
+    "language in reproducible md5 order, no rand()",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.corpus import stratified_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(d, "lang", 20)
