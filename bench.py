@@ -79,12 +79,15 @@ def main() -> None:
     # Flagship engine benchmark: rebuild a synthetic canonical corpus
     # derived from the documents table (one issue+page+CI per doc).
     from impresso_ta.plans import synthetic_canonical_corpus
-    from impresso_ta.rebuild import rebuild_issues_solr
+    from impresso_ta.rebuild import rebuild_issues_passim, rebuild_issues_solr
 
     docs = catalog.t(spark, sf_dir, "documents")
     issues_df, pages_df = synthetic_canonical_corpus(docs)
     timings["rebuild_solr_synthetic"] = timed(
         lambda: rebuild_issues_solr(issues_df, pages_df)
+    )
+    timings["rebuild_passim_synthetic"] = timed(
+        lambda: rebuild_issues_passim(issues_df, pages_df)
     )
 
     total = round(sum(timings.values()), 3)

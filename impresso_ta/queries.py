@@ -1820,3 +1820,22 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").select("doc_id", "lang")
     return stratified_sample(d, "lang", 20)
+
+
+@q(
+    "a12_manifest_rollup",
+    """
+    SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), ())
+    """,
+    "Manifest stats at three granularities in ONE pass (rollup — "
+    "partial aggregates reused across levels, vs three separate scans)",
+)
+def a12_manifest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.rollup("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
