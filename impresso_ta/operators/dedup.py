@@ -242,7 +242,15 @@ def minhash_lsh_pairs(
         a = 2 * i + 1
         b = 104729 * (i + 1) % _MERSENNE
         aggs.append(F.min((a * F.col("h") + b) % _MERSENNE).alias(f"mh{i}"))
-    sigs = sh.groupBy("doc_id").agg(*aggs)
+    # carry the shingle count in the SAME groupBy: the verify stage's
+    # size lookup then reuses this aggregate instead of re-exploding and
+    # re-shuffling the corpus a fourth time
+    aggs.append(F.count("*").alias("n_shingles"))
+    # persist the SIGNATURE frame, not the shingle frame: it is
+    # O(|docs|) rows × (num_perm+2) longs — tiny at any scale — and four
+    # consumers hang off it (both band-join sides, both size lookups);
+    # without this each consumer re-runs the explode + 24-min groupBy.
+    sigs = sh.groupBy("doc_id").agg(*aggs).persist()
     band_cols = []
     for bidx in range(bands):
         parts = [F.col(f"mh{bidx * rows + r}") for r in range(rows)]
@@ -267,8 +275,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # verify candidates with exact jaccard over the shared shingle frame
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # verify candidates with exact jaccard over the shared shingle frame;
+    # sizes ride the signature aggregate (no extra explode/shuffle)
+    sizes = sigs.select("doc_id", "n_shingles")
     # count common shingles per candidate pair only (join-pruned)
     common = (
         candidates.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
