@@ -150,7 +150,8 @@ def jaccard_pairs(
             .select("h")
         )
         sh = sh.join(rare, "h")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # O(|docs|) rows, joined twice downstream — persist beats recompute
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles")).persist()
 
     a = sh.alias("a")
     b = sh.alias("b")

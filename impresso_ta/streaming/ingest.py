@@ -67,3 +67,45 @@ def stream_windowed_event_counts(
             "n",
         )
     )
+
+
+def stream_rebuild_solr(
+    spark: SparkSession,
+    issues_path: str,
+    pages_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Continuous rebuild: watch the canonical issue drop zone, rebuild
+    each micro-batch of new issues against the (static) pages store, and
+    append the rebuilt rows — exactly once per issue via checkpoint.
+
+    The batch rebuild is re-driven per micro-batch through
+    ``foreachBatch`` — the standard pattern for composing a
+    batch-verified pipeline (joins + UDTF) with streaming arrival
+    semantics; the stream carries only ISSUES (small rows), the heavy
+    pages side stays a static table the join probes per batch. Replaces
+    the reference's re-run-everything + anti-join incremental mode
+    (ref: generic_importer.py:240-249) with arrival-driven processing.
+    """
+    from impresso_ta.rebuild import rebuild_issues_solr
+    from impresso_ta.schemas import ISSUE_SCHEMA
+
+    def _rebuild_batch(issues_batch: DataFrame, batch_id: int) -> None:
+        if not issues_batch.isEmpty():
+            rebuilt = rebuild_issues_solr(issues_batch, pages_df)
+            rebuilt.write.mode("append").parquet(out_path)
+
+    stream = (
+        spark.readStream.schema(ISSUE_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .json(issues_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_rebuild_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

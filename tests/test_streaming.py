@@ -41,3 +41,46 @@ def test_available_now_exactly_once(spark, tmp_path):
     q = stream_canonical_issues(spark, str(drop), out, ckpt)
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 2
+
+
+def test_stream_rebuild_solr_incremental(spark, tmp_path):
+    """New canonical issues arriving in the drop zone are rebuilt exactly
+    once; the rebuilt store grows incrementally."""
+    from impresso_ta.schemas import PAGE_SCHEMA
+    from impresso_ta.streaming.ingest import stream_rebuild_solr
+    from tests.fixtures import simple_issue_and_pages
+
+    drop = tmp_path / "issues"
+    drop.mkdir()
+    out = str(tmp_path / "rebuilt")
+    ckpt = str(tmp_path / "ckpt")
+
+    issue, pages = simple_issue_and_pages()
+    pages_df = spark.createDataFrame(pages, PAGE_SCHEMA)
+
+    with open(drop / "a.jsonl", "w") as f:
+        f.write(json.dumps(issue) + "\n")
+    q = stream_rebuild_solr(spark, str(drop), pages_df, out, ckpt)
+    q.awaitTermination(180)
+    assert q.exception() is None
+    first = spark.read.parquet(out)
+    n_first = first.count()
+    assert n_first > 0
+    ids = {r["id"] for r in first.select("id").collect()}
+
+    # re-run with nothing new: no duplicates
+    q = stream_rebuild_solr(spark, str(drop), pages_df, out, ckpt)
+    q.awaitTermination(180)
+    assert spark.read.parquet(out).count() == n_first
+
+    # a second issue arrives (same pages store, different edition)
+    issue2 = dict(issue)
+    issue2["id"] = issue["id"][:-1] + "b"
+    with open(drop / "b.jsonl", "w") as f:
+        f.write(json.dumps(issue2) + "\n")
+    q = stream_rebuild_solr(spark, str(drop), pages_df, out, ckpt)
+    q.awaitTermination(180)
+    after = spark.read.parquet(out)
+    # issue2 carries the same CI payload → same row count again
+    assert after.count() == 2 * n_first
+    assert {r["id"] for r in after.select("id").collect()} == ids
