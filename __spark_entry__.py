@@ -15,8 +15,17 @@ from impresso_ta import queries as _catalog
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _catalog.q5_local_supplier_volume(spark, "/root/testdata/sf0.001")
+    """Flagship pipeline on /root/testdata/sf0.001: synthesize a canonical
+    corpus from the documents table (one issue/page/CI per doc, pure JVM
+    expressions) and run the REBUILD engine over it — joins, reading
+    order, offset accumulation, whitespace rules, IIIF links, the
+    JSON-transport UDTF. Returns the rebuilt-CI DataFrame."""
+    from impresso_ta.plans import synthetic_canonical_corpus
+    from impresso_ta.rebuild import rebuild_issues_solr
+
+    docs = _catalog.t(spark, "/root/testdata/sf0.001", "documents")
+    issues_df, pages_df = synthetic_canonical_corpus(docs)
+    return rebuild_issues_solr(issues_df, pages_df)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
