@@ -179,3 +179,20 @@ class ImportResult:
 
 def empty_errors_df(spark) -> DataFrame:
     return spark.createDataFrame([], ERROR_SCHEMA)
+
+
+def read_bytes_with_retries(
+    path: str, attempts: int = 3, _opener=open
+) -> bytes:
+    """Read a file, retrying transient IOErrors up to ``attempts`` times
+    (ref: mets_alto/classes.py:81-99,196-226 — 3 attempts per XML read,
+    written for flaky network filesystems/S3 mounts). Non-IO errors
+    (parse failures) propagate immediately to the error channel."""
+    last: IOError | None = None
+    for _ in range(attempts):
+        try:
+            with _opener(path, "rb") as f:
+                return f.read()
+        except IOError as exc:
+            last = exc
+    raise last

@@ -27,7 +27,11 @@ import re
 import xml.etree.ElementTree as ET
 from typing import Any, Optional
 
-from impresso_ta.importers.base import FormatPlugin, register
+from impresso_ta.importers.base import (
+    FormatPlugin,
+    read_bytes_with_retries,
+    register,
+)
 
 # Transparent container divs (recursed through, never CIs themselves)
 _CONTAINER_TYPES = {
@@ -447,8 +451,9 @@ class MetsAltoPlugin(FormatPlugin):
         mets_path = _find_mets_file(path)
         if mets_path is None:
             raise FileNotFoundError(f"Could not find METS file in {path}")
-        with open(mets_path, "rb") as f:
-            cis, notes, extra_mappings = parse_mets_cis(f.read(), issue_id)
+        cis, notes, extra_mappings = parse_mets_cis(
+            read_bytes_with_retries(mets_path), issue_id
+        )
 
         # block id → ci id through legacy parts (ref: classes.py:120-131),
         # plus word-level mappings from BL-style structLink ranges
@@ -466,10 +471,9 @@ class MetsAltoPlugin(FormatPlugin):
             m = re.search(r"(\d+)\.xml$", pf, re.IGNORECASE)
             page_no = int(m.group(1)) if m else idx
             page_id = f"{issue_id}-p{str(page_no).zfill(4)}"
-            with open(pf, "rb") as f:
-                regions, page_notes, styles = parse_alto_page(
-                    f.read(), mappings
-                )
+            regions, page_notes, styles = parse_alto_page(
+                read_bytes_with_retries(pf), mappings
+            )
             for st in styles:
                 if st["id"] is not None and st["id"] not in seen_styles:
                     seen_styles.add(st["id"])

@@ -58,3 +58,26 @@ def test_empty_directory_yields_nothing(spark, tmp_path):
     (tmp_path / "GDL").mkdir()
     disc = detect_issues(spark, str(tmp_path), "mets_alto")
     assert disc.count() == 0
+
+
+def test_read_retries_transient_ioerror(tmp_path):
+    from impresso_ta.importers.base import read_bytes_with_retries
+
+    target = tmp_path / "page.xml"
+    target.write_bytes(b"<alto/>")
+    calls = {"n": 0}
+
+    def flaky_opener(path, mode):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise IOError("transient")
+        return open(path, mode)
+
+    assert read_bytes_with_retries(str(target), _opener=flaky_opener) == b"<alto/>"
+    assert calls["n"] == 3
+
+    calls["n"] = -100  # always fails within 3 attempts
+    import pytest as _pytest
+
+    with _pytest.raises(IOError):
+        read_bytes_with_retries(str(target), _opener=flaky_opener)
