@@ -50,3 +50,37 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
 
 def read_audio_records(spark: SparkSession, path: str) -> DataFrame:
     return _read(spark, path, AUDIO_RECORD_SCHEMA)
+
+
+def register_tables(
+    spark: SparkSession,
+    issues_path: str | None = None,
+    pages_path: str | None = None,
+    rebuilt_path: str | None = None,
+    prefix: str = "",
+) -> list[str]:
+    """Expose the canonical stores as SQL temp views so users can
+    ``spark.sql(...)`` over them (the reference has no query surface at
+    all — consumers re-parse jsonl by hand).
+
+    Returns the list of view names registered. Partition columns of the
+    (alias, year)-partitioned stores participate in pruning: a
+    ``WHERE alias = 'GDL' AND year = 1900`` reaches the file listing.
+    """
+    registered = []
+    for name, path, reader in (
+        ("issues", issues_path, read_issues),
+        ("pages", pages_path, read_pages),
+        ("rebuilt", rebuilt_path, None),
+    ):
+        if path is None:
+            continue
+        df = (
+            spark.read.parquet(path)
+            if reader is None
+            else reader(spark, path)
+        )
+        view = f"{prefix}{name}"
+        df.createOrReplaceTempView(view)
+        registered.append(view)
+    return registered
