@@ -1839,3 +1839,24 @@ def a12_manifest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@q(
+    "multimodal_binary_metadata",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+    "Typed metadata over binary payloads (multimodal column contract): "
+    "byte length + checksum computed JVM-side on the binary column",
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    bin_col = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(bin_col).cast("long").alias("n_bytes"),
+        F.sha2(bin_col, 256).alias("sha"),
+    )
