@@ -98,8 +98,6 @@ def test_ivf_topk_recall_vs_exact(emb):
 
 
 def test_multiprobe_lsh_recall_dominates_single_probe(spark):
-    import itertools
-
     from impresso_ta.operators.similarity import (
         lsh_bucketed_topk,
         multiprobe_lsh_topk,
