@@ -163,3 +163,54 @@ def incremental_filter(
         ["alias", "date", "edition"],
         "left_anti",
     )
+
+
+def apply_import_config(discovery_df: DataFrame, config: dict) -> DataFrame:
+    """Selective import driven by the reference's config-JSON shape
+    (ref: config/importer_config/*.json; detect.py:70-125 select_issues):
+    ``{"titles": {alias: dates}, "exclude_titles": [...], "year_only": b}``
+    where ``dates`` is ``[]`` (whole title), a list of '%Y/%m/%d' dates
+    (years when ``year_only``), or a 'start-end' range string.
+
+    Semantics notes vs the reference:
+    - exclude mode (non-empty ``exclude_titles``) drops those aliases and
+      applies NO date filter — same as the reference;
+    - the reference's own guard is inverted (detect.py:105 raises
+      AttributeError whenever a filter IS present), so this implements
+      the documented intent (config.example.md), not the dead code path.
+    """
+    import datetime as _dt
+
+    titles = config.get("titles") or {}
+    exclude = config.get("exclude_titles") or []
+    year_only = bool(config.get("year_only"))
+
+    if exclude:
+        return discovery_df.filter(~F.col("alias").isin(list(exclude)))
+
+    def _parse(d: str) -> _dt.date:
+        return _dt.datetime.strptime(d, "%Y/%m/%d").date()
+
+    pred = None
+    for alias, dates in titles.items():
+        base = F.col("alias") == alias
+        if isinstance(dates, str):
+            start, end = (_parse(p) for p in dates.split("-"))
+            if year_only:
+                this = base & (F.year("date") >= start.year) & (
+                    F.year("date") <= end.year
+                )
+            else:
+                this = base & (F.col("date") >= F.lit(start)) & (
+                    F.col("date") <= F.lit(end)
+                )
+        elif dates:
+            if year_only:
+                years = [_parse(d).year for d in dates]
+                this = base & F.year("date").isin(years)
+            else:
+                this = base & F.col("date").isin([_parse(d) for d in dates])
+        else:
+            this = base
+        pred = this if pred is None else (pred | this)
+    return discovery_df.filter(pred) if pred is not None else discovery_df

@@ -56,3 +56,43 @@ def test_corrupt_zip_is_error_row(spark, tmp_path):
     assert issues.count() == 0
     errs = errors.collect()
     assert len(errs) == 1 and errs[0]["canonical_path"] == "ZIP-1920-03-05-a"
+
+
+def test_apply_import_config_modes(spark):
+    import datetime
+
+    from impresso_ta.schemas import DISCOVERY_SCHEMA
+    from impresso_ta.sources.discovery import apply_import_config
+
+    rows = [
+        ("GDL", datetime.date(1900, 1, 2), "a", "/x/gdl1", "mets_alto"),
+        ("GDL", datetime.date(1950, 6, 1), "a", "/x/gdl2", "mets_alto"),
+        ("IMP", datetime.date(1900, 1, 2), "a", "/x/imp1", "mets_alto"),
+        ("EXP", datetime.date(1910, 3, 4), "a", "/x/exp1", "mets_alto"),
+    ]
+    disc = spark.createDataFrame(rows, DISCOVERY_SCHEMA)
+
+    # exclude mode: drop aliases, no date filtering
+    out = apply_import_config(disc, {"titles": {}, "exclude_titles": ["GDL"]})
+    assert {r["alias"] for r in out.collect()} == {"IMP", "EXP"}
+
+    # include mode with range string
+    out = apply_import_config(
+        disc, {"titles": {"GDL": "1899/01/01-1940/12/31"}, "exclude_titles": []}
+    )
+    assert [r["path"] for r in out.collect()] == ["/x/gdl1"]
+
+    # include mode, exact-date list
+    out = apply_import_config(
+        disc,
+        {"titles": {"IMP": ["1900/01/02"], "EXP": []}, "exclude_titles": []},
+    )
+    assert {r["alias"] for r in out.collect()} == {"IMP", "EXP"}
+
+    # year_only range
+    out = apply_import_config(
+        disc,
+        {"titles": {"GDL": "1950/05/05-1950/06/06"}, "exclude_titles": [],
+         "year_only": True},
+    )
+    assert [r["path"] for r in out.collect()] == ["/x/gdl2"]
