@@ -55,6 +55,10 @@ def _build_parser() -> argparse.ArgumentParser:
     reb.add_argument("--default-language")
     reb.add_argument("--audio", action="store_true", help="supports are audio records")
     reb.add_argument("--ts")
+    reb.add_argument(
+        "--filter-config",
+        help="reference-style rebuild config JSON: [{alias: [start, end)}...]",
+    )
     reb.add_argument("--store-format", default="json", choices=["json", "parquet"])
     return p
 
@@ -133,6 +137,13 @@ def cmd_rebuild(args, spark) -> int:
     )
 
     issues = read_issues(spark, args.issues)
+    if args.filter_config:
+        import json as _json
+
+        from impresso_ta.sources.discovery import rebuild_config_filter
+
+        with open(args.filter_config) as f:
+            issues = rebuild_config_filter(issues, _json.load(f))
     supports = (
         read_audio_records(spark, args.supports)
         if args.audio

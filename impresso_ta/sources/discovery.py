@@ -214,3 +214,24 @@ def apply_import_config(discovery_df: DataFrame, config: dict) -> DataFrame:
             this = base
         pred = this if pred is None else (pred | this)
     return discovery_df.filter(pred) if pred is not None else discovery_df
+
+
+def rebuild_config_filter(issues_df: DataFrame, batches: list[dict]) -> DataFrame:
+    """Select issues per the reference's rebuild config shape (ref:
+    config/rebuilt_config/GDL.json; rebuilder.py:367-423): a list of
+    ``{alias: [start_year, end_year]}`` batches, end EXCLUSIVE
+    (``range(start, end)``).
+
+    The reference processes one batch per Dask-client lifetime with
+    ``client.restart()`` between as a memory bound; here the union of
+    all batches is ONE filter on the issue id — Spark's spill/AQE makes
+    the batch loop unnecessary, so the config degrades to a predicate.
+    """
+    alias = F.regexp_extract(F.col("id"), r"^([^-]+)-", 1)
+    year = F.regexp_extract(F.col("id"), r"^[^-]+-(\d{4})-", 1).cast("int")
+    pred = None
+    for batch in batches:
+        for a, (start, end) in batch.items():
+            this = (alias == a) & (year >= start) & (year < end)
+            pred = this if pred is None else (pred | this)
+    return issues_df.filter(pred) if pred is not None else issues_df

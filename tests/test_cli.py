@@ -54,3 +54,28 @@ def test_cli_import_then_rebuild(tmp_path):
     )
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "rebuilt 2 content items" in r2.stdout
+
+
+def test_rebuild_config_filter_batches(spark):
+    from impresso_ta.schemas import ISSUE_SCHEMA
+    from impresso_ta.sources.discovery import rebuild_config_filter
+    from tests.fixtures import content_item, issue
+
+    issues = [
+        issue(i_id, [content_item(f"{i_id}-i0001", pp=[1])], pp=[f"{i_id}-p0001"])
+        for i_id in [
+            "GDL-1900-01-02-a",
+            "GDL-1949-01-02-a",
+            "GDL-1999-01-02-a",
+            "IMP-1900-01-02-a",
+        ]
+    ]
+    df = spark.createDataFrame(issues, ISSUE_SCHEMA)
+    # reference shape: end year EXCLUSIVE (range(start, end))
+    out = rebuild_config_filter(
+        df, [{"GDL": [1900, 1949]}, {"IMP": [1900, 1901]}]
+    )
+    assert {r["id"] for r in out.collect()} == {
+        "GDL-1900-01-02-a",
+        "IMP-1900-01-02-a",
+    }
