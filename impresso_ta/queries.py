@@ -1860,3 +1860,22 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(bin_col).cast("long").alias("n_bytes"),
         F.sha2(bin_col, 256).alias("sha"),
     )
+
+
+@q(
+    "a13_distinct_counts",
+    """
+    SELECT source, count(DISTINCT lang) AS n_langs,
+           count(DISTINCT doc_id) AS n_docs
+    FROM documents GROUP BY source
+    """,
+    "Exact distinct counts per group (at 100 TB swap for "
+    "approx_count_distinct — HLL++ sketch, map-side mergeable, one pass; "
+    "accuracy property-tested in tests/test_sketches.py)",
+)
+def a13_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

@@ -1,0 +1,17 @@
+"""Sketch accuracy: approx_count_distinct (HLL++) stays within its
+configured relative error of the exact count — the one-pass mergeable
+scale path for the exact countDistinct oracles."""
+
+from pyspark.sql import functions as F
+
+
+def test_hll_within_relative_error(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    exact = toks.select(F.countDistinct("w").alias("n")).collect()[0]["n"]
+    approx = toks.select(
+        F.approx_count_distinct("w", rsd=0.02).alias("n")
+    ).collect()[0]["n"]
+    assert abs(approx - exact) / exact < 0.06  # 3σ of rsd=0.02
