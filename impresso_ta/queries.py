@@ -1879,3 +1879,106 @@ def a13_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+@q(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    WHERE l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey
+    )
+    """,
+    "Correlated scalar subquery (TPC-H Q17 shape) — Catalyst decorrelates "
+    "into an aggregate + join; no per-row subquery execution",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@q(
+    "q22_customers_without_orders",
+    """
+    SELECT c_nationkey, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= DATE '1998-01-01'
+    ) AND c_acctbal > 0
+    GROUP BY c_nationkey
+    """,
+    "Anti-join (TPC-H Q22 shape): customers with no RECENT orders — "
+    "left_anti with the filter pushed into the anti side, never a "
+    "correlated probe",
+)
+def q22_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.join(o, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@q(
+    "w5_moving_avg",
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 4) AS mavg
+    FROM events WHERE event_type = 'click'
+    """,
+    "Bounded-frame moving average per key (rows frame, deterministic "
+    "(ts, event_id) order)",
+)
+def w5_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("mavg"),
+    )
+
+
+@q(
+    "set5_lang_intersection",
+    """
+    SELECT lang FROM documents WHERE source = 'src0'
+    INTERSECT
+    SELECT lang FROM documents WHERE source = 'src1'
+    """,
+    "INTERSECT set op (languages present in both sources)",
+)
+def set5_lang_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("source") == "src0")
+        .select("lang")
+        .intersect(d.filter(F.col("source") == "src1").select("lang"))
+    )
