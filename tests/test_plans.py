@@ -94,3 +94,19 @@ def test_multi_join_queries_broadcast_everything(spark):
         assert "BroadcastHashJoin" in plan, name
         # single shuffle: the final aggregation
         assert _shuffles(q) <= 2, name
+
+
+def test_anti_join_and_decorrelated_subquery_plans(spark):
+    from impresso_ta.queries import REGISTRY
+
+    q22 = REGISTRY["q22_customers_without_orders"].fn(spark, SF)
+    plan = _plan(q22)
+    assert "LeftAnti" in plan          # a real anti-join operator
+    assert "SortMergeJoin" not in plan  # broadcast at dim scale
+
+    q17 = REGISTRY["q17_small_quantity_revenue"].fn(spark, SF)
+    plan17 = _plan(q17)
+    # the "correlated subquery" runs as one aggregate + join, never a
+    # per-row subquery
+    assert "Subquery" not in plan17
+    assert "HashAggregate" in plan17
