@@ -1982,3 +1982,59 @@ def set5_lang_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang")
         .intersect(d.filter(F.col("source") == "src1").select("lang"))
     )
+
+
+@q(
+    "a14_pivot_chars",
+    """
+    SELECT lang,
+           CAST(coalesce(sum(CASE WHEN source = 'src0' THEN n_chars END), 0) AS BIGINT) AS src0,
+           CAST(coalesce(sum(CASE WHEN source = 'src1' THEN n_chars END), 0) AS BIGINT) AS src1,
+           CAST(coalesce(sum(CASE WHEN source = 'src2' THEN n_chars END), 0) AS BIGINT) AS src2
+    FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    GROUP BY lang
+    """,
+    "Pivot/reshape (lang × source char totals) — one groupBy with "
+    "conditional aggregates, no reshuffle per column",
+)
+def a14_pivot_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1", "src2")
+    )
+    out = (
+        d.groupBy("lang")
+        .pivot("source", ["src0", "src1", "src2"])
+        .agg(F.sum("n_chars"))
+    )
+    return out.select(
+        "lang",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ("src0", "src1", "src2")
+        ],
+    )
+
+
+@q(
+    "a15_pandas_udaf_weighted_mean",
+    """
+    SELECT lang,
+           round(sum(n_chars::DOUBLE * (doc_id % 10 + 1))
+                 / sum((doc_id % 10 + 1)::DOUBLE), 4) AS wmean
+    FROM documents GROUP BY lang
+    """,
+    "Custom aggregate via Arrow-batched Pandas grouped-agg UDF "
+    "(weighted mean doc length) — the §2.10 UDAF surface; prefer the "
+    "built-in sum/sum form (the oracle) in hot paths",
+)
+def a15_pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.udafs import weighted_mean
+
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").cast("double").alias("v"),
+        (F.col("doc_id") % 10 + 1).cast("double").alias("w"),
+    )
+    return d.groupBy("lang").agg(
+        F.round(weighted_mean(F.col("v"), F.col("w")), 4).alias("wmean")
+    )
