@@ -2038,3 +2038,33 @@ def a15_pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame
     return d.groupBy("lang").agg(
         F.round(weighted_mean(F.col("v"), F.col("w")), 4).alias("wmean")
     )
+
+
+@q(
+    "corpus_chunk_text_udtf",
+    """
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(i * 300 AS INT) AS start,
+           substring(text, i * 300 + 1, 300) AS chunk
+    FROM documents,
+         unnest(range(0, CAST(ceil(greatest(len(text), 1) / 300.0) AS BIGINT))) AS t(i)
+    WHERE doc_id % 50 = 0
+    """,
+    "SQL-registered Python UDTF (one row → N chunk rows): fixed-window "
+    "text chunking via LATERAL chunk_text(...) — the §2.10 UDTF API "
+    "surface, lateral-joined in plain spark.sql",
+)
+def corpus_chunk_text_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.udafs import make_chunk_text_udtf
+
+    spark.udtf.register("chunk_text", make_chunk_text_udtf())
+    t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    ).createOrReplaceTempView("_docs_for_chunking")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.start, c.chunk
+        FROM _docs_for_chunking d,
+             LATERAL chunk_text(d.text, 300) c
+        """
+    )
