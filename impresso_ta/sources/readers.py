@@ -44,8 +44,56 @@ def read_issues(spark: SparkSession, path: str) -> DataFrame:
     return _read(spark, path, ISSUE_SCHEMA)
 
 
+def _normalize_legacy_page_lines(js: str) -> str:
+    """Flatten the legacy BNF line nesting found in the reference's own
+    shipped canonical outputs (data/out/canonical_out/pages/*.bz2 for
+    excelsior/lafronde/marieclaire/oeuvre): paragraphs there store
+    ``l = [[line, notes], ...]`` — the (line, notes) tuples an older
+    exporter wrote verbatim instead of zipping them apart (the current
+    reference code does the unzip, bnf/parsers.py:52-62, so only legacy
+    files carry it; the reference's own rebuilder crashes on them).
+    Dict entries pass through untouched, so normal files round-trip."""
+    import json
+
+    doc = json.loads(js)
+    changed = False
+    for reg in doc.get("r") or []:
+        for para in reg.get("p") or []:
+            entries = para.get("l") or []
+            if any(isinstance(e, list) for e in entries):
+                changed = True
+                para["l"] = [
+                    x
+                    for e in entries
+                    for x in (e if isinstance(e, list) else [e])
+                    if isinstance(x, dict)
+                ]
+    return json.dumps(doc) if changed else js
+
+
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
-    return _read(spark, path, PAGE_SCHEMA)
+    """Canonical pages. The jsonl path runs a lenient pre-parse that
+    repairs the legacy BNF line nesting (see
+    ``_normalize_legacy_page_lines``) before the strict-schema parse;
+    the parquet path is engine-internal and always well-formed."""
+    if _is_parquet_store(path):
+        return _read(spark, path, PAGE_SCHEMA)
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+
+    def fix(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"value": [_normalize_legacy_page_lines(v) for v in pdf["value"]]}
+            )
+
+    fixed = raw.mapInPandas(fix, schema="value string")
+    return fixed.select(
+        F.from_json(F.col("value"), PAGE_SCHEMA).alias("d")
+    ).select("d.*")
 
 
 def read_audio_records(spark: SparkSession, path: str) -> DataFrame:
