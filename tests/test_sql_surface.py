@@ -32,3 +32,42 @@ def test_register_and_query_with_partition_pruning(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "alias" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_legacy_bnf_line_nesting_repaired(spark, tmp_path):
+    """Pages whose paragraphs store l = [[line, notes], ...] (the legacy
+    BNF exporter shape found in the reference's shipped canonical
+    outputs) parse into the strict schema with their tokens intact."""
+    import json
+
+    legacy_page = {
+        "id": "XXX-1900-01-02-a-p0001",
+        "cc": True,
+        "r": [
+            {
+                "c": [0, 0, 10, 10],
+                "pOf": "XXX-1900-01-02-a-i0001",
+                "p": [
+                    {
+                        "c": [0, 0, 10, 10],
+                        "l": [
+                            [{"c": [0, 0, 5, 5],
+                              "t": [{"c": [0, 0, 2, 2], "tx": "Hello"}]}, []],
+                            [{"c": [0, 5, 5, 5],
+                              "t": [{"c": [0, 5, 2, 2], "tx": "world"}]}, []],
+                        ],
+                    }
+                ],
+            }
+        ],
+    }
+    path = tmp_path / "pages.jsonl"
+    path.write_text(json.dumps(legacy_page) + "\n")
+
+    from impresso_ta.sources.readers import read_pages
+
+    rows = read_pages(spark, str(path)).collect()
+    assert len(rows) == 1
+    lines = rows[0]["r"][0]["p"][0]["l"]
+    assert len(lines) == 2
+    assert [t["tx"] for ln in lines for t in ln["t"]] == ["Hello", "world"]
