@@ -5,8 +5,6 @@ issues side of the join)."""
 import shutil
 
 import pytest
-from pyspark.sql import functions as F
-
 from impresso_ta.rebuild import rebuild_issues_solr
 from impresso_ta.schemas import ISSUE_SCHEMA, PAGE_SCHEMA
 from impresso_ta.sources.sinks import write_pages_bucketed

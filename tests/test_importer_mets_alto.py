@@ -6,11 +6,9 @@ stable across runs (golden-output strategy, ref: utils.py:92-136)."""
 import os
 
 import pytest
-from pyspark.sql import functions as F
 
 from impresso_ta.importers import import_issues
 from impresso_ta.rebuild import rebuild_issues_solr
-from impresso_ta.schemas import ISSUE_SCHEMA, PAGE_SCHEMA
 from impresso_ta.sources import (
     alias_filter,
     date_filter,

@@ -6,7 +6,6 @@ broadcasting, aggregations combining map-side, and the operators that
 advertise "zero shuffle" actually having zero exchanges.
 """
 
-import pytest
 from pyspark.sql import functions as F
 
 from impresso_ta.operators.dedup import minhash_signatures

@@ -4,8 +4,6 @@ Covers SURVEY J2/J3/J4 (issue⋈pages rejoin, pOf region filter), W3 (offsets),
 F5/S15 (errors-as-data) and the audio path."""
 
 import pytest
-from pyspark.sql import functions as F
-
 from impresso_ta.rebuild.solr import (
     rebuild_issues_solr,
     split_errors,

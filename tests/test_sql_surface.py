@@ -1,8 +1,6 @@
 """SQL surface over the canonical store: registered views are queryable
 and (alias, year) partition filters prune the scan."""
 
-from pyspark.sql import functions as F
-
 from impresso_ta.schemas import ISSUE_SCHEMA
 from impresso_ta.sources.readers import register_tables
 from impresso_ta.sources.sinks import write_issues

@@ -3,7 +3,6 @@ survive across micro-batches in the state store and close exactly once."""
 
 import json
 
-import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
