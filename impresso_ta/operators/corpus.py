@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from impresso_ta.operators.dedup import word_shingles
+from impresso_ta.operators.partitioning import spread_small_input
 
 
 def _md5_long(col: Column, chars: int = 12) -> Column:
@@ -123,12 +124,12 @@ def contamination(
     pruning); the bench side is typically tiny, so Catalyst broadcasts
     it — the training corpus is scanned once and never shuffled by key.
     """
-    bsh = bench.select(
+    bsh = spread_small_input(bench).select(
         F.col(id_col).alias("bench_id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
     )
     tsh = (
-        train.select(
+        spread_small_input(train).select(
             F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
         )
         .distinct()
