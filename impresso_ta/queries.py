@@ -544,24 +544,23 @@ def w1_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Char-offset accumulation (SURVEY W3; ref paper_rebuilders.py:10-97)",
 )
 def w3_running_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # (l_orderkey, l_linenumber) is not unique in the synthetic data, so
-    # pre-aggregate to make the running-sum traversal order total — the
-    # same discipline the engine applies to all W2/W3 offsets (stable IDs
-    # require explicitly total orders).
-    w = (
-        Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data;
+    # instead of pre-aggregating (a second shuffle on BOTH keys), use the
+    # window's default RANGE frame: with ORDER BY l_linenumber every row
+    # of an equal-linenumber group sees the cumulative sum INCLUDING its
+    # whole group, so any one row per group is the answer — and the
+    # dropDuplicates reuses the window's hash partitioning (clustering by
+    # a subset key satisfies the two-key distribution). ONE exchange
+    # total where the groupBy-then-window form needs two (plan-tested).
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
     return (
         t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey", "l_linenumber")
-        .agg(F.sum("l_quantity").alias("line_qty"))
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.round(F.sum("line_qty").over(w), 2).alias("running_qty"),
+            F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
         )
+        .dropDuplicates(["l_orderkey", "l_linenumber"])
     )
 
 

@@ -109,3 +109,10 @@ def test_anti_join_and_decorrelated_subquery_plans(spark):
     # per-row subquery
     assert "Subquery" not in plan17
     assert "HashAggregate" in plan17
+
+
+def test_running_offsets_single_exchange(spark):
+    from impresso_ta.queries import REGISTRY
+
+    q = REGISTRY["w3_running_offsets"].fn(spark, SF)
+    assert _shuffles(q) == 1
