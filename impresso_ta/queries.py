@@ -1711,22 +1711,50 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "a11_percentile_stats",
     """
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
     SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-           round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
-           round(avg(l_extendedprice), 2) AS mean
-    FROM lineitem GROUP BY l_returnflag
+           round(max(CASE WHEN rn = greatest(1, ceil(0.5 * n)) THEN v END), 2) AS p50,
+           round(max(CASE WHEN rn = greatest(1, ceil(0.95 * n)) THEN v END), 2) AS p95,
+           round(avg(v), 2) AS mean
+    FROM ranked GROUP BY l_returnflag
     """,
-    "Distribution stats for manifest/corpus profiling (exact interpolated "
-    "percentiles; at 100 TB swap F.percentile for F.approx_percentile — "
-    "t-digest sketch, map-side mergeable, no per-group sort)",
+    "Distribution stats for manifest/corpus profiling. DISCRETE (rank-"
+    "selected) percentiles: actual data values, no float interpolation — "
+    "interpolated forms differ between engines by 1 ulp on .xx5 "
+    "boundaries. At 100 TB swap for approx_percentile (t-digest sketch, "
+    "map-side mergeable, no per-group sort)",
 )
 def a11_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", 0.5), 2).alias("p50"),
-        F.round(F.percentile("l_extendedprice", 0.95), 2).alias("p95"),
-        F.round(F.avg("l_extendedprice"), 2).alias("mean"),
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    def at(p):
+        return F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.lit(1), F.ceil(p * F.col("n"))),
+                F.col("v"),
+            )
+        )
+    return ranked.groupBy("l_returnflag").agg(
+        F.round(at(0.5), 2).alias("p50"),
+        F.round(at(0.95), 2).alias("p95"),
+        F.round(F.avg("v"), 2).alias("mean"),
     )
 
 
