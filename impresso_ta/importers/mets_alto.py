@@ -412,8 +412,12 @@ def _find_mets_file(path: str) -> Optional[str]:
                 continue
             cand = os.path.join(toc_dir, f)
             try:
+                # Check only the root element, then move on to the next
+                # candidate if it isn't a METS document.
                 for _, el in ET.iterparse(cand, events=("start",)):
-                    return cand if _strip_ns(el.tag) == "mets" else None
+                    if _strip_ns(el.tag) == "mets":
+                        return cand
+                    break
             except ET.ParseError:
                 continue
     return None

@@ -37,19 +37,25 @@ def asof_join(
     ``right`` must be unique per (key, ts) — pre-aggregate if not (the
     tie value would otherwise be engine-dependent).
     """
+    # The carried state is a non-null *presence struct*, not the bare
+    # value: a right row whose value is NULL must still be "the match"
+    # (native ASOF JOIN returns that row's NULL), so ignorenulls must
+    # skip only left rows, never a right row.
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_row"),
-        F.lit(None).cast(right.schema[value_col].dataType).alias("_v"),
+        F.lit(None)
+        .cast(f"struct<v:{right.schema[value_col].dataType.simpleString()}>")
+        .alias("_m"),
     )
     r_tag = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(l_tag.schema["_row"].dataType).alias("_row"),
-        F.col(value_col).alias("_v"),
+        F.struct(F.col(value_col).alias("v")).alias("_m"),
     )
     unioned = l_tag.unionByName(r_tag)
     w = (
@@ -58,7 +64,7 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        unioned.withColumn("_asof", F.last("_v", ignorenulls=True).over(w))
+        unioned.withColumn("_asof", F.last("_m", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
-        .select(F.col("_row.*"), F.col("_asof").alias(out_col))
+        .select(F.col("_row.*"), F.col("_asof.v").alias(out_col))
     )

@@ -68,7 +68,10 @@ def _base_solr_ci(
     ``rebuild_for_solr``). Returns (solr_ci, mapped_type, language)."""
     m = ci["m"]
     ci_id = m["id"]
-    year, month, day, _, ci_num = ci_id.split("-")[1:]
+    # Parse from the right: aliases may themselves contain dashes
+    # (functions/ids.py supports them), so the last 5 components are
+    # (yyyy, mm, dd, edition, ciNNNN) and everything before is the alias.
+    year, month, day, _, ci_num = ci_id.split("-")[-5:]
     d = datetime.date(int(year), int(month), int(day)).isoformat()
 
     tp = m.get("tp")
@@ -184,8 +187,11 @@ def rebuild_issue_cis(
             if is_audio:
                 # stt/dur of the first record of the CI (ref:
                 # helpers.py:348-351); cc is True by default for audio.
-                if nos and len(supports) >= nos[0]:
-                    rec = supports[nos[0] - 1]
+                # ``found`` is id-resolved (not positional): with a sparse
+                # record set (e.g. r0002/r0003 and no r0001) positional
+                # ``supports[no-1]`` would read the wrong record.
+                if found:
+                    rec = found[0]
                     solr_ci["stt"] = rec.get("stt")
                     solr_ci["dur"] = rec.get("dur")
             else:

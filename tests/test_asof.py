@@ -34,3 +34,28 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, key="user_id").collect()
     }
     assert got == {1: None, 2: 5.0, 3: 5.0, 4: 7.0, 5: None}
+
+
+def test_asof_join_null_right_value(spark):
+    """A right row with a NULL value is still the match (native ASOF JOIN
+    returns that row's NULL) — it must not be skipped in favor of the
+    previous non-null state."""
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:30:00")),  # after 5.0 → 5.0
+            (2, 10, _ts("2024-01-01 11:30:00")),  # after NULL row → None
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 10:00:00"), 5.0),
+            (10, _ts("2024-01-01 11:00:00"), None),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(left, right, key="user_id").collect()
+    }
+    assert got == {1: 5.0, 2: None}

@@ -85,6 +85,44 @@ def test_audio_rebuild(spark):
     assert ep["ssb"] == [len("bonjour à tous")]
 
 
+def test_audio_rebuild_sparse_records(spark):
+    """stt/dur must come from the id-resolved record, not positional
+    indexing: with records r0002/r0003 only (no r0001), a CI on record 2
+    must read r0002's stt/dur (regression for supports[no-1])."""
+    from tests.fixtures import issue
+
+    iss, recs = audio_issue_and_record()
+    iid = iss["id"]
+    ci1 = f"{iid}-i0001"
+    rec2 = {
+        **recs[0],
+        "id": f"{iid}-r0002",
+        "stt": "13:00:00",
+        "dur": "00:10:00",
+    }
+    rec3 = {
+        **recs[0],
+        "id": f"{iid}-r0003",
+        "stt": "14:00:00",
+        "dur": "00:05:00",
+        "s": [],
+    }
+    ci = content_item(ci1, rr=[2], tp="radio_broadcast_episode", lg="fr", ro=1)
+    iss = issue(
+        iid,
+        [ci],
+        rr=[rec2["id"], rec3["id"]],
+        st="radio_broadcast",
+        sm="audio",
+    )
+    issues_df = spark.createDataFrame([iss], ISSUE_SCHEMA)
+    recs_df = spark.createDataFrame([rec2, rec3], AUDIO_RECORD_SCHEMA)
+    out = rebuild_issues_solr(issues_df, recs_df, ts="2024-01-01T00:00:00Z")
+    ep = {r["id"]: r.asDict(recursive=True) for r in out.collect()}[ci1]
+    assert ep.get("has_problem") is not True
+    assert ep["stt"] == "13:00:00" and ep["dur"] == "00:10:00"
+
+
 def test_passim(spark):
     iss, pages = simple_issue_and_pages()
     issues_df = spark.createDataFrame([iss], ISSUE_SCHEMA)
