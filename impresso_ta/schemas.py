@@ -116,6 +116,7 @@ ISSUE_SCHEMA = StructType(
         _f("s", ArrayType(STYLE_SCHEMA)),
         _f("rp", StringType()),  # radio program
         _f("rc", StringType()),  # radio channel
+        _f("iiif_manifest_uri", StringType()),  # issue-level IIIF manifest
         _f("n", StringType()),  # notes
     ]
 )
