@@ -23,3 +23,4 @@ from impresso_ta.importers import abbyy_bcul as _abbyy_bcul  # noqa: F401
 from impresso_ta.importers import olive as _olive  # noqa: F401
 from impresso_ta.importers import swa as _swa  # noqa: F401
 from impresso_ta.importers import bnf_en as _bnf_en  # noqa: F401
+from impresso_ta.importers import swissinfo as _swissinfo  # noqa: F401

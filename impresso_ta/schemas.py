@@ -162,6 +162,7 @@ PAGE_SCHEMA = StructType(
         _f("iiif_img_base_uri", StringType()),
         _f("fw", IntegerType()),  # facsimile width
         _f("fh", IntegerType()),  # facsimile height
+        _f("parag_avg_size", DoubleType()),  # A8 (SwissInfo typescript)
         _f("r", ArrayType(REGION_SCHEMA)),
         _f("s", ArrayType(STYLE_SCHEMA)),
         _f("n", ArrayType(StringType())),
