@@ -21,9 +21,12 @@ olive/helpers.py:27-344):
   metadata and resolve ``pOf`` through ``EMBEDDED_INTO`` (J6/J8),
 - styles from ``styleGallery.txt`` (X14; ref parsers.py:15-49).
 
-Corner boxes are converted to canonical [x,y,w,h]; ``cc`` stays False
-(the reference's iiif conversion needs page image dimensions — X7 box
-strategies — which live in a separate image-info sidecar).
+Corner boxes are converted to canonical [x,y,w,h]. When the issue's
+``*-image-info.json`` sidecar is available (discovery path option
+``::image_dirs=<dir>[,<dir>…]``), the X7 box strategies rescale every
+coordinate to IIIF space and flip ``cc=True`` per converted page
+(ref: olive/helpers.py:420-603 via ``importers.olive_boxes``); without
+a sidecar ``cc`` stays False, as in the reference.
 """
 
 from __future__ import annotations
@@ -35,11 +38,51 @@ import xml.etree.ElementTree as ET
 import zipfile
 from typing import Any, Optional
 
+import json
+
 from impresso_ta.importers.base import FormatPlugin, register
+from impresso_ta.importers.olive_boxes import (
+    convert_page_regions,
+    convert_xywh_box,
+    get_scale_factor,
+    parse_page_meta,
+)
 from impresso_ta.importers.olive_text import normalize_line
 from impresso_ta.operators.recompose import TITLE_BLACKLIST
 
+IIIF_ENDPOINT_URI = "https://impresso-project.ch/api/proxy/iiif"
+
 LANG_MAP = {"french": "fr", "english": "en", "german": "de", "italian": "it"}
+
+
+def _split_image_dirs(path: str) -> tuple[str, list[str]]:
+    """``<dir>::image_dirs=<a>,<b>`` → (dir, [a, b])."""
+    if "::image_dirs=" in path:
+        base, dirs = path.split("::image_dirs=", 1)
+        return base, [d for d in dirs.split(",") if d]
+    return path, []
+
+
+def _load_image_info(
+    image_dirs: list[str], alias: str, date: str, edition: str
+) -> list[dict]:
+    """Per-issue image-info sidecar (ref olive/classes.py:397-440):
+    ``<dir>/<alias>/<yyyy/mm/dd>/<ed>/<alias>-<date>-<ed>-image-info.json``
+    from the first directory that has a non-empty one."""
+    for im_dir in image_dirs:
+        p = os.path.join(
+            im_dir,
+            alias,
+            date.replace("-", "/"),
+            edition,
+            f"{alias}-{date}-{edition}-image-info.json",
+        )
+        if os.path.exists(p):
+            with open(p, "r", encoding="utf-8") as f:
+                data = json.load(f)
+            if data:
+                return data
+    return []
 
 
 def normalize_language(lang: Optional[str]) -> Optional[str]:
@@ -292,6 +335,7 @@ class OlivePlugin(FormatPlugin):
         self, alias: str, date: str, edition: str, path: str
     ) -> dict[str, Any]:
         issue_id = f"{alias}-{date}-{edition}"
+        path, image_dirs = _split_image_dirs(path)
 
         toc_path = os.path.join(path, "TOC.xml")
         if not os.path.isfile(toc_path):
@@ -452,16 +496,84 @@ class OlivePlugin(FormatPlugin):
                 )
                 break
 
+        # ---- X7 coordinate conversion (ref helpers.py:420-650) ----
+        image_info = (
+            _load_image_info(image_dirs, alias, date, edition)
+            if image_dirs
+            else []
+        )
+        info_by_page = {int(rec["pg"]): rec for rec in image_info}
+        pg_xml_names = {
+            int(n.split("/")[0]): n
+            for n in files.names
+            if ".xml" in n and "/Pg" in n
+        }
+        notes: list[str] = []
+        scale_by_page: dict[int, float] = {}
+        for page_no, rec in info_by_page.items():
+            if page_no not in pg_xml_names:
+                notes.append(f"p{page_no}: no Pg xml for box strategy")
+                continue
+            try:
+                meta = parse_page_meta(files.read(pg_xml_names[page_no]))
+                strat = rec["strat"]
+                source = rec["s"]
+                jpg_bytes = None
+                if strat == "jpg_uniq":
+                    cand = [
+                        n for n in files.names if n.endswith(source)
+                    ]
+                    if cand:
+                        jpg_bytes = files.read(cand[0])
+                scale = get_scale_factor(meta, strat, source, jpg_bytes)
+            except Exception as exc:  # noqa: BLE001 — cc stays False
+                notes.append(f"p{page_no}: box conversion failed: {exc}")
+                scale = None
+            if scale is not None:
+                scale_by_page[page_no] = scale
+            else:
+                notes.append(
+                    f"p{page_no}: could not find scale factor "
+                    f"(strategy {rec.get('strat')})"
+                )
+
+        # picture CIs on pages with an image-info record: convert coords
+        # and promote tp picture→image (ref classes.py:470-501)
+        for ci in cis:
+            if ci["m"].get("tp") != "picture":
+                continue
+            pg = ci["m"]["pp"][0] if ci["m"]["pp"] else None
+            if pg is None or pg not in info_by_page:
+                continue
+            scale = scale_by_page.get(pg)
+            if scale is not None and ci.get("c"):
+                ci["c"] = convert_xywh_box(ci["c"], scale)
+                ci["m"]["cc"] = True
+                ci["m"]["iiif_link"] = (
+                    f"{IIIF_ENDPOINT_URI}/{issue_id}-p{str(pg).zfill(4)}"
+                    "/info.json"
+                )
+            else:
+                ci["m"]["cc"] = False
+            ci["m"]["tp"] = "image"
+
         pages = []
         for page_no in sorted(page_regions):
             page_id = f"{issue_id}-p{str(page_no).zfill(4)}"
+            scale = scale_by_page.get(page_no)
+            regions = page_regions[page_no]
+            if scale is not None:
+                regions = convert_page_regions(regions, scale)
             pages.append(
                 {
                     "id": page_id,
                     "st": "newspaper",
                     "sm": "print",
-                    "cc": False,  # corner→xywh done; iiif rescale needs image dims (X7)
-                    "r": page_regions[page_no],
+                    # cc=True only for converted pages; without a sidecar
+                    # record the reference ships cc=False too
+                    "cc": scale is not None,
+                    "iiif_img_base_uri": f"{IIIF_ENDPOINT_URI}/{page_id}",
+                    "r": regions,
                 }
             )
 
@@ -472,6 +584,7 @@ class OlivePlugin(FormatPlugin):
             "i": cis,
             "pp": [p["id"] for p in pages],
             "s": styles,
+            "n": "; ".join(notes) if notes else None,
             "_pages": pages,
         }
 
