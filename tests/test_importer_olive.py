@@ -59,9 +59,16 @@ def test_golden_ci_ids(spark, alias, d):
 
     # golden invariant 1: identical CI ID sets
     assert set(mine) == set(gold)
-    # golden invariant 2: legacy ids (incl. multipart lists) identical
+    # golden invariant 2: FULL legacy metadata identical (the reference's
+    # verify_imported_issues asserts l-equality, utils.py:114-131) —
+    # ids (incl. multipart lists) and sources
     for k in gold:
         assert _norm_legacy_id(mine[k]["l"]["id"]) == gold[k]["l"]["id"], k
+        if gold[k]["l"].get("source") is not None:
+            assert (
+                _norm_legacy_id(mine[k]["l"]["source"])
+                == gold[k]["l"]["source"]
+            ), k
     # page lists and types match
     for k in gold:
         assert mine[k]["m"]["pp"] == gold[k]["m"]["pp"], k

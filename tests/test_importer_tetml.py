@@ -1,7 +1,15 @@
 """TETML importer on the reference's own FedGaz sample data (read-only
 input — the reference repo's test strategy is E2E import on sample data,
-SURVEY §5). Skipped when the sample tree is absent."""
+SURVEY §5). Skipped when the sample tree is absent.
 
+Golden parity: the reference golden-checks TETML via
+``verify_imported_issues`` (ref tests/importers/test_tetml_importer.py:
+129-172 + utils.py:92-136) against shipped expected JSONs; those
+expected files for Tetml are NOT in the reference checkout (only Olive's
+are), so ``tests/golden/Tetml`` freezes the same invariant — CI ids and
+full legacy metadata must never change between runs/versions."""
+
+import json
 import os
 from datetime import date
 
@@ -10,6 +18,10 @@ import pytest
 from impresso_ta.importers import import_issues
 from impresso_ta.rebuild import rebuild_issues_solr
 from impresso_ta.schemas import DISCOVERY_SCHEMA
+
+GOLDEN = os.path.join(
+    os.path.dirname(__file__), "golden", "Tetml"
+)
 
 SAMPLE = "/root/reference/text_preparation/data/sample_data/Tetml/FedGazDe/1857/09/26"
 
@@ -80,3 +92,25 @@ def test_rebuild_sample(tetml_import):
         for p in r["ppreb"]:
             for t in p["t"]:
                 assert t["s"] + max(t["l"], 0) <= len(r["ft"])
+
+
+def test_verify_imported_issues_golden(tetml_import):
+    """The reference's verify_imported_issues semantics (utils.py:92-136):
+    every expected CI id must exist, and each CI's legacy metadata must
+    equal the frozen golden exactly."""
+    res = tetml_import
+    actual = res.issues.collect()[0].asDict(recursive=True)
+    golden_path = os.path.join(GOLDEN, f"{actual['id']}-issue.json")
+    expected = json.load(open(golden_path))
+
+    actual_ids = {ci["m"]["id"] for ci in actual["i"]}
+    expected_ids = {ci["m"]["id"] for ci in expected["i"]}
+    assert expected_ids.difference(actual_ids) == set()
+
+    expected_by_id = {ci["m"]["id"]: ci for ci in expected["i"]}
+    for ci in actual["i"]:
+        exp = expected_by_id.get(ci["m"]["id"])
+        if exp is None:
+            continue  # ref utils.py:126-129: late additions tolerated
+        actual_l = {k: v for k, v in (ci["l"] or {}).items() if v is not None}
+        assert actual_l == exp["l"], ci["m"]["id"]
