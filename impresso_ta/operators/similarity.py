@@ -196,25 +196,95 @@ def _cell_scores_sql(
     ]
 
 
+# Above this many centroids the literal-SQL argmax expression becomes the
+# bottleneck (plan text grows O(nlist·dims); Catalyst parse/codegen chokes
+# near nlist≈1000 and the driver burns seconds building the string) — switch
+# to the broadcast-relation form, whose plan size is O(1).
+LITERAL_MAX_NLIST = 64
+
+
+def _centroids_relation(spark, centroids: list[tuple[int, list[float]]]):
+    """One-row DataFrame holding ALL centroids as a sorted array of
+    struct(cell, cvec, cnorm) — broadcast-joined to corpus/query rows so
+    the argmax stays a map-side expression with O(1) plan size at any
+    nlist. Norms are driver-computed with the same fold order as ``norm``
+    so scores are bit-identical to the literal path."""
+    rows = [
+        (int(cell), [float(x) for x in cv], _py_norm(cv))
+        for cell, cv in centroids
+    ]
+    return (
+        spark.createDataFrame(
+            rows, "cell int, cvec array<double>, cnorm double"
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cell", "cvec", "cnorm"))
+            ).alias("_cents")
+        )
+    )
+
+
+def _cell_scores_over(vec: Column, vnorm: Column, round_to: int) -> Column:
+    """Array of (rounded cosine, -cell) structs computed from the
+    broadcast ``_cents`` column — the transform-based twin of
+    ``_cell_scores_sql`` (identical expression tree per element:
+    zip_with + left-to-right aggregate, round, negcell tie-break)."""
+    return F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.round(
+                dot(vec, c["cvec"]) / (vnorm * c["cnorm"]), round_to
+            ).alias("cos"),
+            (-c["cell"]).alias("negcell"),
+        ),
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Assign each corpus vector to its nearest centroid cell (max cosine,
     ties → smallest cell id).
 
     ``centroids`` is a driver-side list of (cell_id, vector) — nlist is
-    small by construction (≪ corpus), so the argmax is a literal
-    ``greatest`` over per-centroid score structs: whole-stage codegen,
-    NO shuffle, no UDF. Cosines are rounded before comparison so the
-    DuckDB oracle (which ranks with round(...,4)) agrees on ties.
+    small by construction (≪ corpus), so the argmax is map-side: NO
+    shuffle of the corpus, no UDF. Two strategies with bit-identical
+    results (parity-tested):
+
+    - ``literal`` (default ≤ LITERAL_MAX_NLIST): centroids baked into a
+      ``greatest`` over per-centroid score structs — whole-stage codegen,
+      fastest at small nlist.
+    - ``broadcast`` (default above): centroids as a broadcast one-row
+      relation; the argmax is ``array_max(transform(_cents, …))``. Plan
+      size O(1), so nlist=4096 is expressible; the broadcast ships
+      nlist×dims doubles once per executor.
+
+    Cosines are rounded before comparison so the DuckDB oracle (which
+    ranks with round(...,4)) agrees on ties.
     """
+    if strategy == "auto":
+        strategy = (
+            "literal" if len(centroids) <= LITERAL_MAX_NLIST else "broadcast"
+        )
     with_norm = spread_small_input(corpus).select(
         F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_vnorm")
     )
+    if strategy == "broadcast":
+        cents = _centroids_relation(corpus.sparkSession, centroids)
+        best = F.array_max(
+            _cell_scores_over(F.col(vec_col), F.col("_vnorm"), round_to)
+        )
+        return with_norm.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col),
+            F.col(vec_col),
+            (-best["negcell"]).cast("int").alias("cell"),
+        )
     frags = _cell_scores_sql(f"`{vec_col}`", "`_vnorm`", centroids, round_to)
     best = (
         F.expr(f"greatest({','.join(frags)})")
@@ -270,6 +340,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    strategy: str = "auto",
 ) -> DataFrame:
     """IVF approximate top-k: score only corpus vectors in the ``nprobe``
     cells nearest each query.
@@ -277,10 +348,12 @@ def ivf_topk(
     Seeds default to the ``nlist`` smallest-id corpus vectors (cell id =
     seed id) — deterministic, engine-portable; ``refine_iters`` Lloyd
     steps (``ivf_refine``) sharpen them, each re-assigning with the
-    refreshed literals. Per-query probe cells are computed map-side
-    (sort the literal score array, slice nprobe); the only corpus
+    refreshed centroids. Per-query probe cells are computed map-side
+    (sort the per-centroid score array, slice nprobe); the only corpus
     shuffle is the equi-join on ``cell``, and candidate volume is
-    ~corpus·nprobe/nlist. Generalizes the reference's staged
+    ~corpus·nprobe/nlist. Centroid distribution follows ``strategy``
+    (see ``ivf_assign``): literal SQL at small nlist, broadcast relation
+    above LITERAL_MAX_NLIST. Generalizes the reference's staged
     candidate-filter search (SURVEY X11, ref: fedgaz/classes.py:242-345)
     to vector similarity.
     """
@@ -292,22 +365,36 @@ def ivf_topk(
             .collect()
         )
         centroids = [(int(r[id_col]), list(r[vec_col])) for r in seed_rows]
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col, round_to)
+    if strategy == "auto":
+        strategy = (
+            "literal" if len(centroids) <= LITERAL_MAX_NLIST else "broadcast"
+        )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, round_to, strategy)
     for _ in range(refine_iters):
         centroids = ivf_refine(assigned, vec_col)
-        assigned = ivf_assign(corpus, centroids, id_col, vec_col, round_to)
+        assigned = ivf_assign(
+            corpus, centroids, id_col, vec_col, round_to, strategy
+        )
 
-    frags = _cell_scores_sql("`qv`", "`_qnorm`", centroids, round_to)
-    scores = F.expr(f"array({','.join(frags)})")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("_qnorm"),
+    )
+    if strategy == "broadcast":
+        cents = _centroids_relation(corpus.sparkSession, centroids)
+        scores = _cell_scores_over(F.col("qv"), F.col("_qnorm"), round_to)
+        q = q.crossJoin(F.broadcast(cents))
+    else:
+        frags = _cell_scores_sql("`qv`", "`_qnorm`", centroids, round_to)
+        scores = F.expr(f"array({','.join(frags)})")
     probe_cells = F.transform(
         F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
         lambda s: (-s["negcell"]).cast("int"),
     )
-    probes = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("_qnorm"),
-    ).select("query_id", "qv", "_qnorm", F.explode(probe_cells).alias("cell"))
+    probes = q.select(
+        "query_id", "qv", "_qnorm", F.explode(probe_cells).alias("cell")
+    )
     # per-side norms are projected once so each candidate pair costs one
     # dot product; same expression order as `cosine`, so values are
     # bit-identical

@@ -73,6 +73,21 @@ def test_ivf_assign_is_shuffle_free(spark):
     assert _shuffles(ivf_assign(e, seeds)) == 0
 
 
+def test_ivf_assign_broadcast_strategy_is_shuffle_free(spark):
+    """The broadcast-relation centroid form must keep the corpus
+    unshuffled too: the one-row centroid table arrives via
+    BroadcastExchange, never a ShuffleExchange of the corpus."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    seeds = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in e.orderBy("vec_id").limit(4).collect()
+    ]
+    assigned = ivf_assign(e, seeds, strategy="broadcast")
+    plan = _plan(assigned)
+    assert "BroadcastExchange" in plan
+    assert _shuffles(assigned) == 0
+
+
 def test_cosine_topk_corpus_never_shuffled_by_join(spark):
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     qs = e.filter(F.col("vec_id") % 53 == 0)

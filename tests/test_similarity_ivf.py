@@ -97,6 +97,44 @@ def test_ivf_topk_recall_vs_exact(emb):
         assert cos == sorted(cos, reverse=True)
 
 
+def test_ivf_assign_broadcast_parity_nlist128(emb):
+    """literal-SQL vs broadcast-relation centroid strategies are
+    bit-identical at nlist=128 (above LITERAL_MAX_NLIST, where 'auto'
+    picks broadcast); score arithmetic uses the same fold order so the
+    rounded cosines — and therefore tie-breaks — agree exactly."""
+    df, vecs = emb
+    seeds = [(vid, list(vecs[vid])) for vid in sorted(vecs)[:128]]
+    lit = {
+        int(r["vec_id"]): int(r["cell"])
+        for r in ivf_assign(df, seeds, strategy="literal").collect()
+    }
+    bc = {
+        int(r["vec_id"]): int(r["cell"])
+        for r in ivf_assign(df, seeds, strategy="auto").collect()
+    }
+    assert lit == bc
+    assert len(set(bc.values())) > 1
+
+
+def test_ivf_topk_broadcast_parity_nlist128(emb):
+    df, vecs = emb
+    queries = df.filter(F.col("vec_id") % 53 == 0)
+    seeds = [(vid, list(vecs[vid])) for vid in sorted(vecs)[:128]]
+    lit = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ivf_topk(
+            df, queries, centroids=seeds, nprobe=4, k=3, strategy="literal"
+        ).collect()
+    }
+    bc = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ivf_topk(
+            df, queries, centroids=seeds, nprobe=4, k=3, strategy="auto"
+        ).collect()
+    }
+    assert lit == bc and len(bc) > 0
+
+
 def test_multiprobe_lsh_recall_dominates_single_probe(spark):
     from impresso_ta.operators.similarity import (
         lsh_bucketed_topk,
