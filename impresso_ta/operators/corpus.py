@@ -13,9 +13,14 @@ The last mile of an LLM data pipeline over the rebuilt/deduped corpus:
   starts its block at the budget line (standard approximate packing).
 - ``contamination``: per-benchmark-document k-shingle containment
   against the training corpus (decontamination screen). Expressed as a
-  semi-join on shingles; at 100 TB replace the distinct-shingle join
-  side with a bloom filter (``F.try_element_at`` on a broadcast sketch)
-  — the join form here is the exact-semantics baseline.
+  semi-join on shingles — the exact-semantics baseline.
+- ``contamination_bloom``: the 100 TB variant — the train shingle set is
+  folded into a bloom-filter bitmap (distributed ``bit_or`` build, one
+  shuffle carrying ≤ m/64 rows), broadcast as a one-row relation, and
+  membership becomes a row-local bit test: the corpus is scanned once
+  and never shuffled by key. Zero false negatives by construction;
+  false positives bounded by the standard (1-e^{-kn/m})^k. The exact
+  join above is the verify fallback.
 
 All determinism is md5-based for engine portability (DuckDB oracles
 compute identical values — same convention as operators/dedup.py).
@@ -140,6 +145,122 @@ def contamination(
         F.count("*").alias("n_shingles"),
         F.count("_hit").alias("n_contaminated"),
         F.round(F.count("_hit") / F.count("*"), round_to).alias("containment"),
+    )
+
+
+def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard bloom sizing: bits m = -n·ln p/(ln 2)², hashes
+    k = (m/n)·ln 2; m rounded up to a multiple of 64 (whole words)."""
+    import math
+
+    m = max(64, int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2))))
+    m = (m + 63) // 64 * 64
+    k = max(1, round(m / max(n_items, 1) * math.log(2)))
+    return m, k
+
+
+def _bloom_pos_sql(shingle_sql: str, i: int, m_bits: int) -> str:
+    """SQL for hash position i of a shingle — md5-derived 48-bit value
+    mod m, the engine-portable convention (DuckDB computes the identical
+    bit positions, so a bloom screen is oracle-checkable)."""
+    return (
+        f"CAST(conv(substring(md5(concat({shingle_sql}, '#b{i}')), 1, 12),"
+        f" 16, 10) AS BIGINT) % {m_bits}"
+    )
+
+
+def bloom_filter_build(
+    train: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    m_bits: int = 1 << 18,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Distributed bloom-filter build over the train shingle set.
+
+    Returns a ONE-ROW DataFrame with ``_bloom array<long>`` (m/64
+    words) for broadcast. Shingles are hashed to ``k_hashes`` bit
+    positions map-side; the only shuffle is a ``groupBy(word)`` whose
+    map-side ``bit_or`` partials collapse each task's contribution to
+    ≤ m/64 rows — shuffle volume is bounded by the FILTER size, not the
+    corpus. No distinct pass is needed (``bit_or`` is idempotent). The
+    driver then assembles the dense word array: m/64 longs, i.e. the
+    filter itself (m=2³³ → 128 MB, the practical broadcast ceiling).
+    """
+    assert m_bits % 64 == 0, "m_bits must be a multiple of 64"
+    tsh = spread_small_input(train).select(
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+    pos_arr = ",".join(
+        _bloom_pos_sql("shingle", i, m_bits) for i in range(k_hashes)
+    )
+    words = (
+        tsh.select(F.explode(F.expr(f"array({pos_arr})")).alias("pos"))
+        .groupBy(F.expr("CAST(pos DIV 64 AS INT)").alias("word"))
+        .agg(F.expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").alias("bits"))
+    )
+    dense = [0] * (m_bits // 64)
+    for r in words.collect():
+        dense[r["word"]] = r["bits"]
+    return train.sparkSession.createDataFrame(
+        [(dense,)], "_bloom array<long>"
+    )
+
+
+def contamination_bloom(
+    train: DataFrame,
+    bench: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 18,
+    k_hashes: int = 4,
+    round_to: int = 4,
+) -> DataFrame:
+    """Bloom-filtered contamination screen — same output shape as
+    ``contamination`` but the train side is a broadcast bitmap instead
+    of a distinct-shingle join relation.
+
+    A bench shingle counts as contaminated when ALL ``k_hashes`` bits
+    are set: a superset of the exact answer (zero false negatives —
+    deterministic hashes), overcounting by at most the bloom FPP.
+    The membership test is a pure row-local column expression
+    (element_at + bit mask on the broadcast array), so the bench side
+    needs no shuffle at all before the final per-doc groupBy.
+    """
+    bloom = bloom_filter_build(train, k, text_col, m_bits, k_hashes)
+    bsh = (
+        spread_small_input(bench)
+        .select(
+            F.col(id_col).alias("bench_id"),
+            F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+        )
+        .crossJoin(F.broadcast(bloom))
+    )
+    probed = bsh.select(
+        "bench_id",
+        "_bloom",
+        *[
+            F.expr(_bloom_pos_sql("shingle", i, m_bits)).alias(f"_p{i}")
+            for i in range(k_hashes)
+        ],
+    )
+    hit = F.lit(True)
+    for i in range(k_hashes):
+        hit = hit & F.expr(
+            f"(element_at(_bloom, CAST(_p{i} DIV 64 AS INT) + 1)"
+            f" & shiftleft(1L, CAST(_p{i} % 64 AS INT))) != 0"
+        )
+    return (
+        probed.withColumn("_hit", hit)
+        .groupBy("bench_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.col("_hit").cast("long")).alias("n_contaminated"),
+            F.round(
+                F.sum(F.col("_hit").cast("long")) / F.count("*"), round_to
+            ).alias("containment"),
+        )
     )
 
 

@@ -1709,6 +1709,76 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_contamination_bloom",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   for i in range(1, greatest(len(w) - 2, 1) + 1)
+               ]) AS shingles
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents)
+    ),
+    tpos AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5(shingle || '#b' || CAST(i AS VARCHAR)),
+                1, 12))::BIGINT % 262144 AS pos
+        FROM (SELECT unnest(shingles) AS shingle
+              FROM sh WHERE doc_id % 200 <> 0)
+        CROSS JOIN range(0, 4) AS t(i)
+    ),
+    words AS (
+        SELECT pos // 64 AS word,
+               bit_or(CASE WHEN pos % 64 = 63 THEN -9223372036854775807 - 1
+                      ELSE 1::BIGINT << CAST(pos % 64 AS INT) END) AS bits
+        FROM tpos GROUP BY 1
+    ),
+    bsh AS (
+        SELECT doc_id AS bench_id, unnest(shingles) AS shingle
+        FROM sh WHERE doc_id % 200 = 0
+    ),
+    bpos AS (
+        SELECT bench_id, shingle,
+               ('0x' || substr(md5(shingle || '#b' || CAST(i AS VARCHAR)),
+                1, 12))::BIGINT % 262144 AS pos
+        FROM bsh CROSS JOIN range(0, 4) AS t(i)
+    ),
+    checked AS (
+        SELECT bench_id, shingle,
+               bool_and((coalesce(w.bits, 0)
+                   & (CASE WHEN pos % 64 = 63 THEN -9223372036854775807 - 1
+                      ELSE 1::BIGINT << CAST(pos % 64 AS INT) END)) <> 0) AS hit
+        FROM bpos LEFT JOIN words w ON pos // 64 = w.word
+        GROUP BY bench_id, shingle
+    )
+    SELECT bench_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           round(sum(CASE WHEN hit THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+               AS containment
+    FROM checked GROUP BY bench_id
+    """,
+    "Bloom-filtered decontamination screen (the 100 TB path): train "
+    "shingles folded into a 2^18-bit broadcast bitmap via distributed "
+    "bit_or, membership a row-local bit test — corpus never shuffled. "
+    "md5-derived positions, so DuckDB reproduces the exact same false "
+    "positives and the hashes must match bit-for-bit",
+)
+def corpus_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.corpus import contamination_bloom
+
+    d = t(spark, sf_dir, "documents")
+    return contamination_bloom(
+        d.filter(F.col("doc_id") % 200 != 0),
+        d.filter(F.col("doc_id") % 200 == 0),
+        k=3,
+        m_bits=1 << 18,
+        k_hashes=4,
+    )
+
+
+@q(
     "a11_percentile_stats",
     """
     WITH ranked AS (
