@@ -10,12 +10,16 @@ additionally needs the binary payloads in-table. Design:
 - decode / feature-extraction / frame-sampling run as Arrow-batched
   ``mapInPandas`` UDTFs — one Python roundtrip per batch, schema fixed
   up front,
-- the actual codec work is pluggable: the real decoders (PIL/librosa/
-  pyav) are NOT in this container, so the default decoder is a
+- the actual codec work is pluggable AND opportunistic: when Pillow is
+  importable the default image decoder is the real ``_pil_image_decode``
+  (PIL imported executor-side inside the UDF — driver and executors are
+  assumed to share an environment, true in local mode and any
+  uniformly-provisioned cluster); otherwise it falls back to a
   clearly-marked deterministic fake (seeded from the payload checksum)
   that keeps every piece of Spark plumbing — schemas, batching,
-  partitioning — real and testable. Pass ``decoder=...`` to plug a real
-  one in; ``strict=True`` raises NotImplementedError instead of faking.
+  partitioning — real and testable. Pass ``decoder=...`` to plug a
+  custom one in; ``strict=True`` raises NotImplementedError instead of
+  silently faking when no real decoder exists.
 """
 
 from __future__ import annotations
@@ -105,18 +109,50 @@ def _fake_image_decode(content: bytes) -> dict:
     }
 
 
+def have_pil() -> bool:
+    """Is Pillow importable here? (driver-side probe; environments are
+    assumed uniform, so executor workers see the same answer)."""
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def _pil_image_decode(content: bytes) -> dict:
+    """REAL decoder — auto-selected when Pillow is importable. The import
+    lives inside the function so the check happens executor-side at batch
+    time, never at module import."""
+    import io
+
+    from PIL import Image, ImageStat
+
+    img = Image.open(io.BytesIO(content))
+    img.load()
+    luma = ImageStat.Stat(img.convert("L")).mean[0]
+    return {
+        "width": img.width,
+        "height": img.height,
+        "mode": img.mode,
+        "mean_luma": round(luma / 255.0, 6),
+    }
+
+
+def default_image_decoder() -> Callable[[bytes], dict]:
+    """Real (PIL) decoder when available, deterministic fake otherwise."""
+    return _pil_image_decode if have_pil() else _fake_image_decode
+
+
 def decode_images(
     media_df: DataFrame,
     decoder: Optional[Callable[[bytes], dict]] = None,
     strict: bool = False,
 ) -> DataFrame:
     """Binary images → typed metadata via Arrow-batched mapInPandas."""
-    if strict and decoder is None:
+    if strict and decoder is None and not have_pil():
         raise NotImplementedError(
             "No real image decoder available in this environment; "
             "pass decoder= (e.g. PIL-based) or use the deterministic fake"
         )
-    dec = decoder or _fake_image_decode
+    dec = decoder or default_image_decoder()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

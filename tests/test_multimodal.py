@@ -34,8 +34,78 @@ def test_decode_images_deterministic(media):
 
 
 def test_decode_strict_raises(media):
+    if multimodal.have_pil():
+        pytest.skip("PIL present: strict mode decodes for real instead")
     with pytest.raises(NotImplementedError):
         multimodal.decode_images(media, strict=True)
+
+
+def _ppm_bytes(width, height, value=128):
+    return (f"P6\n{width} {height}\n255\n".encode()) + bytes(
+        [value] * (width * height * 3)
+    )
+
+
+def _make_ppm_decoder():
+    """Minimal real P6-PPM decoder (pure python) — exercises the
+    real-decoder path end-to-end without Pillow. Built as a closure so
+    cloudpickle ships it by VALUE (executors can't import test modules).
+    """
+
+    def ppm_decode(content: bytes) -> dict:
+        header, _, rest = content.partition(b"255\n")
+        magic, dims = header.split(b"\n")[:2]
+        assert magic == b"P6"
+        w, h = (int(x) for x in dims.split())
+        pix = rest[: w * h * 3]
+        return {
+            "width": w,
+            "height": h,
+            "mode": "RGB",
+            "mean_luma": round(sum(pix) / len(pix) / 255.0, 6),
+        }
+
+    return ppm_decode
+
+
+@pytest.fixture(scope="module")
+def ppm_media(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("ppm")
+    (d / "a.ppm").write_bytes(_ppm_bytes(8, 4, 200))
+    (d / "b.ppm").write_bytes(_ppm_bytes(3, 5, 10))
+    return multimodal.read_media_dir(spark, str(d), mime="image/x-ppm").cache()
+
+
+def test_decode_images_real_decoder_path(ppm_media):
+    """A real decoder plugged in returns TRUE dimensions — same UDF
+    plumbing as the fake, different codec."""
+    meta = {
+        r["media_id"]: r.asDict()
+        for r in multimodal.decode_images(
+            ppm_media, decoder=_make_ppm_decoder()
+        ).collect()
+    }
+    assert meta["a.ppm"]["width"] == 8 and meta["a.ppm"]["height"] == 4
+    assert meta["b.ppm"]["width"] == 3 and meta["b.ppm"]["height"] == 5
+    assert meta["a.ppm"]["mean_luma"] == round(200 / 255.0, 6)
+
+
+def test_default_decoder_selection(monkeypatch):
+    monkeypatch.setattr(multimodal, "have_pil", lambda: False)
+    assert multimodal.default_image_decoder() is multimodal._fake_image_decode
+    monkeypatch.setattr(multimodal, "have_pil", lambda: True)
+    assert multimodal.default_image_decoder() is multimodal._pil_image_decode
+
+
+@pytest.mark.skipif(not multimodal.have_pil(), reason="Pillow not installed")
+def test_pil_decode_real(ppm_media):
+    """When Pillow IS present, the auto-selected decoder reads true
+    dimensions (runs wherever the environment has codecs)."""
+    meta = {
+        r["media_id"]: r.asDict()
+        for r in multimodal.decode_images(ppm_media).collect()
+    }
+    assert meta["a.ppm"]["width"] == 8 and meta["a.ppm"]["height"] == 4
 
 
 def test_frame_sampling_fanout(media):
