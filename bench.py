@@ -6,6 +6,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Queries are forced with the noop sink (full computation of every output
 column, no driver collect). Each query timed individually after a warm-up
 of the session (JVM + parquet footer caches).
+
+A second pass runs at sf1 (10x sf0.1, generated on first use by
+tools/gen_bigsf.py into ./testdata/sf1 — multi-row-group parquet, so
+scans actually parallelize) and is reported under the "sf1" key; the
+primary metric stays the sf0.1 total for round-over-round
+comparability. Disable with SPARK_GRAFT_SF1=0.
 """
 
 from __future__ import annotations
@@ -71,37 +77,61 @@ def main() -> None:
         return round(best, 3)
 
     registry = catalog.queries()
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = registry[name]
-        timings[name] = timed(lambda fn=fn: fn(spark, sf_dir))
 
-    # Flagship engine benchmark: rebuild a synthetic canonical corpus
-    # derived from the documents table (one issue+page+CI per doc).
-    from impresso_ta.plans import synthetic_canonical_corpus
-    from impresso_ta.rebuild import rebuild_issues_passim, rebuild_issues_solr
+    def run_suite(at_dir: str) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in BENCH_QUERIES:
+            fn = registry[name]
+            timings[name] = timed(lambda fn=fn: fn(spark, at_dir))
 
-    docs = catalog.t(spark, sf_dir, "documents")
-    issues_df, pages_df = synthetic_canonical_corpus(docs)
-    timings["rebuild_solr_synthetic"] = timed(
-        lambda: rebuild_issues_solr(issues_df, pages_df)
-    )
-    timings["rebuild_passim_synthetic"] = timed(
-        lambda: rebuild_issues_passim(issues_df, pages_df)
-    )
-
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+        # Flagship engine benchmark: rebuild a synthetic canonical corpus
+        # derived from the documents table (one issue+page+CI per doc).
+        from impresso_ta.plans import synthetic_canonical_corpus
+        from impresso_ta.rebuild import (
+            rebuild_issues_passim,
+            rebuild_issues_solr,
         )
-    )
+
+        docs = catalog.t(spark, at_dir, "documents")
+        issues_df, pages_df = synthetic_canonical_corpus(docs)
+        timings["rebuild_solr_synthetic"] = timed(
+            lambda: rebuild_issues_solr(issues_df, pages_df)
+        )
+        timings["rebuild_passim_synthetic"] = timed(
+            lambda: rebuild_issues_passim(issues_df, pages_df)
+        )
+        return timings
+
+    timings = run_suite(sf_dir)
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        repo = os.path.dirname(os.path.abspath(__file__))
+        sf1_dir = os.environ.get(
+            "SPARK_GRAFT_SF1_DIR", os.path.join(repo, "testdata", "sf1")
+        )
+        try:
+            if not os.path.exists(os.path.join(sf1_dir, "lineitem.parquet")):
+                from tools.gen_bigsf import generate
+
+                generate(sf_dir, sf1_dir, copies=10)
+            sf1_timings = run_suite(sf1_dir)
+            result["sf1"] = {
+                "sf": 1.0,
+                "total": round(sum(sf1_timings.values()), 3),
+                "queries": sf1_timings,
+            }
+        except Exception as ex:  # bench must still report the primary sf
+            result["sf1"] = {"error": str(ex)}
+
+    print(json.dumps(result))
     spark.stop()
 
 

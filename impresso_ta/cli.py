@@ -115,12 +115,18 @@ def cmd_import(args, spark) -> int:
             res.records, f"{args.output_dir}/records", fmt=args.store_format
         )
     write_errors(res.errors, f"{args.output_dir}/errors")
-    stats = manifest_stats(res.issues).collect()
-    for row in stats:
+    # manifest goes through the sink (distributed write) — at scale the
+    # (alias, year) grid is big enough that a full driver collect is a
+    # bottleneck; the console only echoes a bounded sample.
+    stats_df = manifest_stats(res.issues)
+    stats_df.write.mode("overwrite").json(f"{args.output_dir}/manifest")
+    echo = stats_df.orderBy("alias", "year").limit(20).collect()
+    for row in echo:
         print(
             f"{row['alias']}-{row['year']}: {row['n_issues']} issues, "
             f"{row['n_content_items']} content items, {row['n_pages']} pages"
         )
+    print(f"manifest written to {args.output_dir}/manifest")
     return 0
 
 

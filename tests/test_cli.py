@@ -42,6 +42,18 @@ def test_cli_import_then_rebuild(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "GAZ-1900: 1 issues, 2 content items, 1 pages" in r.stdout
+    # manifest is written through the sink, not just echoed
+    import glob
+    import json as _json
+
+    manifest_rows = []
+    for f in glob.glob(str(store / "manifest" / "part-*")):
+        manifest_rows += [
+            _json.loads(line) for line in open(f) if line.strip()
+        ]
+    assert any(
+        m["alias"] == "GAZ" and m["n_issues"] == 1 for m in manifest_rows
+    )
 
     r2 = _run(
         "rebuild",
