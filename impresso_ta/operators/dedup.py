@@ -337,3 +337,101 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a pair list via iterative min-label
+    propagation — the dedup-cluster builder (each component = one group
+    of mutually-near-duplicate documents).
+
+    Algorithm: every node starts labeled with its own id; each round every
+    node adopts the minimum label among itself and its neighbors, until a
+    round changes nothing. Converges in O(component diameter) rounds —
+    near-dup clusters are dense (diameter 1-2), so 2-3 rounds in practice.
+
+    Scale shape: the symmetrized edge list is shuffled ONCE (repartition
+    on the join key) and persisted; each round then shuffles only the
+    label frame (one long per node) for the join + min-groupBy. Lineage
+    is truncated every round with an eager localCheckpoint so the plan
+    doesn't grow with iterations (on a cluster with dynamic allocation
+    prefer ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``,
+    which survives executor loss). Driver never sees node data — the only
+    per-round action is a changed-row count.
+
+    This is the equi-join formulation of the map-reduce CC algorithms
+    (cf. Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    min-label propagation rather than large-star/small-star, which is the
+    right tradeoff when components are small and dense (dedup clusters)
+    — fewer rounds, no edge-list rewriting.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .repartition("b")
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("b_node"), F.col("label")
+                ),
+                sym["b"] == F.col("b_node"),
+            )
+            .groupBy("a")
+            .agg(F.min("label").alias("neigh_label"))
+        )
+        updated = (
+            labels.join(neigh.withColumnRenamed("a", "node"), "node", "left")
+            .select(
+                "node",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce("neigh_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("label") < F.col("old_label")).count()
+        labels = updated.select("node", "label")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame, left: str = "doc_a", right: str = "doc_b"
+) -> DataFrame:
+    """Near-duplicate clusters from candidate pairs: connected components
+    + cluster size + canonical-representative flag (min doc id — the one
+    a dedup pass would KEEP; the rest are droppable).
+
+    One extra shuffle over ``connected_components`` (the size window);
+    cluster size is attached with a window rather than a self-join so the
+    component frame is shuffled once, not twice.
+    """
+    from pyspark.sql.window import Window
+
+    comp = connected_components(pairs, src=left, dst=right)
+    size_w = Window.partitionBy("label")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component"),
+        F.count("*").over(size_w).cast("long").alias("cluster_size"),
+        (F.col("node") == F.col("label")).alias("is_rep"),
+    ).select("doc_id", "component", "cluster_size", "is_rep")

@@ -2165,3 +2165,43 @@ def corpus_chunk_text_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL chunk_text(d.text, 300) c
         """
     )
+
+
+_CLUSTERS_ORACLE = (
+    """
+    WITH RECURSIVE pairs AS ("""
+    + _JACCARD_ORACLE.format(thr=0.7)
+    + """),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+    SELECT node AS doc_id, component,
+           (count(*) OVER (PARTITION BY component))::BIGINT AS cluster_size,
+           node = component AS is_rep
+    FROM comp
+    """
+)
+
+
+@q(
+    "dedup_clusters",
+    _CLUSTERS_ORACLE,
+    "Near-dup clusters: connected components (iterative min-label "
+    "propagation, O(diameter) rounds, one persisted edge shuffle) over "
+    "the 3-gram Jaccard pair list; canonical representative = min id. "
+    "Oracle: DuckDB recursive CTE over the same pair SQL.",
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.jaccard_pairs(
+        t(spark, sf_dir, "documents"), k=3, threshold=0.7
+    )
+    return dedup.dedup_clusters(pairs)
