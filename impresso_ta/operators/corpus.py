@@ -288,3 +288,41 @@ def stratified_sample(
         .filter(F.col("_rn") <= n_per_stratum)
         .drop("_rn")
     )
+
+
+def vocabulary(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus vocabulary: top-k words by term frequency with document
+    frequency — the tokenizer-training / stopword-mining primitive.
+
+    Document frequency is computed as an explicit two-stage aggregate
+    (groupBy(word, doc) then groupBy(word)) instead of
+    ``countDistinct``: partial aggregation collapses each task's
+    repeats before the shuffle, so the exchange carries one row per
+    (word, doc) — the form that survives 100 TB. Top-k is a
+    TakeOrdered over the (small) word-level aggregate, never a
+    single-partition sort of the corpus. Deterministic total order:
+    (tf desc, word asc).
+    """
+    per_doc = (
+        spread_small_input(docs)
+        .select(
+            F.col(id_col).alias("_doc"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+        )
+        .groupBy("word", "_doc")
+        .agg(F.count("*").alias("tf_doc"))
+    )
+    return (
+        per_doc.groupBy("word")
+        .agg(
+            F.sum("tf_doc").cast("long").alias("tf"),
+            F.count("*").cast("long").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("word"))
+        .limit(top_k)
+    )

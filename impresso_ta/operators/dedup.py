@@ -435,3 +435,46 @@ def dedup_clusters(
         F.count("*").over(size_w).cast("long").alias("cluster_size"),
         (F.col("node") == F.col("label")).alias("is_rep"),
     ).select("doc_id", "component", "cluster_size", "is_rep")
+
+
+def duplicated_shingle_fraction(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    drop_above: float = 0.5,
+) -> DataFrame:
+    """Per-document fraction of distinct k-gram shingles that also occur
+    in at least one other document — the equi-join approximation of exact
+    substring dedup (the suffix-array pass of Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", recast as
+    shingle-granular containment so it joins instead of sorting a global
+    suffix array).
+
+    ``keep`` = fraction ≤ ``drop_above``: a doc mostly made of text seen
+    elsewhere is dropped even when no single pair crosses a Jaccard
+    threshold (e.g. a mosaic of copied fragments).
+
+    Scale shape: shingles travel as 48-bit longs; corpus-wide document
+    frequency is one uniform-keyed groupBy; the df frame joins back on
+    the same key (exchange reused — both sides partitioned by h); final
+    per-doc aggregate is the only doc-keyed shuffle. Never all-pairs.
+    """
+    sh = _explode_shingle_hashes(docs, id_col, text_col, k).persist()
+    df = sh.groupBy("h").agg(F.count("*").alias("nd"))
+    per = (
+        sh.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    out = per.select(
+        "doc_id",
+        F.col("n_shingles").cast("long"),
+        F.round(F.col("n_dup").cast("double") / F.col("n_shingles"), 4).alias(
+            "dup_shingle_frac"
+        ),
+    ).withColumn("keep", F.col("dup_shingle_frac") <= F.lit(drop_above))
+    return out

@@ -91,3 +91,88 @@ def rolling_fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (lowercased,
     whitespace collapsed) — the exact-dedup key."""
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def _gram_array(words: Column, n: int) -> Column:
+    """Non-distinct n-gram array (every occurrence, reading order).
+
+    Same zip_with construction as dedup.word_shingles (which is the
+    distinct variant) — shifted copies concatenated pairwise keep the
+    whole expression inside whole-stage codegen.
+    """
+    size = F.size(words)
+    acc = words
+    for j in range(1, n):
+        shifted = F.slice(words, j + 1, F.greatest(size - j, F.lit(1)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(acc, 1, F.greatest(size - n + 1, F.lit(1)))
+
+
+def repetition_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_word_max: float = 0.15,
+    dup_2gram_max: float = 0.10,
+    dup_3gram_max: float = 0.05,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, §A1.1): fraction
+    of tokens taken by the single most frequent word, and the fraction of
+    2-/3-gram occurrences that are repeats of an earlier occurrence.
+    ``keep`` applies the thresholds a pre-training pipeline would filter
+    on.
+
+    Shape: one explode over all three gram sizes (tagged structs, one
+    scan), a (doc, n, gram) count with map-side partial aggregation, and
+    one conditional-aggregate groupBy(doc) — two shuffles total, both
+    keyed by doc_id+gram so 100 TB spreads uniformly; no per-doc state
+    exceeds its own gram histogram.
+    """
+    words = tokens(F.col(text_col))
+
+    def tagged(n: int) -> Column:
+        return F.transform(
+            _gram_array(words, n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+        )
+
+    exploded = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.concat(tagged(1), tagged(2), tagged(3))).alias("g"),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counts = exploded.groupBy("doc_id", "n", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+
+    def dup_frac(n: int) -> Column:
+        dup = F.coalesce(
+            F.sum(F.when((F.col("n") == n) & (F.col("cnt") > 1), F.col("cnt"))),
+            F.lit(0),
+        )
+        total = F.sum(F.when(F.col("n") == n, F.col("cnt")))
+        return F.round(dup.cast("double") / total, 4)
+
+    top_word = F.round(
+        F.max(F.when(F.col("n") == 1, F.col("cnt"))).cast("double")
+        / F.sum(F.when(F.col("n") == 1, F.col("cnt"))),
+        4,
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            top_word.alias("top_word_frac"),
+            dup_frac(2).alias("dup_2gram_frac"),
+            dup_frac(3).alias("dup_3gram_frac"),
+        )
+        .select(
+            "doc_id",
+            "top_word_frac",
+            "dup_2gram_frac",
+            "dup_3gram_frac",
+            (
+                (F.col("top_word_frac") <= top_word_max)
+                & (F.col("dup_2gram_frac") <= dup_2gram_max)
+                & (F.col("dup_3gram_frac") <= dup_3gram_max)
+            ).alias("keep"),
+        )
+    )

@@ -2205,3 +2205,98 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents"), k=3, threshold=0.7
     )
     return dedup.dedup_clusters(pairs)
+
+
+@q(
+    "text_repetition_stats",
+    """
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+               FROM documents),
+    grams AS (
+        SELECT doc_id, 1 AS n, unnest(w) AS gram FROM w
+        UNION ALL
+        SELECT doc_id, 2, unnest([w[i] || ' ' || w[i+1]
+                                  for i in range(1, greatest(len(w)-1,1)+1)])
+        FROM w
+        UNION ALL
+        SELECT doc_id, 3, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, greatest(len(w)-2,1)+1)])
+        FROM w
+    ),
+    counts AS (SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY ALL)
+    SELECT doc_id,
+           round(max(CASE WHEN n=1 THEN cnt END)::DOUBLE
+                 / sum(CASE WHEN n=1 THEN cnt END), 4) AS top_word_frac,
+           round(coalesce(sum(CASE WHEN n=2 AND cnt>1 THEN cnt END), 0)::DOUBLE
+                 / sum(CASE WHEN n=2 THEN cnt END), 4) AS dup_2gram_frac,
+           round(coalesce(sum(CASE WHEN n=3 AND cnt>1 THEN cnt END), 0)::DOUBLE
+                 / sum(CASE WHEN n=3 THEN cnt END), 4) AS dup_3gram_frac,
+           (round(max(CASE WHEN n=1 THEN cnt END)::DOUBLE
+                  / sum(CASE WHEN n=1 THEN cnt END), 4) <= 0.15
+            AND round(coalesce(sum(CASE WHEN n=2 AND cnt>1 THEN cnt END), 0)::DOUBLE
+                      / sum(CASE WHEN n=2 THEN cnt END), 4) <= 0.10
+            AND round(coalesce(sum(CASE WHEN n=3 AND cnt>1 THEN cnt END), 0)::DOUBLE
+                      / sum(CASE WHEN n=3 THEN cnt END), 4) <= 0.05) AS keep
+    FROM counts GROUP BY doc_id
+    """,
+    "Gopher-style repetition quality filters: top-word fraction, "
+    "duplicate 2-/3-gram occurrence fractions, keep flag. Two shuffles "
+    "(gram histogram + conditional aggregate), both uniformly keyed.",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.repetition_features(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_shingle_containment",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                       || ' ' || w[i+4]
+                   for i in range(1, greatest(len(w) - 4, 1) + 1)
+               ])) AS shingle
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents)
+    ),
+    df AS (SELECT shingle, count(*) AS nd FROM sh GROUP BY 1),
+    per AS (
+        SELECT s.doc_id, count(*) AS n_shingles,
+               sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS n_dup
+        FROM sh s JOIN df d USING (shingle) GROUP BY 1
+    )
+    SELECT doc_id, n_shingles::BIGINT AS n_shingles,
+           round(n_dup::DOUBLE / n_shingles, 4) AS dup_shingle_frac,
+           (round(n_dup::DOUBLE / n_shingles, 4) <= 0.5) AS keep
+    FROM per
+    """,
+    "Per-doc duplicated-shingle fraction (shingle-granular containment, "
+    "the equi-join recast of exact-substring dedup): df groupBy on 48-bit "
+    "hashes + join back on the same key, one doc-keyed aggregate.",
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.duplicated_shingle_fraction(
+        t(spark, sf_dir, "documents"), k=5, drop_above=0.5
+    )
+
+
+@q(
+    "corpus_vocabulary",
+    """
+    WITH w AS (SELECT doc_id,
+                      unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+               FROM documents),
+    per AS (SELECT word, doc_id, count(*) AS tf_doc FROM w GROUP BY 1, 2)
+    SELECT word, sum(tf_doc)::BIGINT AS tf, count(*)::BIGINT AS df
+    FROM per GROUP BY word
+    ORDER BY tf DESC, word ASC LIMIT 50
+    """,
+    "Corpus vocabulary: top-50 words by term frequency with document "
+    "frequency. Two-stage aggregate so the shuffle carries one row per "
+    "(word, doc); top-k is a TakeOrdered over the word-level aggregate.",
+)
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.corpus import vocabulary
+
+    return vocabulary(t(spark, sf_dir, "documents"), top_k=50)
