@@ -2300,3 +2300,52 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from impresso_ta.operators.corpus import vocabulary
 
     return vocabulary(t(spark, sf_dir, "documents"), top_k=50)
+
+
+@q(
+    "similarity_knn_classify",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+               round(
+                   list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                       x -> x[1]::DOUBLE * x[2]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(q.embedding, v -> v::DOUBLE * v::DOUBLE)))
+                    * sqrt(list_sum(list_transform(c.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+               4) AS cosine
+        FROM q, c
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+            ) AS rn FROM scored
+        ) WHERE rn <= 5
+    ),
+    votes AS (
+        SELECT query_id, label, count(*)::BIGINT AS n_votes,
+               round(sum(cosine), 4) AS sim_sum
+        FROM topk GROUP BY 1, 2
+    )
+    SELECT query_id, label AS pred_label, n_votes, sim_sum
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY n_votes DESC, sim_sum DESC, label ASC) AS r
+          FROM votes)
+    WHERE r = 1
+    """,
+    "kNN label assignment (k=5 cosine majority vote, labeled corpus "
+    "scanned once with labels riding the scan; broadcast queries; total "
+    "tie-break votes/sim/label).",
+)
+def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.similarity import knn_classify
+
+    emb = t(spark, sf_dir, "embeddings")
+    return knn_classify(
+        emb.filter(F.col("vec_id") >= 10),
+        emb.filter(F.col("vec_id") < 10).drop("label"),
+        k=5,
+    )
