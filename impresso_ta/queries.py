@@ -2398,3 +2398,46 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from impresso_ta.operators.pii import inject_pii, pii_scan
 
     return pii_scan(inject_pii(t(spark, sf_dir, "documents")))
+
+
+@q(
+    "retrieval_bm25_topk",
+    """
+    WITH per AS (
+        SELECT doc_id, len(w)::BIGINT AS dl,
+               len(list_filter(w, x -> x = 'dup'))::BIGINT AS tf_0,
+               len(list_filter(w, x -> x = 'query'))::BIGINT AS tf_1,
+               len(list_filter(w, x -> x = 'scan'))::BIGINT AS tf_2
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents)
+    ),
+    stats AS (
+        SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+               sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_0,
+               sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_1,
+               sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_2
+        FROM per
+    )
+    SELECT doc_id, dl,
+           round(
+               ln((n - df_0 + 0.5) / (df_0 + 0.5) + 1) * tf_0 * 2.2
+                   / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n - df_1 + 0.5) / (df_1 + 0.5) + 1) * tf_1 * 2.2
+                   / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n - df_2 + 0.5) / (df_2 + 0.5) + 1) * tf_2 * 2.2
+                   / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+           4) AS bm25
+    FROM per CROSS JOIN stats
+    WHERE tf_0 + tf_1 + tf_2 > 0
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+    "BM25 ranked retrieval for terms (dup, query, scan): per-doc tf/dl "
+    "as array projections (no explode, no corpus shuffle), one-row "
+    "stats aggregate broadcast back, TakeOrdered top-k.",
+)
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        t(spark, sf_dir, "documents"), terms=["dup", "query", "scan"], k=10
+    )

@@ -1,0 +1,73 @@
+"""BM25 retrieval: hand-computed scores on a tiny fixture, ranking
+semantics (idf beats raw tf), and the no-corpus-shuffle plan claim."""
+
+import math
+
+import pytest
+
+from impresso_ta.operators.retrieval import bm25_topk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bm25(tf, df, n, dl, avgdl, k1=1.2, b=0.75):
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+    return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def test_bm25_hand_computed(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "cat dog cat"),
+            (2, "cat fish"),
+            (3, "dog dog dog fish"),
+            (4, "bird bird"),
+        ],
+    )
+    out = {r["doc_id"]: r["bm25"] for r in bm25_topk(d, ["cat"], k=10).collect()}
+    n, avgdl = 4.0, (3 + 2 + 4 + 2) / 4.0
+    assert set(out) == {1, 2}
+    assert out[1] == round(_bm25(2, 2, n, 3, avgdl), 4)
+    assert out[2] == round(_bm25(1, 2, n, 2, avgdl), 4)
+    assert out[1] > out[2]  # higher tf, same df
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    # doc 1 matches only the common term (with high tf); doc 2 matches
+    # only the rare term once — rarity wins at equal length
+    rows = [(i, "common word soup here") for i in range(1, 9)]
+    rows += [(9, "common common common here"), (10, "rare word soup here")]
+    d = _docs(spark, rows)
+    out = bm25_topk(d, ["common", "rare"], k=2).collect()
+    assert out[0]["doc_id"] == 10
+    assert out[0]["bm25"] > out[1]["bm25"]
+
+
+def test_bm25_multi_term_is_sum(spark):
+    d = _docs(spark, [(1, "a b"), (2, "a a"), (3, "c c")])
+    both = {r["doc_id"]: r["bm25"] for r in bm25_topk(d, ["a", "b"], k=3).collect()}
+    only_a = {r["doc_id"]: r["bm25"] for r in bm25_topk(d, ["a"], k=3).collect()}
+    only_b = {r["doc_id"]: r["bm25"] for r in bm25_topk(d, ["b"], k=3).collect()}
+    assert both[1] == pytest.approx(only_a[1] + only_b[1], abs=2e-4)
+    assert 3 not in both
+
+
+def test_bm25_corpus_never_shuffled(spark):
+    from tests.test_plans import _plan, _shuffles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = bm25_topk(docs, ["dup", "query"], k=5)
+    # the only exchanges allowed: the single-row stats aggregate and the
+    # TakeOrdered result — neither hash-partitions the corpus
+    assert _shuffles(df) == 0
+    assert "BroadcastExchange" in _plan(df)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_bm25_empty_terms_raises(spark):
+    d = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError):
+        bm25_topk(d, [])
