@@ -56,7 +56,15 @@ def main() -> None:
         app_name="impresso_ta-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_confs={"spark.ui.showConsoleProgress": "false"},
+        extra_confs={
+            "spark.ui.showConsoleProgress": "false",
+            # the sf1 pass broadcasts dimension tables 10x the sf0.1
+            # size; the 1g driver-heap default has no headroom for the
+            # broadcast build when the host is under memory pressure
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "8g"
+            ),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -77,12 +85,18 @@ def main() -> None:
         return round(best, 3)
 
     registry = catalog.queries()
+    errors: dict[str, str] = {}
 
     def run_suite(at_dir: str) -> dict[str, float]:
+        # one failing query must not void the rest of the suite — record
+        # it under "errors" and keep timing the others
         timings: dict[str, float] = {}
         for name in BENCH_QUERIES:
             fn = registry[name]
-            timings[name] = timed(lambda fn=fn: fn(spark, at_dir))
+            try:
+                timings[name] = timed(lambda fn=fn: fn(spark, at_dir))
+            except Exception as ex:
+                errors[f"{at_dir}:{name}"] = str(ex).split("\n")[0][:300]
 
         # Flagship engine benchmark: rebuild a synthetic canonical corpus
         # derived from the documents table (one issue+page+CI per doc).
@@ -94,12 +108,14 @@ def main() -> None:
 
         docs = catalog.t(spark, at_dir, "documents")
         issues_df, pages_df = synthetic_canonical_corpus(docs)
-        timings["rebuild_solr_synthetic"] = timed(
-            lambda: rebuild_issues_solr(issues_df, pages_df)
-        )
-        timings["rebuild_passim_synthetic"] = timed(
-            lambda: rebuild_issues_passim(issues_df, pages_df)
-        )
+        for rb_name, rb in (
+            ("rebuild_solr_synthetic", rebuild_issues_solr),
+            ("rebuild_passim_synthetic", rebuild_issues_passim),
+        ):
+            try:
+                timings[rb_name] = timed(lambda rb=rb: rb(issues_df, pages_df))
+            except Exception as ex:
+                errors[f"{at_dir}:{rb_name}"] = str(ex).split("\n")[0][:300]
         return timings
 
     timings = run_suite(sf_dir)
@@ -129,8 +145,10 @@ def main() -> None:
                 "queries": sf1_timings,
             }
         except Exception as ex:  # bench must still report the primary sf
-            result["sf1"] = {"error": str(ex)}
+            result["sf1"] = {"error": str(ex).split("\n")[0][:300]}
 
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
     spark.stop()
 

@@ -326,3 +326,68 @@ def vocabulary(
         .orderBy(F.desc("tf"), F.asc("word"))
         .limit(top_k)
     )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    target_rows: int = 200,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based domain mixing: subsample so each domain's share
+    of the output follows n_d^alpha instead of n_d (alpha < 1 flattens
+    the mix toward rare domains — the multilingual/domain-balancing
+    sampler of LLaMA/XLM-style pipelines; alpha=1 is proportional,
+    alpha=0 uniform). Downsampling only: per-domain keep probability
+    p_d = min(1, target * (n_d^alpha / sum w) / n_d).
+
+    Zero corpus shuffle: domain counts are one tiny aggregate whose
+    probability table broadcasts back; membership is a row-local
+    md5-uniform threshold (deterministic — no rand(), same sample every
+    run and on every engine). p_d is rounded to 9 decimals so the
+    threshold comparison is ulp-stable across engines' pow()
+    implementations.
+    """
+    w = (
+        docs.groupBy(domain_col)
+        .agg(F.count("*").alias("n_d"))
+        .select(
+            domain_col,
+            "n_d",
+            F.pow(F.col("n_d").cast("double"), F.lit(alpha)).alias("w_d"),
+        )
+    )
+    tot = w.agg(F.sum("w_d").alias("w_tot"))
+    probs = w.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_rows))
+                * F.col("w_d")
+                / F.col("w_tot")
+                / F.col("n_d"),
+            ),
+            9,
+        ).alias("p_d"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(domain_col),
+                        F.lit(":"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 48))
+    )
+    return docs.join(F.broadcast(probs), domain_col).filter(u < F.col("p_d"))

@@ -478,3 +478,28 @@ def duplicated_shingle_fraction(
         ),
     ).withColumn("keep", F.col("dup_shingle_frac") <= F.lit(drop_above))
     return out
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    left: str = "doc_a",
+    right: str = "doc_b",
+) -> DataFrame:
+    """The end-to-end dedup pass: every document outside a near-dup
+    cluster survives; inside a cluster only the canonical representative
+    (min id) does. Returns the surviving subset of ``docs`` unchanged.
+
+    The drop list (cluster members minus representatives) is tiny
+    relative to the corpus, so the left-anti join is the right shape;
+    join strategy is left to AQE — with a skew-free id key the corpus
+    side shuffles at most once, and a small drop list downgrades to a
+    broadcast anti-join at runtime.
+    """
+    drops = (
+        dedup_clusters(pairs, left=left, right=right)
+        .filter(~F.col("is_rep"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return docs.join(drops, on=id_col, how="left_anti")

@@ -2441,3 +2441,78 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         t(spark, sf_dir, "documents"), terms=["dup", "query", "scan"], k=10
     )
+
+
+@q(
+    "dedup_survivor_stats",
+    _CLUSTERS_ORACLE.replace(
+        """
+    SELECT node AS doc_id, component,
+           (count(*) OVER (PARTITION BY component))::BIGINT AS cluster_size,
+           node = component AS is_rep
+    FROM comp
+    """,
+        """,
+    drops AS (SELECT node FROM comp WHERE node <> component)
+    SELECT source, count(*)::BIGINT AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS first_id
+    FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
+    GROUP BY source
+    """,
+    ),
+    "End-to-end dedup pass: Jaccard pairs -> connected components -> "
+    "drop non-representatives -> per-source survivor stats. Corpus "
+    "anti-joined once on the id key (AQE picks broadcast when the drop "
+    "list is small).",
+)
+def dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, k=3, threshold=0.7)
+    return (
+        dedup.dedup_survivors(docs, pairs)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("first_id"),
+        )
+    )
+
+
+@q(
+    "corpus_temperature_mix",
+    """
+    WITH c AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY 1),
+    w AS (SELECT lang, n_d, pow(n_d::DOUBLE, 0.5) AS w_d FROM c),
+    p AS (SELECT lang,
+                 round(least(1.0,
+                       200.0 * w_d / (SELECT sum(w_d) FROM w) / n_d), 9) AS p_d
+          FROM w)
+    SELECT d.lang, count(*)::BIGINT AS n_sampled, min(d.doc_id) AS first_id
+    FROM documents d JOIN p USING (lang)
+    WHERE ('0x' || substr(md5(d.lang || ':' || d.doc_id::VARCHAR), 1, 12))::BIGINT
+          / 281474976710656.0 < p_d
+    GROUP BY d.lang
+    """,
+    "Temperature-based domain mixing (alpha=0.5, target 200): per-lang "
+    "keep probability follows n^alpha (flattens toward rare languages); "
+    "membership is a row-local md5-uniform threshold — zero corpus "
+    "shuffle, fully deterministic.",
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.corpus import temperature_sample
+
+    return (
+        temperature_sample(
+            t(spark, sf_dir, "documents"),
+            alpha=0.5,
+            target_rows=200,
+            domain_col="lang",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.min("doc_id").alias("first_id"),
+        )
+    )

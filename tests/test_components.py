@@ -36,3 +36,19 @@ def test_edge_direction_irrelevant(spark):
     fwd = dedup.connected_components(_pairs(spark, [(1, 2), (3, 2)]))
     rev = dedup.connected_components(_pairs(spark, [(2, 1), (2, 3)]))
     assert sorted(map(tuple, fwd.collect())) == sorted(map(tuple, rev.collect()))
+
+
+def test_dedup_survivors_keeps_reps_and_singletons(spark):
+    from impresso_ta.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    # clusters {1,2,3} and {5,6}; 4 and 7 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_survivors(docs, pairs).collect()
+    )
+    assert kept == [1, 4, 5, 7]

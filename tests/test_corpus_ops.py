@@ -97,3 +97,35 @@ def test_write_training_shards_layout(spark, tmp_path):
             poss.extend(pq.read_table(fpath, columns=["pos"])["pos"].to_pylist())
         # each file is internally sorted (sortWithinPartitions)
         assert poss == sorted(poss)
+
+
+def test_temperature_sample_flattens_mix(spark):
+    from impresso_ta.operators.corpus import temperature_sample
+
+    d = _docs(spark)
+    by_lang = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # alpha=0 → uniform target: every domain's keep count ∝ 1/n_d · const
+    s0 = temperature_sample(d, alpha=0.0, target_rows=100, domain_col="lang")
+    got0 = {r["lang"]: r["n"] for r in s0.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # each lang contributes ~100/n_langs docs; rare langs keep a larger
+    # FRACTION than common ones
+    fr = {l: got0.get(l, 0) / by_lang[l] for l in by_lang}
+    rare = min(by_lang, key=by_lang.get)
+    common = max(by_lang, key=by_lang.get)
+    assert fr[rare] > fr[common]
+    # determinism: same sample twice
+    s1 = temperature_sample(d, alpha=1.0, target_rows=100, domain_col="lang")
+    a = sorted(r["doc_id"] for r in s1.collect())
+    b = sorted(r["doc_id"] for r in temperature_sample(d, alpha=1.0, target_rows=100, domain_col="lang").collect())
+    assert a == b and len(a) > 0
+
+
+def test_temperature_sample_never_upsamples(spark):
+    from impresso_ta.operators.corpus import temperature_sample
+
+    d = _docs(spark)
+    s = temperature_sample(d, alpha=0.3, target_rows=10**9, domain_col="lang")
+    # p_d caps at 1 → sample is the whole corpus, each doc exactly once
+    assert sorted(r["doc_id"] for r in s.collect()) == sorted(
+        r["doc_id"] for r in d.collect()
+    )
