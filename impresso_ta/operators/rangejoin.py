@@ -16,8 +16,17 @@ independent strategies agreeing on every row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _epoch_seconds(df: DataFrame, name: str) -> Column:
+    """Column as epoch seconds. TIMESTAMP_NTZ can't cast straight to
+    BIGINT (ANSI); route it through TIMESTAMP (session tz is pinned UTC,
+    so the reinterpretation is identity)."""
+    if dict(df.dtypes).get(name, "").startswith("timestamp"):
+        return F.col(name).cast("timestamp").cast("long")
+    return F.col(name).cast("long")
 
 
 def point_in_interval_join(
@@ -41,13 +50,13 @@ def point_in_interval_join(
         "_bin",
         F.explode(
             F.sequence(
-                F.floor(F.col(start_col).cast("long") / w),
-                F.floor(F.col(end_col).cast("long") / w),
+                F.floor(_epoch_seconds(intervals, start_col) / w),
+                F.floor(_epoch_seconds(intervals, end_col) / w),
             )
         ),
     )
     p_binned = points.withColumn(
-        "_bin", F.floor(F.col(point_ts).cast("long") / w)
+        "_bin", F.floor(_epoch_seconds(points, point_ts) / w)
     )
     return (
         i_binned.join(p_binned, [key, "_bin"])
