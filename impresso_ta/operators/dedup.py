@@ -503,3 +503,144 @@ def dedup_survivors(
         .select(F.col("doc_id").alias(id_col))
     )
     return docs.join(drops, on=id_col, how="left_anti")
+
+
+def word_spans(text: Column, span_words: int = 10) -> Column:
+    """Consecutive non-overlapping ``span_words``-word segments of a
+    document — the "line" unit for corpora whose text carries no newline
+    structure (C4's rule set operates on newline-split lines; the fixed
+    word window is the deterministic equivalent for flowed text)."""
+    words = F.split(F.trim(text), r"\s+")
+    n_spans = F.ceil(F.size(words) / F.lit(float(span_words))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * span_words + 1, span_words), " "
+        ),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 10,
+) -> DataFrame:
+    """Corpus-wide exact line (span) dedup — the C4/RefinedWeb rule "keep
+    only the first occurrence of every duplicated line", applied to
+    ``span_words``-word segments (see :func:`word_spans`).
+
+    Returns one row per document: total span count, surviving span count,
+    and the md5 fingerprint of the reconstructed (deduplicated) text.
+
+    Scale shape: spans travel as 48-bit md5-prefix longs; the global
+    first-occurrence per span is ``groupBy(h).agg(min(struct(doc, pos)))``
+    — map-side partial aggregation collapses even a boilerplate span that
+    occurs in half the corpus to one row per map task, so hot spans never
+    pile onto one reducer (a window over h would). The join back on h is
+    AQE-skew-splittable; the only doc-keyed shuffle is the final rebuild
+    aggregate. Never all-pairs, no window over a skewed key.
+    """
+    spans = spread_small_input(docs).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(word_spans(F.col(text_col), span_words)).alias(
+            "pos", "span"
+        ),
+    )
+    hashed = spans.select(
+        "doc_id", "pos", "span", shingle_hash48(F.col("span")).alias("h")
+    )
+    firsts = hashed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    marked = hashed.join(firsts, "h").select(
+        "doc_id",
+        "pos",
+        "span",
+        (
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        ).alias("is_first"),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("is_first"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("is_first"),
+                                    F.struct("pos", "span"),
+                                )
+                            )
+                        ),
+                        lambda s: s["span"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_fp"),
+        )
+        .select("doc_id", "n_spans", "n_kept", "kept_fp")
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space near-dup removal,
+    scoped to clusters so the pairwise comparison is an equi-join on the
+    cluster id, never a corpus cross-product.
+
+    Each vector is assigned to its nearest centroid (zero-shuffle argmax,
+    see :func:`impresso_ta.operators.similarity.ivf_assign`); within a
+    cluster, a vector is dropped when a smaller-id cluster-mate has
+    cosine ≥ ``threshold`` (greedy-by-id, deterministic). Returns
+    (vec_id, cell, keep).
+
+    Scale shape: candidate pair volume is Σ_cell |cell|² — bounded by the
+    clustering granularity (nlist chosen so cells fit a task), the exact
+    posture of the SemDeDup paper. One shuffle on cell for the self-join,
+    one broadcast-able anti-join on the drop list.
+    """
+    from impresso_ta.operators.similarity import cosine, ivf_assign
+
+    assigned = ivf_assign(
+        embeddings, centroids, id_col=id_col, vec_col=vec_col
+    ).persist()
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell"
+    )
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine(F.col("va"), F.col("vb")), round_to)
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias("drop_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            drops, assigned[id_col] == drops["drop_id"], "left"
+        )
+        .select(
+            F.col(id_col),
+            "cell",
+            F.col("drop_id").isNull().alias("keep"),
+        )
+    )

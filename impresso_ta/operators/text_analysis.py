@@ -108,6 +108,125 @@ def _gram_array(words: Column, n: int) -> Column:
     return F.slice(acc, 1, F.greatest(size - n + 1, F.lit(1)))
 
 
+C4_BLACKLIST: list[str] = ["lorem ipsum", "javascript", "cookie policy", "{"]
+
+
+def c4_filters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+) -> DataFrame:
+    """C4-style heuristic document filters (Raffel et al. 2020, §2.2),
+    adapted for flowed text: word-count bounds, mean word length bounds,
+    fraction of words containing an alphabetic character, and the
+    boilerplate blacklist (lorem ipsum / javascript / cookie policy /
+    curly braces). ``keep`` conjoins them all.
+
+    Pure column expressions — one codegen'd scan, zero shuffle; the 100 TB
+    cost is the scan itself.
+    """
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_words = F.size(toks)
+    mean_len = F.round(
+        F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)).cast(
+            "double"
+        )
+        / n_words,
+        4,
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.round(n_alpha.cast("double") / n_words, 4)
+    lowered = F.lower(text)
+    blacklist_hit = None
+    for term in C4_BLACKLIST:
+        hit = F.contains(lowered, F.lit(term))
+        blacklist_hit = hit if blacklist_hit is None else (blacklist_hit | hit)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        blacklist_hit.alias("has_blacklist"),
+        (
+            (n_words >= min_words)
+            & (n_words <= max_words)
+            & (mean_len >= min_mean_word_len)
+            & (mean_len <= max_mean_word_len)
+            & (alpha_frac >= min_alpha_frac)
+            & ~blacklist_hit
+        ).alias("keep"),
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Statistical-LM quality score (the CCNet/KenLM filter idea, with the
+    corpus itself as training data): per-document mean negative
+    log-likelihood under an add-one-smoothed word-bigram model
+    P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V) estimated over the whole corpus.
+    High ``avg_nll`` = surprising under corpus statistics (OCR garbage,
+    boilerplate salad); the score a perplexity filter thresholds on.
+
+    Scale shape: two passes over the bigram stream — (1) model estimation:
+    groupBy(bigram) with map-side combine (uniform key), left-context
+    totals derived FROM the bigram counts (vocabulary-sized, not
+    corpus-sized), vocabulary size as a one-row broadcast; (2) scoring:
+    the bigram stream equi-joins the model on the bigram key (AQE
+    broadcast when the vocabulary is small, skew-split otherwise) and
+    aggregates per doc. No all-pairs, no Python.
+    """
+    words = tokens(F.col(text_col))
+    grams = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(_gram_array(words, 2)).alias("g"),
+    )
+    big_counts = grams.groupBy("g").agg(F.count("*").alias("c2"))
+    left_counts = (
+        big_counts.select(
+            F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"), "c2"
+        )
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    vocab = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("w")
+    ).agg(F.count_distinct("w").alias("v"))
+    model = (
+        big_counts.withColumn(
+            "w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1))
+        )
+        .join(left_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "g",
+            (
+                -F.log(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.col("v"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return (
+        grams.join(model, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg("nll"), round_to).alias("avg_nll"),
+        )
+    )
+
+
 def repetition_features(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -2516,3 +2516,143 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_id"),
         )
     )
+
+
+@q(
+    "dedup_line_spans",
+    r"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+               FROM documents),
+    spans AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(w[((i-1)*10+1):least(i*10, len(w))], ' ') AS span
+        FROM w, unnest(range(1, CAST(ceil(len(w)/10.0) AS BIGINT) + 1)) AS t(i)
+    ),
+    hashed AS (SELECT doc_id, pos, span,
+                      ('0x' || substr(md5(span), 1, 12))::BIGINT AS h
+               FROM spans),
+    ranked AS (SELECT *, row_number() OVER (
+                   PARTITION BY h ORDER BY doc_id, pos) AS rn
+               FROM hashed)
+    SELECT doc_id, count(*)::BIGINT AS n_spans,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN rn = 1 THEN span END,
+                                   ' ' ORDER BY pos), '')) AS kept_fp
+    FROM ranked GROUP BY doc_id
+    """,
+    "Corpus-wide exact line dedup (C4/RefinedWeb 'keep first occurrence "
+    "of every duplicated line' over 10-word spans): first occurrence via "
+    "groupBy(h).min(struct(doc,pos)) — map-side combine absorbs "
+    "boilerplate hot spans, no window over a skewed key.",
+)
+def dedup_line_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.line_dedup(t(spark, sf_dir, "documents"), span_words=10)
+
+
+# C4 filter thresholds shared by the Spark op defaults and the oracle SQL.
+_C4_KEEP_SQL = (
+    "(len(w) >= 20 AND len(w) <= 100000 "
+    "AND round(list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w), 4) "
+    "BETWEEN 3.0 AND 10.0 "
+    "AND round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE "
+    "/ len(w), 4) >= 0.8)"
+)
+
+
+@q(
+    "text_c4_filters",
+    f"""
+    SELECT doc_id, len(w)::BIGINT AS n_words,
+           round(list_sum(list_transform(w, x -> len(x)))::DOUBLE
+                 / len(w), 4) AS mean_word_len,
+           round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                 / len(w), 4) AS alpha_frac,
+           (contains(lower(text), 'lorem ipsum')
+            OR contains(lower(text), 'javascript')
+            OR contains(lower(text), 'cookie policy')
+            OR contains(lower(text), '{{')) AS has_blacklist,
+           ({_C4_KEEP_SQL}
+            AND NOT (contains(lower(text), 'lorem ipsum')
+                     OR contains(lower(text), 'javascript')
+                     OR contains(lower(text), 'cookie policy')
+                     OR contains(lower(text), '{{'))) AS keep
+    FROM (SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents)
+    """,
+    "C4-style heuristic document filters (word-count bounds, mean word "
+    "length, alphabetic-word fraction, boilerplate blacklist) — one "
+    "codegen'd scan, zero shuffle.",
+)
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.c4_filters(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_lm_perplexity",
+    r"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+               FROM documents),
+    grams AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                     for i in range(1, greatest(len(w)-1,1)+1)]) AS g
+              FROM w),
+    bc AS (SELECT g, count(*) AS c2 FROM grams GROUP BY 1),
+    lc AS (SELECT split_part(g, ' ', 1) AS w1, sum(c2) AS c1
+           FROM bc GROUP BY 1),
+    v AS (SELECT count(DISTINCT word) AS v
+          FROM (SELECT unnest(w) AS word FROM w)),
+    model AS (SELECT g, -ln((c2 + 1)::DOUBLE / (c1 + v)) AS nll
+              FROM bc JOIN lc ON split_part(bc.g, ' ', 1) = lc.w1
+              CROSS JOIN v)
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           round(avg(nll), 4) AS avg_nll
+    FROM grams JOIN model USING (g) GROUP BY doc_id
+    """,
+    "Statistical-LM quality score (CCNet/KenLM idea, corpus-trained "
+    "add-one word-bigram model): per-doc mean negative log-likelihood. "
+    "Model estimation is vocabulary-sized (map-side-combined bigram "
+    "counts), scoring an equi-join on the bigram key.",
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.bigram_lm_scores(t(spark, sf_dir, "documents"))
+
+
+_SEMANTIC_COS = _cos_sql("a.embedding", "b.embedding")
+
+@q(
+    "dedup_semantic",
+    f"""
+    WITH seeds AS (
+        SELECT vec_id AS cell, embedding AS sv FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, s.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql('e.embedding', 's.sv')} DESC,
+                                s.cell ASC
+                   ) AS rk
+            FROM embeddings e CROSS JOIN seeds s
+        ) WHERE rk = 1
+    )
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+           NOT EXISTS (
+               SELECT 1 FROM assigned b
+               WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+                 AND {_SEMANTIC_COS} >= 0.37
+           ) AS keep
+    FROM assigned a
+    """,
+    "SemDeDup (Abbas et al. 2023): cluster-scoped embedding near-dup "
+    "removal — zero-shuffle centroid assignment, within-cell pair "
+    "equi-join (τ=0.37 demo threshold; candidate volume Σ|cell|², never "
+    "corpus²).",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    seed_rows = (
+        e.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    )
+    seeds = [(int(r["vec_id"]), list(r["embedding"])) for r in seed_rows]
+    return dedup.semantic_dedup(e, seeds, threshold=0.37)

@@ -1,0 +1,94 @@
+"""C4 filters, corpus-wide line dedup, bigram-LM scoring, semantic dedup:
+hand-checkable invariants on tiny inputs + plan-shape assertions."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from impresso_ta.operators.dedup import line_dedup, semantic_dedup
+from impresso_ta.operators.text_analysis import bigram_lm_scores, c4_filters
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    span = " ".join(f"w{i}" for i in range(10))  # one full 10-word span
+    tail_a = " ".join(f"a{i}" for i in range(10))
+    tail_b = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (0, f"{span} {tail_a}"),  # first occurrence of span
+            (1, f"{span} {tail_b}"),  # duplicate span → dropped
+            (2, tail_b),  # duplicate of doc 1's tail → dropped entirely
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, span_words=10).collect()}
+    assert out[0]["n_spans"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["kept_fp"] == _md5(f"{span} {tail_a}")
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["kept_fp"] == _md5(tail_b)
+    assert out[2]["n_spans"] == 1 and out[2]["n_kept"] == 0
+    assert out[2]["kept_fp"] == _md5("")
+
+
+def test_line_dedup_plan_has_no_window(spark):
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    # the scale-safe shape: first-occurrence via partial-agg groupBy,
+    # never a window over the (skewable) span-hash key
+    assert "Window" not in plan
+
+
+def test_c4_filters_rules(spark):
+    good = " ".join(f"word{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            (1, "too short"),
+            (2, good + " visit javascript now"),
+            (3, " ".join(["12345"] * 30)),  # no alphabetic words
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_filters(docs).collect()}
+    assert out[0]["keep"] and not out[0]["has_blacklist"]
+    assert not out[1]["keep"]  # below min_words
+    assert out[2]["has_blacklist"] and not out[2]["keep"]
+    assert out[3]["alpha_frac"] == 0.0 and not out[3]["keep"]
+
+
+def test_bigram_lm_prefers_frequent_bigrams(spark):
+    # "x y" appears in every repeat doc → high count → low NLL;
+    # doc 9's bigrams are unique → maximally surprising.
+    docs = spark.createDataFrame(
+        [(i, "x y x y x y") for i in range(9)] + [(9, "q r s t u v")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["avg_nll"] for r in bigram_lm_scores(docs).collect()}
+    assert out[9] > out[0]
+    # hand-check doc 9: vocabulary V=8 (x,y,q,r,s,t,u,v); each of its 5
+    # bigrams has c2=1, left-context c1=1 → nll = -ln(2/(1+8))
+    assert out[9] == round(-math.log(2.0 / 9.0), 4)
+
+
+def test_semantic_dedup_drops_higher_id_twin(spark):
+    e1 = [1.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0]
+    rows = [
+        (0, e1),
+        (1, e2),
+        (5, e1),  # exact twin of 0, same cell → dropped
+        (7, [0.8, 0.6, 0.0]),  # cell 0 (cos 0.8 vs 0.6), cos 0.8 < τ → kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = [(0, e1), (1, e2)]
+    out = {
+        r["vec_id"]: r for r in semantic_dedup(emb, seeds, threshold=0.99).collect()
+    }
+    assert out[0]["keep"] and out[1]["keep"]
+    assert not out[5]["keep"] and out[5]["cell"] == 0
+    assert out[7]["keep"] and out[7]["cell"] == 0
