@@ -391,3 +391,93 @@ def temperature_sample(
         / F.lit(float(1 << 48))
     )
     return docs.join(F.broadcast(probs), domain_col).filter(u < F.col("p_d"))
+
+
+def epoch_upsample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic epoch-based UPsampling — the other half of training-
+    mix control (:func:`temperature_sample` only downsamples): a domain
+    with weight w contributes ⌊w⌋ copies of every document, plus one more
+    when the document's md5-uniform draw falls under frac(w) — so
+    expected copies per doc = w exactly, with zero variance in the
+    integer part (the 'epochs' treatment of Muennighoff et al. 2023,
+    data-constrained scaling).
+
+    Returns ``docs`` columns + ``epoch`` (1-based copy index). Domains
+    missing from ``weights`` default to 1.0. Zero shuffle: the weight
+    table is a literal map, membership is row-local, and the explode
+    multiplies rows map-side.
+    """
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    w = F.coalesce(wmap[F.col(domain_col)], F.lit(1.0))
+    base = F.floor(w).cast("int")
+    frac = w - base
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("epoch:"),
+                        F.col(domain_col),
+                        F.lit(":"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 48))
+    )
+    n_copies = base + F.when(u < F.round(frac, 9), 1).otherwise(0)
+    return (
+        docs.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(1), F.col("_n_copies")))
+        )
+        .drop("_n_copies")
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot delta: classify every document id across two
+    corpus versions as added / removed / changed / unchanged by content
+    fingerprint — the incremental-crawl bookkeeping step that decides
+    what re-enters the dedup/filter pipeline.
+
+    One full-outer sort-merge join on the id key (uniform, skew-free);
+    fingerprints are md5 of normalized text so the comparison is
+    engine-portable and O(1) per row regardless of document size.
+    """
+    from impresso_ta.operators.dedup import text_fingerprint
+
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        text_fingerprint(F.col(text_col)).alias("_old_fp"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        text_fingerprint(F.col(text_col)).alias("_new_fp"),
+    )
+    return o.join(n, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("_old_fp").isNull(), F.lit("added"))
+        .when(F.col("_new_fp").isNull(), F.lit("removed"))
+        .when(F.col("_old_fp") == F.col("_new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

@@ -2656,3 +2656,81 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = [(int(r["vec_id"]), list(r["embedding"])) for r in seed_rows]
     return dedup.semantic_dedup(e, seeds, threshold=0.37)
+
+
+@q(
+    "corpus_epoch_upsample",
+    """
+    WITH r AS (
+        SELECT doc_id, lang,
+               CASE lang WHEN 'de' THEN 3.0 WHEN 'en' THEN 0.5
+                         WHEN 'fr' THEN 2.5 ELSE 1.0 END AS w,
+               ('0x' || substr(md5('epoch:' || lang || ':' || doc_id::VARCHAR),
+                               1, 12))::BIGINT / 281474976710656.0 AS u
+        FROM documents
+    ),
+    n AS (SELECT doc_id, lang,
+                 CAST(floor(w) AS INT)
+                 + CASE WHEN u < round(w - floor(w), 9) THEN 1 ELSE 0 END
+                 AS n_copies
+          FROM r)
+    SELECT doc_id, lang, CAST(e AS INT) AS epoch
+    FROM n, unnest(range(1, n_copies + 1)) AS t(e)
+    WHERE n_copies > 0
+    """,
+    "Deterministic epoch-based upsampling (Muennighoff et al. 2023): "
+    "domain weight w → ⌊w⌋ copies per doc + md5-uniform fractional "
+    "epoch; expected copies = w exactly. Zero shuffle — literal weight "
+    "map, row-local membership, map-side explode.",
+)
+def corpus_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.corpus import epoch_upsample
+
+    return epoch_upsample(
+        t(spark, sf_dir, "documents"),
+        weights={"de": 3.0, "en": 0.5, "fr": 2.5},
+        domain_col="lang",
+    ).select("doc_id", "lang", "epoch")
+
+
+@q(
+    "corpus_snapshot_diff",
+    """
+    WITH fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               text
+        FROM documents
+    ),
+    old AS (SELECT doc_id, fp FROM fp WHERE doc_id % 10 <> 0),
+    new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN md5(regexp_replace(lower(trim(text || ' v2')),
+                                            '\\s+', ' ', 'g'))
+                    ELSE fp END AS fp
+        FROM fp WHERE doc_id % 7 <> 0
+    )
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new.doc_id IS NULL THEN 'removed'
+                WHEN old.fp = new.fp THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """,
+    "Corpus snapshot delta (incremental-crawl bookkeeping): classify "
+    "ids as added/removed/changed/unchanged by content fingerprint — "
+    "one full-outer join on the uniform id key.",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.corpus import snapshot_diff
+
+    docs = t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)

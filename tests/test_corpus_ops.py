@@ -129,3 +129,50 @@ def test_temperature_sample_never_upsamples(spark):
     assert sorted(r["doc_id"] for r in s.collect()) == sorted(
         r["doc_id"] for r in d.collect()
     )
+
+
+def test_epoch_upsample_integer_weights_exact(spark):
+    from impresso_ta.operators.corpus import epoch_upsample
+
+    d = _docs(spark)
+    n_by_lang = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    up = epoch_upsample(d, weights={"en": 3.0}, domain_col="lang")
+    got = {r["lang"]: r["n"] for r in up.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # integer weight → exactly w copies per doc, zero variance
+    assert got["en"] == 3 * n_by_lang["en"]
+    # unlisted domains default to weight 1.0 (one copy each)
+    for lang, n in n_by_lang.items():
+        if lang != "en":
+            assert got[lang] == n
+    # epoch index is dense 1..w
+    epochs = {r["epoch"] for r in up.filter(F.col("lang") == "en").collect()}
+    assert epochs == {1, 2, 3}
+
+
+def test_epoch_upsample_fractional_is_deterministic_and_bounded(spark):
+    from impresso_ta.operators.corpus import epoch_upsample
+
+    d = _docs(spark)
+    n_en = d.filter(F.col("lang") == "en").count()
+    a = epoch_upsample(d, weights={"en": 1.5}, domain_col="lang")
+    n_a = a.filter(F.col("lang") == "en").count()
+    # between 1x and 2x, near 1.5x in expectation
+    assert n_en < n_a < 2 * n_en
+    b = epoch_upsample(d, weights={"en": 1.5}, domain_col="lang")
+    assert n_a == b.filter(F.col("lang") == "en").count()
+
+
+def test_snapshot_diff_statuses(spark):
+    from impresso_ta.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same  text"), (2, "changed text"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    # whitespace-normalized fingerprints: doc 1 is unchanged
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
