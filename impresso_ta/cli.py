@@ -60,6 +60,35 @@ def _build_parser() -> argparse.ArgumentParser:
         help="reference-style rebuild config JSON: [{alias: [start, end)}...]",
     )
     reb.add_argument("--store-format", default="json", choices=["json", "parquet"])
+
+    cor = sub.add_parser(
+        "corpus",
+        help="raw documents → filtered/deduped/mixed training corpus",
+    )
+    cor.add_argument("--input", required=True, help="documents parquet path")
+    cor.add_argument("--output-dir", required=True)
+    cor.add_argument("--id-col", default="doc_id")
+    cor.add_argument("--text-col", default="text")
+    cor.add_argument("--no-c4", action="store_true")
+    cor.add_argument("--no-gopher", action="store_true")
+    cor.add_argument(
+        "--line-spans",
+        type=int,
+        default=10,
+        help="line-dedup span width in words; 0 disables",
+    )
+    cor.add_argument("--no-doc-dedup", action="store_true")
+    cor.add_argument("--jaccard-threshold", type=float, default=0.7)
+    cor.add_argument(
+        "--benchmark", help="parquet of benchmark docs to decontaminate against"
+    )
+    cor.add_argument("--temperature-alpha", type=float)
+    cor.add_argument("--temperature-target", type=int, default=0)
+    cor.add_argument("--domain-col", default="lang")
+    cor.add_argument(
+        "--shards", type=int, default=0, help="also export N training shards"
+    )
+    cor.add_argument("--stats", action="store_true", help="print per-stage counts")
     return p
 
 
@@ -176,6 +205,43 @@ def cmd_rebuild(args, spark) -> int:
     return 0
 
 
+def cmd_corpus(args, spark) -> int:
+    from impresso_ta.operators.pipeline import prepare_corpus
+
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    res = prepare_corpus(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        c4=not args.no_c4,
+        gopher=not args.no_gopher,
+        line_spans=args.line_spans or None,
+        doc_dedup=not args.no_doc_dedup,
+        jaccard_threshold=args.jaccard_threshold,
+        benchmark=bench,
+        temperature_alpha=args.temperature_alpha,
+        temperature_target=args.temperature_target,
+        domain_col=args.domain_col,
+        collect_stats=args.stats,
+    )
+    res.docs.write.mode("overwrite").parquet(f"{args.output_dir}/corpus")
+    for stage, n_in, n_out in res.stats:
+        print(f"{stage}: {n_in} -> {n_out}")
+    if args.shards:
+        from impresso_ta.sources.sinks import write_training_shards
+
+        write_training_shards(
+            spark.read.parquet(f"{args.output_dir}/corpus"),
+            f"{args.output_dir}/shards",
+            n_shards=args.shards,
+            id_col=args.id_col,
+        )
+    n = spark.read.parquet(f"{args.output_dir}/corpus").count()
+    print(f"prepared corpus: {n} documents -> {args.output_dir}/corpus")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     from impresso_ta.session import get_spark
@@ -184,6 +250,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.command == "import":
             return cmd_import(args, spark)
+        if args.command == "corpus":
+            return cmd_corpus(args, spark)
         return cmd_rebuild(args, spark)
     finally:
         spark.stop()

@@ -525,13 +525,16 @@ def line_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     span_words: int = 10,
+    with_text: bool = False,
 ) -> DataFrame:
     """Corpus-wide exact line (span) dedup — the C4/RefinedWeb rule "keep
     only the first occurrence of every duplicated line", applied to
     ``span_words``-word segments (see :func:`word_spans`).
 
     Returns one row per document: total span count, surviving span count,
-    and the md5 fingerprint of the reconstructed (deduplicated) text.
+    and the md5 fingerprint of the reconstructed (deduplicated) text
+    (plus the reconstructed text itself when ``with_text`` — the form the
+    corpus-preparation pipeline substitutes back into the document).
 
     Scale shape: spans travel as 48-bit md5-prefix longs; the global
     first-occurrence per span is ``groupBy(h).agg(min(struct(doc, pos)))``
@@ -562,32 +565,30 @@ def line_dedup(
             & (F.col("pos") == F.col("first.pos"))
         ).alias("is_first"),
     )
-    return (
-        marked.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_spans"),
-            F.sum(F.when(F.col("is_first"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_kept"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    F.col("is_first"),
-                                    F.struct("pos", "span"),
-                                )
-                            )
-                        ),
-                        lambda s: s["span"],
-                    ),
-                    " ",
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("is_first"), F.struct("pos", "span"))
                 )
-            ).alias("kept_fp"),
-        )
-        .select("doc_id", "n_spans", "n_kept", "kept_fp")
+            ),
+            lambda s: s["span"],
+        ),
+        " ",
     )
+    agg_cols = [
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.md5(kept_text).alias("kept_fp"),
+    ]
+    if with_text:
+        agg_cols.append(kept_text.alias("kept_text"))
+    out_cols = ["doc_id", "n_spans", "n_kept", "kept_fp"] + (
+        ["kept_text"] if with_text else []
+    )
+    return marked.groupBy("doc_id").agg(*agg_cols).select(*out_cols)
 
 
 def semantic_dedup(

@@ -1,0 +1,151 @@
+"""End-to-end training-corpus preparation: the composed pipeline a
+pre-training data team runs over a raw crawl — quality filters, line
+dedup, document dedup, benchmark decontamination, domain mixing — as ONE
+declarative DataFrame program.
+
+Every stage is an independently oracle-checked operator (see
+``impresso_ta.queries``); this module only composes them, so the scale
+posture is the union of the stages' documented shapes (no stage here
+adds a shuffle beyond what its operator already does). Stages toggle
+independently; order is fixed to the conventional sequence (cheap
+row-local filters first, corpus-wide joins later):
+
+    1. C4 heuristic filters         (zero shuffle)
+    2. Gopher repetition filters    (two uniformly-keyed shuffles)
+    3. corpus-wide line dedup       (rewrites text, drops emptied docs)
+    4. exact + MinHash-LSH doc dedup (keep cluster representative)
+    5. benchmark decontamination    (broadcast bloom / shingle semi-join)
+    6. temperature-based domain mix (zero shuffle)
+
+Generalizes the reference's single-corpus cleanup steps (title
+blacklists F8, token filters F9, empty-issue guards F4) into the
+LLM-corpus pipeline (BASELINE.json mandate).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from impresso_ta.operators import dedup as _dedup
+from impresso_ta.operators import text_analysis as _ta
+from impresso_ta.operators.corpus import temperature_sample
+
+
+@dataclass
+class PipelineResult:
+    docs: DataFrame
+    # (stage, docs_in, docs_out) when collect_stats; else empty
+    stats: list[tuple[str, int, int]] = field(default_factory=list)
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    c4: bool = True,
+    gopher: bool = True,
+    line_spans: int | None = 10,
+    doc_dedup: bool = True,
+    jaccard_threshold: float = 0.7,
+    benchmark: DataFrame | None = None,
+    temperature_alpha: float | None = None,
+    temperature_target: int = 0,
+    domain_col: str = "lang",
+    collect_stats: bool = False,
+) -> PipelineResult:
+    """Run the corpus-preparation pipeline; returns the surviving
+    documents (text rewritten by line dedup) plus optional per-stage
+    counts.
+
+    ``collect_stats`` triggers one count() action per enabled stage —
+    fine for reporting runs, skip it when the pipeline feeds a sink
+    directly (the lazy plan then executes once).
+    """
+    stats: list[tuple[str, int, int]] = []
+
+    def step(name: str, before: DataFrame, after: DataFrame) -> DataFrame:
+        if collect_stats:
+            stats.append((name, before.count(), after.count()))
+        return after
+
+    cur = docs
+    if c4:
+        keep = _ta.c4_filters(cur, id_col, text_col).filter("keep")
+        cur = step(
+            "c4_filters",
+            cur,
+            cur.join(keep.select(F.col("doc_id").alias(id_col)), id_col),
+        )
+    if gopher:
+        keep = _ta.repetition_features(cur, id_col, text_col).filter("keep")
+        cur = step(
+            "gopher_repetition",
+            cur,
+            cur.join(keep.select(F.col("doc_id").alias(id_col)), id_col),
+        )
+    if line_spans:
+        rebuilt = _dedup.line_dedup(
+            cur, id_col, text_col, span_words=line_spans, with_text=True
+        )
+        replaced = (
+            cur.drop(text_col)
+            .join(
+                rebuilt.filter(F.col("n_kept") > 0).select(
+                    F.col("doc_id").alias(id_col),
+                    F.col("kept_text").alias(text_col),
+                ),
+                id_col,
+            )
+        )
+        cur = step("line_dedup", cur, replaced)
+    if doc_dedup:
+        pairs = _dedup.jaccard_pairs(
+            cur, id_col=id_col, text_col=text_col, threshold=jaccard_threshold
+        )
+        cur = step(
+            "doc_dedup", cur, _dedup.dedup_survivors(cur, pairs, id_col=id_col)
+        )
+    if benchmark is not None:
+        # GPT-3-style decontamination: drop any training doc sharing a
+        # k-shingle with the benchmark. The benchmark's distinct shingle
+        # set is small → Catalyst broadcasts the semi-join; the training
+        # corpus is scanned once and never shuffled by key.
+        bench_sh = benchmark.select(
+            F.explode(
+                _dedup.word_shingles(F.col(text_col), k=5)
+            ).alias("shingle")
+        ).distinct()
+        hit_ids = (
+            cur.select(
+                F.col(id_col),
+                F.explode(
+                    _dedup.word_shingles(F.col(text_col), k=5)
+                ).alias("shingle"),
+            )
+            .join(bench_sh, "shingle", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        cur = step(
+            "decontamination", cur, cur.join(hit_ids, id_col, "left_anti")
+        )
+    if temperature_alpha is not None:
+        if temperature_target <= 0:
+            raise ValueError(
+                "temperature_alpha requires temperature_target > 0"
+            )
+        cur = step(
+            "temperature_mix",
+            cur,
+            temperature_sample(
+                cur,
+                alpha=temperature_alpha,
+                target_rows=temperature_target,
+                domain_col=domain_col,
+                id_col=id_col,
+            ),
+        )
+    return PipelineResult(docs=cur, stats=stats)

@@ -2734,3 +2734,104 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return snapshot_diff(old, new)
+
+
+@q(
+    "corpus_prepare_pipeline",
+    f"""
+    WITH base AS (SELECT doc_id, text, lang,
+                         regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents),
+    c4 AS (
+        SELECT doc_id, text, lang, w FROM base
+        WHERE {_C4_KEEP_SQL}
+          AND NOT (contains(lower(text), 'lorem ipsum')
+                   OR contains(lower(text), 'javascript')
+                   OR contains(lower(text), 'cookie policy')
+                   OR contains(lower(text), '{{'))
+    ),
+    grams AS (
+        SELECT doc_id, 1 AS n, unnest(w) AS gram FROM c4
+        UNION ALL
+        SELECT doc_id, 2, unnest([w[i] || ' ' || w[i+1]
+                                  for i in range(1, greatest(len(w)-1,1)+1)])
+        FROM c4
+        UNION ALL
+        SELECT doc_id, 3, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, greatest(len(w)-2,1)+1)])
+        FROM c4
+    ),
+    gcounts AS (SELECT doc_id, n, gram, count(*) AS cnt
+                FROM grams GROUP BY ALL),
+    gopher AS (
+        SELECT doc_id FROM gcounts GROUP BY doc_id
+        HAVING round(max(CASE WHEN n=1 THEN cnt END)::DOUBLE
+                     / sum(CASE WHEN n=1 THEN cnt END), 4) <= 0.15
+           AND round(coalesce(sum(CASE WHEN n=2 AND cnt>1 THEN cnt END), 0)::DOUBLE
+                     / sum(CASE WHEN n=2 THEN cnt END), 4) <= 0.10
+           AND round(coalesce(sum(CASE WHEN n=3 AND cnt>1 THEN cnt END), 0)::DOUBLE
+                     / sum(CASE WHEN n=3 THEN cnt END), 4) <= 0.05
+    ),
+    filtered AS (SELECT c4.* FROM c4 JOIN gopher USING (doc_id)),
+    exact AS (
+        SELECT doc_id, text, lang FROM (
+            SELECT doc_id, text, lang,
+                   row_number() OVER (
+                       PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                                       '\\s+', ' ', 'g'))
+                       ORDER BY doc_id
+                   ) AS rn
+            FROM filtered
+        ) WHERE rn = 1
+    ),
+    c AS (SELECT lang, count(*) AS n_d FROM exact GROUP BY 1),
+    tw AS (SELECT lang, n_d, pow(n_d::DOUBLE, 0.5) AS w_d FROM c),
+    p AS (SELECT lang,
+                 round(least(1.0,
+                       150.0 * w_d / (SELECT sum(w_d) FROM tw) / n_d), 9) AS p_d
+          FROM tw)
+    SELECT d.lang, count(*)::BIGINT AS n_docs, min(d.doc_id) AS first_id,
+           CAST(sum(len(regexp_split_to_array(trim(d.text), '\\s+'))) AS BIGINT)
+               AS total_words
+    FROM exact d JOIN p USING (lang)
+    WHERE ('0x' || substr(md5(d.lang || ':' || d.doc_id::VARCHAR), 1, 12))::BIGINT
+          / 281474976710656.0 < p_d
+    GROUP BY d.lang
+    """,
+    "End-to-end corpus-preparation pipeline (C4 filters → Gopher "
+    "repetition filters → exact dedup keep-min-id → temperature mix "
+    "α=0.5 target 150) with per-language survivor stats — the composed "
+    "program every stage oracle covers individually, checked end-to-end.",
+)
+def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.pipeline import prepare_corpus
+
+    res = prepare_corpus(
+        t(spark, sf_dir, "documents"),
+        c4=True,
+        gopher=True,
+        line_spans=None,  # oracle variant: exact doc dedup only
+        doc_dedup=False,
+        temperature_alpha=None,
+    )
+    cur = res.docs
+    # exact dedup: keep the min-id representative of each fingerprint
+    fp = dedup.text_fingerprint(F.col("text"))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    exact = (
+        cur.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    from impresso_ta.operators.corpus import temperature_sample
+
+    mixed = temperature_sample(
+        exact, alpha=0.5, target_rows=150, domain_col="lang"
+    )
+    return mixed.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("first_id"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("total_words"),
+    )

@@ -1,0 +1,92 @@
+"""End-to-end corpus-preparation pipeline: stage monotonicity,
+line-dedup text rewrite, decontamination, determinism, CLI surface."""
+
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from impresso_ta.operators.pipeline import prepare_corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_pipeline_stages_shrink_monotonically(spark):
+    d = _docs(spark)
+    res = prepare_corpus(d, collect_stats=True)
+    assert [s[0] for s in res.stats] == [
+        "c4_filters",
+        "gopher_repetition",
+        "line_dedup",
+        "doc_dedup",
+    ]
+    for _, n_in, n_out in res.stats:
+        assert n_out <= n_in
+    # survivors exist and schema is preserved
+    out = res.docs
+    assert out.count() > 0
+    assert set(d.columns) == set(out.columns)
+
+
+def test_pipeline_line_dedup_rewrites_text(spark):
+    d = _docs(spark)
+    res = prepare_corpus(d, c4=False, gopher=False, doc_dedup=False)
+    joined = (
+        res.docs.select("doc_id", F.col("text").alias("new_text"))
+        .join(d.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            (F.length("new_text") <= F.length("text")).alias("shorter_eq"),
+        )
+    )
+    assert joined.filter(~F.col("shorter_eq")).count() == 0
+
+
+def test_pipeline_decontamination_drops_overlap(spark):
+    d = _docs(spark)
+    bench = d.filter(F.col("doc_id") % 17 == 0).select("doc_id", "text")
+    res = prepare_corpus(
+        d, c4=False, gopher=False, line_spans=None, doc_dedup=False,
+        benchmark=bench, collect_stats=True,
+    )
+    # every benchmark source doc shares all its shingles with itself →
+    # must be dropped
+    kept = {r["doc_id"] for r in res.docs.select("doc_id").collect()}
+    assert not kept & {r["doc_id"] for r in bench.collect()}
+    assert res.stats[0][0] == "decontamination"
+    assert res.stats[0][2] < res.stats[0][1]
+
+
+def test_pipeline_deterministic(spark):
+    d = _docs(spark)
+    a = sorted(r["doc_id"] for r in prepare_corpus(d).docs.collect())
+    b = sorted(r["doc_id"] for r in prepare_corpus(d).docs.collect())
+    assert a == b
+
+
+def test_cli_corpus_command(tmp_path):
+    out = tmp_path / "prepared"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "impresso_ta.cli", "corpus",
+            "--input", f"{SF}/documents.parquet",
+            "--output-dir", str(out),
+            "--shards", "2",
+            "--stats",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "prepared corpus:" in r.stdout
+    assert "c4_filters:" in r.stdout
+    import glob
+
+    assert glob.glob(str(out / "corpus" / "part-*"))
+    assert glob.glob(str(out / "shards" / "shard=*"))
