@@ -448,6 +448,76 @@ def epoch_upsample(
     )
 
 
+def distribution_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    top_k: int = 40,
+    round_to: int = 6,
+) -> DataFrame:
+    """Word-distribution drift between two corpus snapshots — the
+    data-quality monitor that catches a crawl gone wrong (spam influx,
+    encoding breakage, source mix shift) before it reaches training.
+
+    For the ``top_k`` words by combined count: smoothed probabilities
+    p_old/p_new (add-one over the union vocabulary) and the per-word
+    KL(new‖old) contribution p_new·ln(p_new/p_old). Positive = the word
+    grew. Output is top_k rows ordered by combined count (ties by word).
+
+    Scale shape: one uniformly-keyed word count per side (map-side
+    combine), an outer equi-join of two vocabulary-sized frames, totals
+    as one-row broadcasts, TakeOrdered top-k. The corpora are scanned
+    once each and never shuffled by a low-cardinality key.
+    """
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            spread_small_input(df)
+            .select(
+                F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+                    "word"
+                )
+            )
+            .groupBy("word")
+            .agg(F.count("*").alias(name))
+        )
+
+    co = counts(old, "c_old")
+    cn = counts(new, "c_new")
+    merged = co.join(cn, "word", "full_outer").select(
+        "word",
+        F.coalesce("c_old", F.lit(0)).alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).alias("c_new"),
+    )
+    tot = merged.agg(
+        F.sum("c_old").alias("t_old"),
+        F.sum("c_new").alias("t_new"),
+        F.count("*").alias("v"),
+    )
+    scored = merged.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.col("c_old").cast("long"),
+        F.col("c_new").cast("long"),
+        F.round(
+            (F.col("c_old") + 1) / (F.col("t_old") + F.col("v")), round_to
+        ).alias("p_old"),
+        F.round(
+            (F.col("c_new") + 1) / (F.col("t_new") + F.col("v")), round_to
+        ).alias("p_new"),
+        F.round(
+            ((F.col("c_new") + 1) / (F.col("t_new") + F.col("v")))
+            * F.log(
+                ((F.col("c_new") + 1) / (F.col("t_new") + F.col("v")))
+                / ((F.col("c_old") + 1) / (F.col("t_old") + F.col("v")))
+            ),
+            round_to,
+        ).alias("kl_term"),
+    )
+    return scored.orderBy(
+        F.desc(F.col("c_old") + F.col("c_new")), F.asc("word")
+    ).limit(top_k)
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -2737,6 +2737,49 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_distribution_drift",
+    r"""
+    WITH old_w AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    new_w AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    co AS (SELECT word, count(*) AS c_old FROM old_w GROUP BY 1),
+    cn AS (SELECT word, count(*) AS c_new FROM new_w GROUP BY 1),
+    m AS (SELECT coalesce(co.word, cn.word) AS word,
+                 coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+          FROM co FULL OUTER JOIN cn ON co.word = cn.word),
+    tot AS (SELECT sum(c_old) AS t_old, sum(c_new) AS t_new,
+                   count(*) AS v FROM m)
+    SELECT word, c_old::BIGINT AS c_old, c_new::BIGINT AS c_new,
+           round((c_old + 1) / (t_old + v), 6) AS p_old,
+           round((c_new + 1) / (t_new + v), 6) AS p_new,
+           round(((c_new + 1) / (t_new + v))
+                 * ln(((c_new + 1) / (t_new + v))
+                      / ((c_old + 1) / (t_old + v))), 6) AS kl_term
+    FROM m CROSS JOIN tot
+    ORDER BY c_old + c_new DESC, word ASC LIMIT 40
+    """,
+    "Word-distribution drift between corpus snapshots: smoothed "
+    "p_old/p_new and per-word KL(new‖old) contributions for the top-40 "
+    "words — crawl-quality monitoring. Vocabulary-sized full-outer "
+    "join, one-row totals broadcast, TakeOrdered top-k.",
+)
+def corpus_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.corpus import distribution_drift
+
+    docs = t(spark, sf_dir, "documents")
+    return distribution_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        top_k=40,
+    )
+
+
+@q(
     "corpus_prepare_pipeline",
     f"""
     WITH base AS (SELECT doc_id, text, lang,

@@ -176,3 +176,16 @@ def test_snapshot_diff_statuses(spark):
     got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
     # whitespace-normalized fingerprints: doc 1 is unchanged
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_distribution_drift_zero_on_identical_and_positive_on_influx(spark):
+    from impresso_ta.operators.corpus import distribution_drift
+
+    d = _docs(spark)
+    same = {r["word"]: r["kl_term"] for r in distribution_drift(d, d).collect()}
+    assert same and all(v == 0.0 for v in same.values())
+
+    spam = d.withColumn("text", F.concat(F.col("text"), F.lit(" zzspam zzspam")))
+    drift = {r["word"]: r for r in distribution_drift(d, spam, top_k=1000).collect()}
+    assert drift["zzspam"]["c_old"] == 0
+    assert drift["zzspam"]["kl_term"] > 0
