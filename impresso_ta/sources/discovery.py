@@ -69,6 +69,49 @@ def detect_issues(
     return spark.createDataFrame(rows, DISCOVERY_SCHEMA)
 
 
+def detect_issues_onb(
+    spark: SparkSession, base_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """ONB ANNOP discovery (ref: onb_annop/detect.py:46-113 — the half of
+    that importer the reference actually implemented; its classes.py is an
+    empty file, so import itself has no reference semantics to match).
+
+    Layout ``base/ANNO/{alias}/{yyyy}/{mm}/{dd}/NNNNNNNN.xml``: no
+    edition level (always 'a'); page files have numeric stems that become
+    page numbers. Returns (discovery_df, pages_df) where pages_df is
+    (path, page_id, file) with page ids minted from the NUMERIC sort of
+    the stems (``10.xml`` after ``2.xml`` — the reference sorts by int).
+    """
+    rows = []
+    page_rows = []
+    anno = os.path.join(base_dir, "ANNO")
+    for alias in sorted(os.listdir(anno)):
+        alias_dir = os.path.join(anno, alias)
+        if not os.path.isdir(alias_dir):
+            continue
+        for root, dirs, files in os.walk(alias_dir):
+            dirs.sort()
+            rel = os.path.relpath(root, alias_dir)
+            parts = [] if rel == "." else rel.split(os.sep)
+            if len(parts) == 3 and all(p.isdigit() for p in parts):
+                yyyy, mm, dd = (int(p) for p in parts)
+                d = _date(yyyy, mm, dd)
+                rows.append((alias, d, "a", root, "onb_annop"))
+                issue_id = f"{alias}-{yyyy:04d}-{mm:02d}-{dd:02d}-a"
+                xmls = [f for f in files if f.endswith(".xml")]
+                xmls.sort(key=lambda f: int(os.path.splitext(f)[0]))
+                for fname in xmls:
+                    n = int(os.path.splitext(fname)[0])
+                    page_rows.append((root, f"{issue_id}-p{n:04d}", fname))
+                dirs.clear()
+    return (
+        spark.createDataFrame(rows, DISCOVERY_SCHEMA),
+        spark.createDataFrame(
+            page_rows, "path string, page_id string, file string"
+        ),
+    )
+
+
 def detect_issues_from_csv(
     spark: SparkSession, csv_path: str, fmt: str
 ) -> DataFrame:
