@@ -131,3 +131,33 @@ def test_running_offsets_single_exchange(spark):
 
     q = REGISTRY["w3_running_offsets"].fn(spark, SF)
     assert _shuffles(q) == 1
+
+
+def test_c4_filters_zero_shuffle(spark):
+    from impresso_ta.operators.text_analysis import c4_filters
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert _shuffles(c4_filters(docs)) == 0
+
+
+def test_epoch_upsample_zero_shuffle(spark):
+    from impresso_ta.operators.corpus import epoch_upsample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = epoch_upsample(docs, weights={"en": 2.5}, domain_col="lang")
+    assert _shuffles(out) == 0
+
+
+def test_snapshot_diff_single_equi_join(spark):
+    from impresso_ta.operators.corpus import snapshot_diff
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = snapshot_diff(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+    )
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # full-outer on the id key: one sort-merge join, nothing else
+    assert plan.count("SortMergeJoin") == 1
