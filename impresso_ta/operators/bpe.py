@@ -1,0 +1,163 @@
+"""Distributed BPE merge induction — tokenizer training over the corpus
+(Sennrich et al. 2016), the step that turns a prepared corpus into the
+vocabulary its trainer tokenizes with.
+
+Scale shape (the MLlib-KMeans pattern, like ``similarity.ivf_refine``):
+the corpus is aggregated ONCE into a (word, count) vocabulary — the only
+corpus-sized stage, map-side combined on the uniform word key. Every
+merge iteration then runs on the vocabulary frame (tiny — thousands of
+rows regardless of corpus size): explode adjacent symbol pairs weighted
+by word count, one aggregate, collect exactly ONE row (the argmax pair,
+ties broken lexicographically), and apply the merge as a literal string
+replace. n_merges driver round-trips of one row each.
+
+Engine-portable merge application: symbol sequences are encoded with
+TWO-space delimiters ("  h  a  t  </w>  ") so the non-overlapping
+left-to-right scan of plain ``replace`` (identical in Spark, DuckDB and
+Python) merges every adjacent occurrence — the pattern consumes one
+space from each side, leaving the neighbor's delimiter intact. No regex,
+no lookarounds (RE2-safe for the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def _initial_vocab(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt, seq): corpus word counts with the character-split
+    double-space-delimited symbol sequence."""
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substring(F.col("word"), i, 1),
+    )
+    seq = F.concat(
+        F.lit("  "),
+        F.array_join(chars, "  "),
+        F.lit("  " + END_OF_WORD + "  "),
+    )
+    return words.select("word", "cnt", seq.alias("seq"))
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    symbols = F.split(F.trim(F.col("seq")), r"  ")
+    n = F.size(symbols)
+    shifted = F.slice(symbols, 2, F.greatest(n - 1, F.lit(1)))
+    pairs = F.zip_with(
+        F.slice(symbols, 1, F.greatest(n - 1, F.lit(1))),
+        shifted,
+        lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+    )
+    return (
+        vocab.select("cnt", F.explode(pairs).alias("p"))
+        .filter(F.col("p.rhs").isNotNull())
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("cnt").alias("pair_cnt"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges over the corpus.
+
+    Returns (merges, final_vocab): merges as (lhs, rhs, pair_count) in
+    learned order; final_vocab the (word, cnt, seq) frame after all
+    merges (seq split on double spaces = the token sequence).
+    """
+    vocab = _initial_vocab(docs, text_col).persist()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("pair_cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["pair_cnt"])
+        merges.append((lhs, rhs, cnt))
+        nxt = vocab.select(
+            "word",
+            "cnt",
+            F.replace(
+                F.col("seq"),
+                F.lit(f" {lhs}  {rhs} "),
+                F.lit(f" {lhs}{rhs} "),
+            ).alias("seq"),
+        ).persist()
+        vocab.unpersist()
+        vocab = nxt
+    return merges, vocab
+
+
+def bpe_merge_table(
+    docs: DataFrame, n_merges: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """The learned merge table as a DataFrame (rank, lhs, rhs, pair_cnt)
+    — the oracle-checkable face of :func:`bpe_train`."""
+    merges, vocab = bpe_train(docs, n_merges=n_merges, text_col=text_col)
+    vocab.unpersist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [
+            (i + 1, lhs, rhs, cnt)
+            for i, (lhs, rhs, cnt) in enumerate(merges)
+        ],
+        "rank int, lhs string, rhs string, pair_cnt bigint",
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge list: per-word symbol
+    sequences re-derived by applying the merges in order (pure column
+    expressions — the merge chain is a fixed literal replace pipeline, so
+    encoding is one codegen'd scan, zero shuffle).
+
+    Returns (id, tokens array, n_tokens).
+    """
+    word_tokens = F.transform(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda w: _encode_word_expr(w, merges),
+    )
+    tokens = F.flatten(word_tokens)
+    return docs.select(
+        F.col(id_col),
+        tokens.alias("tokens"),
+        F.size(tokens).cast("long").alias("n_tokens"),
+    )
+
+
+def _encode_word_expr(word, merges: list[tuple[str, str, int]]):
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.substring(word, i, 1),
+    )
+    seq = F.concat(
+        F.lit("  "),
+        F.array_join(chars, "  "),
+        F.lit("  " + END_OF_WORD + "  "),
+    )
+    for lhs, rhs, _ in merges:
+        seq = F.replace(
+            seq, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
+        )
+    return F.split(F.trim(seq), r"  ")

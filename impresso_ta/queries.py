@@ -2736,6 +2736,67 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new)
 
 
+def _bpe_iter_cte(i: int) -> str:
+    prev = f"v{i-1}"
+    return f"""
+    p{i} AS (
+        SELECT s[i] AS lhs, s[i+1] AS rhs, sum(cnt) AS pair_cnt
+        FROM (SELECT cnt, string_split(trim(seq), '  ') AS s FROM {prev}),
+             unnest(range(1, greatest(len(s)-1, 0) + 1)) AS t(i)
+        GROUP BY 1, 2
+    ),
+    b{i} AS (SELECT lhs, rhs, pair_cnt FROM p{i}
+             ORDER BY pair_cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+    v{i} AS (SELECT word, cnt,
+                    replace(seq, ' ' || lhs || '  ' || rhs || ' ',
+                                 ' ' || lhs || rhs || ' ') AS seq
+             FROM {prev} CROSS JOIN b{i})"""
+
+
+_BPE_ORACLE = (
+    r"""
+    WITH wc AS (
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+              FROM documents)
+        GROUP BY 1
+    ),
+    v0 AS (
+        SELECT word, cnt,
+               '  ' || array_to_string([substring(word, i, 1)
+                                        for i in range(1, len(word) + 1)],
+                                       '  ')
+                   || '  </w>  ' AS seq
+        FROM wc
+    ),"""
+    + ",".join(_bpe_iter_cte(i) for i in (1, 2, 3))
+    + """
+    SELECT * FROM (
+        SELECT 1 AS rank, lhs, rhs, pair_cnt::BIGINT AS pair_cnt FROM b1
+        UNION ALL SELECT 2, lhs, rhs, pair_cnt::BIGINT FROM b2
+        UNION ALL SELECT 3, lhs, rhs, pair_cnt::BIGINT FROM b3
+    ) ORDER BY rank
+    """
+)
+
+
+@q(
+    "corpus_bpe_merges",
+    _BPE_ORACLE,
+    "Distributed BPE merge induction (Sennrich et al. 2016, tokenizer "
+    "training): ONE corpus-sized word-count aggregate, then every merge "
+    "iteration is vocabulary-sized with a single-row argmax collect "
+    "(the MLlib-KMeans pattern). Merge application is a delimiter-safe "
+    "literal replace — identical non-overlapping semantics in Spark, "
+    "DuckDB (3-iteration unrolled oracle) and the sequential reference "
+    "implementation the unit tests compare against.",
+)
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.bpe import bpe_merge_table
+
+    return bpe_merge_table(t(spark, sf_dir, "documents"), n_merges=3)
+
+
 @q(
     "corpus_distribution_drift",
     r"""

@@ -1,0 +1,98 @@
+"""Distributed BPE induction vs a sequential reference implementation,
+plus encode/train consistency and determinism."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from impresso_ta.operators.bpe import bpe_encode, bpe_merge_table, bpe_train
+
+
+def _ref_bpe(texts: list[str], n_merges: int):
+    """Sequential reference: classic Sennrich-style corpus BPE."""
+    vocab = Counter()
+    for t in texts:
+        for w in t.split():
+            vocab[tuple(list(w) + ["</w>"])] += 1
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for sym, cnt in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += cnt
+        if not pairs:
+            break
+        # max count, ties lexicographic
+        (lhs, rhs), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((lhs, rhs, cnt))
+        new_vocab = Counter()
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == lhs and sym[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] += c
+        vocab = new_vocab
+    return merges, vocab
+
+
+TEXTS = [
+    "low low low lower lowest",
+    "new newer newest new new",
+    "wide wider widest low new",
+]
+
+
+def test_bpe_matches_sequential_reference(spark):
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    got, final_vocab = bpe_train(docs, n_merges=8)
+    want, ref_vocab = _ref_bpe(TEXTS, 8)
+    assert got == want
+    # final symbol sequences agree word-for-word
+    got_seqs = {
+        r["word"]: tuple(r["seq"].split())
+        for r in final_vocab.collect()
+    }
+    ref_seqs = {}
+    for sym, _ in ref_vocab.items():
+        ref_seqs["".join(sym).replace("</w>", "")] = sym
+    for word, sym in got_seqs.items():
+        assert sym == ref_seqs[word], word
+    final_vocab.unpersist()
+
+
+def test_bpe_encode_consistent_with_train(spark):
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    merges, final_vocab = bpe_train(docs, n_merges=5)
+    enc = bpe_encode(docs, merges)
+    rows = {r["doc_id"]: r for r in enc.collect()}
+    seqs = {r["word"]: r["seq"].split() for r in final_vocab.collect()}
+    for i, text in enumerate(TEXTS):
+        want = [tok for w in text.split() for tok in seqs[w]]
+        assert rows[i]["tokens"] == want
+        assert rows[i]["n_tokens"] == len(want)
+    # merges shrink the token stream vs raw characters
+    raw = sum(len(w) + 1 for t in TEXTS for w in t.split())
+    assert sum(r["n_tokens"] for r in rows.values()) < raw
+    final_vocab.unpersist()
+
+
+def test_bpe_merge_table_on_real_docs(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = [tuple(r) for r in bpe_merge_table(docs, n_merges=3).collect()]
+    b = [tuple(r) for r in bpe_merge_table(docs, n_merges=3).collect()]
+    assert a == b and len(a) == 3
+    # ranks dense, counts non-increasing is NOT guaranteed (merges create
+    # new pairs), but counts are positive
+    assert [r[0] for r in a] == [1, 2, 3]
+    assert all(r[3] > 0 for r in a)
