@@ -87,6 +87,65 @@ def quality_features(
     )
 
 
+def hashed_doc_vectors(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Feature-hashed bag-of-words document vectors (Weinberger et al.
+    2009): each word maps to bucket md5(word) % dim, bucket values are
+    L2-normalized term counts. The ML-free bridge from raw text to the
+    embedding operators — the output plugs straight into ``cosine_topk``
+    / ``lsh_bucketed_topk`` / ``semantic_dedup`` for text-to-text
+    similarity without a model.
+
+    Shape: explode → (doc, bucket) count with map-side combine (uniform
+    md5 key), then one doc-keyed aggregate assembles the dense array
+    from the ≤dim bucket rows. Missing buckets are zero-filled via a
+    map lookup over a sequence — no per-dim join, no UDF.
+    """
+    from impresso_ta.operators.dedup import shingle_hash48
+    from impresso_ta.operators.partitioning import spread_small_input
+
+    bucket_counts = (
+        spread_small_input(docs)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("word"),
+        )
+        .select(
+            "doc_id", (shingle_hash48(F.col("word")) % dim).alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    mapped = bucket_counts.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket").cast("int"), F.col("c")))
+        ).alias("_bmap")
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.map_values(F.col("_bmap")),
+            F.lit(0.0),
+            lambda a, c: a + (c * c).cast("double"),
+        )
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.round(
+            F.coalesce(F.element_at(F.col("_bmap"), i), F.lit(0)).cast(
+                "double"
+            )
+            / nrm,
+            round_to,
+        ),
+    )
+    return mapped.select("doc_id", vec.alias("vector"))
+
+
 def rolling_fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (lowercased,
     whitespace collapsed) — the exact-dedup key."""

@@ -2736,6 +2736,33 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new)
 
 
+@q(
+    "text_doc_vectors",
+    r"""
+    WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+               FROM documents),
+    bc AS (SELECT doc_id,
+                  ('0x' || substr(md5(word), 1, 12))::BIGINT % 64 AS bucket,
+                  count(*) AS c
+           FROM w GROUP BY 1, 2),
+    n AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM bc GROUP BY 1),
+    grid AS (SELECT doc_id, i AS bucket
+             FROM (SELECT DISTINCT doc_id FROM bc), unnest(range(0, 64)) AS t(i)),
+    filled AS (SELECT g.doc_id, g.bucket, coalesce(c, 0) AS c
+               FROM grid g LEFT JOIN bc USING (doc_id, bucket))
+    SELECT doc_id,
+           list(round(c::DOUBLE / nrm, 6) ORDER BY bucket) AS vector
+    FROM filled JOIN n USING (doc_id) GROUP BY doc_id
+    """,
+    "Feature-hashed bag-of-words document vectors (hashing trick, "
+    "L2-normalized, dim=64): the ML-free text→embedding bridge whose "
+    "output plugs into cosine_topk / LSH / SemDeDup. Uniform md5 bucket "
+    "key, map-side combine, one doc-keyed assembly aggregate.",
+)
+def text_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.hashed_doc_vectors(t(spark, sf_dir, "documents"))
+
+
 def _bpe_iter_cte(i: int) -> str:
     prev = f"v{i-1}"
     return f"""

@@ -92,3 +92,36 @@ def test_semantic_dedup_drops_higher_id_twin(spark):
     assert out[0]["keep"] and out[1]["keep"]
     assert not out[5]["keep"] and out[5]["cell"] == 0
     assert out[7]["keep"] and out[7]["cell"] == 0
+
+
+def test_hashed_doc_vectors_unit_norm_and_similarity(spark):
+    from impresso_ta.operators.similarity import cosine_topk
+    from impresso_ta.operators.text_analysis import hashed_doc_vectors
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark shuffles the corpus by key"),
+            (1, "spark shuffles the corpus by key"),  # exact dup of 0
+            (2, "an entirely different set of words here"),
+        ],
+        "doc_id long, text string",
+    )
+    vecs = hashed_doc_vectors(docs)
+    rows = {r["doc_id"]: r["vector"] for r in vecs.collect()}
+    assert len(rows) == 3 and all(len(v) == 64 for v in rows.values())
+    for v in rows.values():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-4  # unit norm
+    assert rows[0] == rows[1] != rows[2]
+
+    # composition: nearest neighbor of doc 0 (excluding itself) is its dup
+    top = cosine_topk(
+        vecs.withColumnRenamed("doc_id", "vec_id").withColumnRenamed(
+            "vector", "embedding"
+        ),
+        vecs.filter("doc_id = 0")
+        .withColumnRenamed("doc_id", "vec_id")
+        .withColumnRenamed("vector", "embedding"),
+        k=2,
+    ).collect()
+    ranked = sorted(top, key=lambda r: r["rank"])
+    assert ranked[0]["neighbor_id"] in (0, 1) and ranked[1]["neighbor_id"] in (0, 1)
