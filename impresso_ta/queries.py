@@ -2737,6 +2737,101 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "text_quality_scorecard",
+    f"""
+    WITH base AS (SELECT doc_id, text, n_chars,
+                         regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents),
+    c4 AS (SELECT doc_id,
+                  ({_C4_KEEP_SQL}
+                   AND NOT (contains(lower(text), 'lorem ipsum')
+                            OR contains(lower(text), 'javascript')
+                            OR contains(lower(text), 'cookie policy')
+                            OR contains(lower(text), '{{'))) AS keep_c4
+           FROM base),
+    grams AS (
+        SELECT doc_id, 1 AS n, unnest(w) AS gram FROM base
+        UNION ALL
+        SELECT doc_id, 2, unnest([w[i] || ' ' || w[i+1]
+                                  for i in range(1, greatest(len(w)-1,1)+1)])
+        FROM base
+        UNION ALL
+        SELECT doc_id, 3, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, greatest(len(w)-2,1)+1)])
+        FROM base
+    ),
+    gcounts AS (SELECT doc_id, n, gram, count(*) AS cnt
+                FROM grams GROUP BY ALL),
+    gopher AS (
+        SELECT doc_id,
+               (round(max(CASE WHEN n=1 THEN cnt END)::DOUBLE
+                      / sum(CASE WHEN n=1 THEN cnt END), 4) <= 0.15
+                AND round(coalesce(sum(CASE WHEN n=2 AND cnt>1 THEN cnt END), 0)::DOUBLE
+                          / sum(CASE WHEN n=2 THEN cnt END), 4) <= 0.10
+                AND round(coalesce(sum(CASE WHEN n=3 AND cnt>1 THEN cnt END), 0)::DOUBLE
+                          / sum(CASE WHEN n=3 THEN cnt END), 4) <= 0.05) AS keep_gopher
+        FROM gcounts GROUP BY doc_id
+    ),
+    fp AS (
+        SELECT doc_id,
+               row_number() OVER (
+                   PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                                   '\\s+', ' ', 'g'))
+                   ORDER BY doc_id) = 1 AS keep_unique
+        FROM base
+    )
+    SELECT b.doc_id, c4.keep_c4, g.keep_gopher, fp.keep_unique,
+           (n_chars BETWEEN 100 AND 1000000) AS keep_length,
+           (c4.keep_c4 AND g.keep_gopher AND fp.keep_unique
+            AND n_chars BETWEEN 100 AND 1000000) AS keep
+    FROM base b
+    JOIN c4 USING (doc_id) JOIN gopher g USING (doc_id)
+    JOIN fp USING (doc_id)
+    """,
+    "Per-document quality scorecard: the C4, Gopher-repetition, "
+    "exact-uniqueness and length gates as separate boolean columns plus "
+    "the conjoined keep — the audit view a data team filters on and "
+    "debugs with (WHY was this dropped). One pass per signal family, "
+    "all uniformly keyed.",
+)
+def text_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    c4 = text_analysis.c4_filters(docs).select(
+        "doc_id", F.col("keep").alias("keep_c4")
+    )
+    gopher = text_analysis.repetition_features(docs).select(
+        "doc_id", F.col("keep").alias("keep_gopher")
+    )
+    w = Window.partitionBy(dedup.text_fingerprint(F.col("text"))).orderBy(
+        "doc_id"
+    )
+    uniq = docs.select(
+        "doc_id", (F.row_number().over(w) == 1).alias("keep_unique")
+    )
+    base = docs.select(
+        "doc_id", F.col("n_chars").between(100, 1_000_000).alias("keep_length")
+    )
+    return (
+        base.join(c4, "doc_id")
+        .join(gopher, "doc_id")
+        .join(uniq, "doc_id")
+        .select(
+            "doc_id",
+            "keep_c4",
+            "keep_gopher",
+            "keep_unique",
+            "keep_length",
+            (
+                F.col("keep_c4")
+                & F.col("keep_gopher")
+                & F.col("keep_unique")
+                & F.col("keep_length")
+            ).alias("keep"),
+        )
+    )
+
+
+@q(
     "text_doc_vectors",
     r"""
     WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
