@@ -169,6 +169,75 @@ def decode_images(
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("content", BinaryType(), True),
+    ]
+)
+
+
+def _fake_image_resize(content: bytes, max_side: int) -> dict:
+    """DETERMINISTIC FAKE resize: pseudo-dims from the fake decode scaled
+    to fit max_side (aspect preserved, integer floor); 'pixels' are a
+    byte-slice proportional to the area ratio — the shape (smaller
+    payload out, dims attached) is real, the codec is not."""
+    meta = _fake_image_decode(content)
+    w, h = meta["width"], meta["height"]
+    scale = min(max_side / w, max_side / h, 1.0)
+    nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+    keep = max(int(len(content or b"") * (nw * nh) / (w * h)), 1)
+    return {"width": nw, "height": nh, "content": (content or b"\0")[:keep]}
+
+
+def _pil_image_resize(content: bytes, max_side: int) -> dict:
+    """REAL resize (Pillow thumbnail, aspect-preserving), re-encoded PNG."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(content))
+    img.load()
+    img.thumbnail((max_side, max_side))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return {"width": img.width, "height": img.height, "content": buf.getvalue()}
+
+
+def resize_images(
+    media_df: DataFrame,
+    max_side: int = 256,
+    resizer: Optional[Callable[[bytes, int], dict]] = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Aspect-preserving downscale to fit ``max_side`` — the standard
+    pre-embedding normalization step. Arrow-batched mapInPandas; real
+    Pillow path auto-selected when importable, deterministic fake
+    otherwise (same contract as :func:`decode_images`)."""
+    if strict and resizer is None and not have_pil():
+        raise NotImplementedError(
+            "No real image resizer available; pass resizer= or accept the "
+            "deterministic fake"
+        )
+    rez = resizer or (_pil_image_resize if have_pil() else _fake_image_resize)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                r = rez(row.content, max_side)
+                out.append({"media_id": row.media_id, **r})
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return media_df.select("media_id", "content").mapInPandas(
+        fn, schema=RESIZED_SCHEMA
+    )
+
+
 def sample_frames(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Deterministic frame sampling: n evenly-spaced byte-range slices per
     payload (the real path swaps the slicer for a pyav keyframe reader;

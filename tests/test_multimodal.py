@@ -136,3 +136,60 @@ def test_byte_histogram_features(spark, media):
     )
     row = multimodal.byte_histogram_features(empty).collect()[0]
     assert row["features"] == [0.0] * 16
+
+
+def _make_ppm_resizer():
+    """Real aspect-preserving resizer over P6-PPM (pure python, nearest
+    neighbor) — exercises the real-codec path without Pillow."""
+
+    def ppm_resize(content: bytes, max_side: int) -> dict:
+        parts = content.split(b"\n", 3)
+        w, h = (int(x) for x in parts[1].split())
+        pixels = parts[3]
+        scale = min(max_side / w, max_side / h, 1.0)
+        nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+        out = bytearray()
+        for y in range(nh):
+            sy = min(int(y / scale), h - 1) if scale < 1 else y
+            for x in range(nw):
+                sx = min(int(x / scale), w - 1) if scale < 1 else x
+                i = 3 * (sy * w + sx)
+                out += pixels[i : i + 3]
+        header = b"P6\n%d %d\n255\n" % (nw, nh)
+        return {"width": nw, "height": nh, "content": bytes(header + out)}
+
+    return ppm_resize
+
+
+def test_resize_images_real_resizer_path(ppm_media):
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.resize_images(
+            ppm_media, max_side=4, resizer=_make_ppm_resizer()
+        ).collect()
+    }
+    # 8x4 → fit in 4: scale 0.5 → 4x2; 3x5 → scale 0.8 → 2x4
+    assert (rows["a.ppm"]["width"], rows["a.ppm"]["height"]) == (4, 2)
+    assert (rows["b.ppm"]["width"], rows["b.ppm"]["height"]) == (2, 4)
+    # resized payload is a valid PPM of the new dims
+    parts = bytes(rows["a.ppm"]["content"]).split(b"\n", 3)
+    assert parts[0] == b"P6" and parts[1] == b"4 2"
+    assert len(parts[3]) == 3 * 4 * 2
+
+
+def test_resize_images_fake_path_deterministic(media):
+    a = {
+        (r["media_id"], r["width"], r["height"], bytes(r["content"]))
+        for r in multimodal.resize_images(
+            media, max_side=64, resizer=multimodal._fake_image_resize
+        ).collect()
+    }
+    b = {
+        (r["media_id"], r["width"], r["height"], bytes(r["content"]))
+        for r in multimodal.resize_images(
+            media, max_side=64, resizer=multimodal._fake_image_resize
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+    for _, w, h, _c in a:
+        assert max(w, h) <= 64
