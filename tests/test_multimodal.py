@@ -193,3 +193,33 @@ def test_resize_images_fake_path_deterministic(media):
     assert a == b and len(a) > 0
     for _, w, h, _c in a:
         assert max(w, h) <= 64
+
+
+def test_decode_audio_real_wav_path(spark, tmp_path):
+    import struct
+    import wave
+
+    d = tmp_path / "wavs"
+    d.mkdir()
+    for name, rate, nframes, chans in (
+        ("a.wav", 16000, 8000, 1),
+        ("b.wav", 44100, 44100, 2),
+    ):
+        with wave.open(str(d / name), "wb") as w:
+            w.setnchannels(chans)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(struct.pack("<h", 0) * nframes * chans)
+    media = multimodal.read_media_dir(spark, str(d), mime="audio/wav")
+    rows = {r["media_id"]: r for r in multimodal.decode_audio(media).collect()}
+    assert rows["a.wav"]["sample_rate"] == 16000
+    assert rows["a.wav"]["n_samples"] == 8000
+    assert rows["a.wav"]["duration_s"] == 0.5
+    assert rows["b.wav"]["n_channels"] == 2
+    assert rows["b.wav"]["duration_s"] == 1.0
+
+
+def test_decode_audio_fake_fallback_deterministic(media):
+    a = [tuple(r) for r in multimodal.decode_audio(media).orderBy("media_id").collect()]
+    b = [tuple(r) for r in multimodal.decode_audio(media).orderBy("media_id").collect()]
+    assert a == b and len(a) > 0
