@@ -90,3 +90,38 @@ def test_cli_corpus_command(tmp_path):
 
     assert glob.glob(str(out / "corpus" / "part-*"))
     assert glob.glob(str(out / "shards" / "shard=*"))
+
+
+def test_cli_corpus_with_benchmark_and_temperature(tmp_path, spark):
+    # build a tiny benchmark parquet from a slice of the corpus
+    bench_path = tmp_path / "bench.parquet"
+    spark.read.parquet(f"{SF}/documents.parquet").filter(
+        "doc_id % 13 = 0"
+    ).select("doc_id", "text").write.parquet(str(bench_path))
+    out = tmp_path / "prepared"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "impresso_ta.cli", "corpus",
+            "--input", f"{SF}/documents.parquet",
+            "--output-dir", str(out),
+            "--no-c4", "--no-gopher", "--line-spans", "0",
+            "--benchmark", str(bench_path),
+            "--temperature-alpha", "0.5",
+            "--temperature-target", "30",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    prepared = spark.read.parquet(str(out / "corpus"))
+    kept = {row["doc_id"] for row in prepared.select("doc_id").collect()}
+    # decontamination dropped every benchmark-source doc
+    assert not kept & {
+        row["doc_id"]
+        for row in spark.read.parquet(str(bench_path)).collect()
+    }
+    # temperature mix downsampled
+    total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert 0 < len(kept) < total
