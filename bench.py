@@ -58,6 +58,12 @@ EXTENDED_QUERIES = [
     "dedup_semantic",
     "text_c4_filters",
     "corpus_epoch_upsample",
+    "corpus_snapshot_diff",
+    "corpus_distribution_drift",
+    "corpus_bpe_merges",
+    "text_doc_vectors",
+    "text_quality_scorecard",
+    "corpus_prepare_pipeline",
 ]
 
 

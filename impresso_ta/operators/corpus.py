@@ -448,6 +448,61 @@ def epoch_upsample(
     )
 
 
+def deterministic_split(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Hash-based train/validation/test assignment: each doc's
+    md5-uniform draw lands in a cumulative-fraction bucket. Adds a
+    ``split`` column. Deterministic (no rand()) — the same doc lands in
+    the same split on every run, every engine, and ANY SUBSET of the
+    corpus (membership depends only on the id), which is what keeps a
+    growing crawl's validation set stable over time. Zero shuffle.
+
+    ``fractions`` must sum to 1.0 (e.g. {"train": .98, "val": .01,
+    "test": .01}); bucket boundaries are rounded to 9 decimals so the
+    comparison is ulp-stable across engines.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + ":"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 48))
+    )
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = u < F.lit(round(cum, 9))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    expr = (
+        expr.otherwise(F.lit(names[-1]))
+        if expr is not None
+        else F.lit(names[-1])
+    )
+    return docs.withColumn("split", expr)
+
+
 def distribution_drift(
     old: DataFrame,
     new: DataFrame,

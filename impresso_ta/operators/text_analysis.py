@@ -167,6 +167,84 @@ def _gram_array(words: Column, n: int) -> Column:
     return F.slice(acc, 1, F.greatest(size - n + 1, F.lit(1)))
 
 
+def normalize_text(text: Column) -> Column:
+    """Deterministic text normalization (the regex-portable core of an
+    ftfy-style cleanup): strip C0/C1 control characters, fold curly
+    quotes and long dashes to ASCII, collapse runs of whitespace, trim.
+    Pure column expressions — identical semantics in the DuckDB oracle.
+    """
+    # strip control chars EXCEPT \t \n \r (0x09 0x0A 0x0D) — those are
+    # whitespace and must collapse to a space, not vanish
+    t = F.regexp_replace(text, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    t = F.translate(t, "‘’“”–—", "''\"\"--")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def normalized_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, clean text, changed flag, md5 of clean text) — the
+    normalization pass a crawl runs before any hashing/dedup so that
+    byte-level noise doesn't defeat exact fingerprints. Zero shuffle."""
+    clean = normalize_text(F.col(text_col))
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        clean.alias("text"),
+        (clean != F.col(text_col)).alias("changed"),
+        F.md5(clean).alias("clean_fp"),
+    )
+
+
+def quality_outliers(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    z_max: float = 3.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Distribution-based outlier flagging over the quality features:
+    per-doc z-scores of token count and mean token length against the
+    corpus mean/stddev; |z| > ``z_max`` on either axis flags the doc.
+    The statistical complement to the fixed-threshold C4/Gopher gates —
+    catches corpus-relative anomalies fixed thresholds miss.
+
+    Shape: one single-row mean/stddev aggregate broadcast back over the
+    feature frame — the corpus is scanned once, never shuffled by key.
+    """
+    feats = quality_features(docs, id_col, text_col).select(
+        "doc_id",
+        F.col("n_tokens").cast("double").alias("nt"),
+        F.col("avg_token_len").alias("atl"),
+    )
+    stats = feats.agg(
+        F.avg("nt").alias("m_nt"),
+        F.stddev_samp("nt").alias("s_nt"),
+        F.avg("atl").alias("m_atl"),
+        F.stddev_samp("atl").alias("s_atl"),
+    )
+    # nullif guards the zero-variance corpus (all docs identical): the
+    # z-score is NULL there, never an ANSI divide-by-zero, and NULL z
+    # means not-an-outlier.
+    z_nt = F.round(
+        (F.col("nt") - F.col("m_nt")) / F.nullif(F.col("s_nt"), F.lit(0.0)),
+        round_to,
+    )
+    z_atl = F.round(
+        (F.col("atl") - F.col("m_atl"))
+        / F.nullif(F.col("s_atl"), F.lit(0.0)),
+        round_to,
+    )
+    return feats.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        z_nt.alias("z_tokens"),
+        z_atl.alias("z_token_len"),
+        F.coalesce(
+            (F.abs(z_nt) > z_max) | (F.abs(z_atl) > z_max), F.lit(False)
+        ).alias("is_outlier"),
+    )
+
+
 C4_BLACKLIST: list[str] = ["lorem ipsum", "javascript", "cookie policy", "{"]
 
 

@@ -2737,6 +2737,114 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "text_normalize",
+    """
+    WITH noisy AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 4 = 0
+                            THEN '  “q” ' || chr(9) || ' —x'
+                            ELSE '' END
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN chr(7) || ' ‘y’' ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+               translate(regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                         '‘’“”–—',
+                         $$''""--$$),
+               '\\s+', ' ', 'g')) AS text,
+           (trim(regexp_replace(
+               translate(regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                         '‘’“”–—',
+                         $$''""--$$),
+               '\\s+', ' ', 'g')) <> text) AS changed,
+           md5(trim(regexp_replace(
+               translate(regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                         '‘’“”–—',
+                         $$''""--$$),
+               '\\s+', ' ', 'g'))) AS clean_fp
+    FROM noisy
+    """,
+    "Deterministic text normalization (ftfy-lite): strip control chars, "
+    "fold curly quotes/dashes, collapse whitespace — the pass that keeps "
+    "byte noise from defeating exact fingerprints. Noise injected "
+    "doc_id-deterministically for verifiability; zero shuffle.",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    noisy = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("  “q” \t —x"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\x07 ‘y’")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text_analysis.normalized_docs(noisy)
+
+
+@q(
+    "text_quality_outliers",
+    r"""
+    WITH f AS (
+        SELECT doc_id, len(w)::DOUBLE AS nt,
+               round(list_sum(list_transform(w, x -> len(x)))::DOUBLE
+                     / len(w), 4) AS atl
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents)
+    ),
+    s AS (SELECT avg(nt) AS m_nt, stddev_samp(nt) AS s_nt,
+                 avg(atl) AS m_atl, stddev_samp(atl) AS s_atl FROM f)
+    SELECT doc_id,
+           round((nt - m_nt) / nullif(s_nt, 0), 4) AS z_tokens,
+           round((atl - m_atl) / nullif(s_atl, 0), 4) AS z_token_len,
+           coalesce(abs(round((nt - m_nt) / nullif(s_nt, 0), 4)) > 3.0
+                    OR abs(round((atl - m_atl) / nullif(s_atl, 0), 4)) > 3.0,
+                    false) AS is_outlier
+    FROM f CROSS JOIN s
+    """,
+    "Distribution-based quality outliers: per-doc z-scores of token "
+    "count and mean token length vs the corpus — the corpus-relative "
+    "complement to fixed-threshold gates. One single-row stats "
+    "aggregate broadcast back; corpus never shuffled by key.",
+)
+def text_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.quality_outliers(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "corpus_split_assign",
+    """
+    SELECT doc_id,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 12))::BIGINT
+                 / 281474976710656.0 AS u
+          FROM documents)
+    """,
+    "Deterministic hash-based train/val/test split (80/10/10): "
+    "membership depends only on the id, so a growing crawl's validation "
+    "set stays stable across runs, engines, and corpus subsets. Zero "
+    "shuffle.",
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.corpus import deterministic_split
+
+    return deterministic_split(
+        t(spark, sf_dir, "documents"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).select("doc_id", "split")
+
+
+@q(
     "text_quality_scorecard",
     f"""
     WITH base AS (SELECT doc_id, text, n_chars,

@@ -125,3 +125,56 @@ def test_hashed_doc_vectors_unit_norm_and_similarity(spark):
     ).collect()
     ranked = sorted(top, key=lambda r: r["rank"])
     assert ranked[0]["neighbor_id"] in (0, 1) and ranked[1]["neighbor_id"] in (0, 1)
+
+
+def test_normalize_text_rules(spark):
+    from impresso_ta.operators.text_analysis import normalized_docs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "plain text stays"),
+            (1, "curly “quotes” and — dash"),
+            (2, "ctrl\x07chars\tand   runs"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in normalized_docs(docs).collect()}
+    assert out[0]["text"] == "plain text stays" and not out[0]["changed"]
+    assert out[1]["text"] == 'curly "quotes" and - dash' and out[1]["changed"]
+    assert out[2]["text"] == "ctrlchars and runs" and out[2]["changed"]
+
+
+def test_quality_outliers_flags_extremes(spark):
+    from impresso_ta.operators.text_analysis import quality_outliers
+
+    rows = [(i, "word " * 20) for i in range(30)] + [(99, "word " * 2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_outliers(docs).collect()}
+    assert out[99]["is_outlier"] and out[99]["z_tokens"] > 3
+    assert not out[0]["is_outlier"]
+
+
+def test_deterministic_split_stable_on_subsets(spark):
+    from impresso_ta.operators.corpus import deterministic_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    full = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(docs, fr).collect()
+    }
+    assert set(full.values()) == {"train", "val", "test"}
+    # subset invariance: halving the corpus never moves a doc's split
+    half = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(
+            docs.filter("doc_id % 2 = 0"), fr
+        ).collect()
+    }
+    for doc_id, split in half.items():
+        assert full[doc_id] == split
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        deterministic_split(docs, {"train": 0.5, "val": 0.1})
