@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny per-language marker sets for the n-gram/stopword heuristic.
 # Deterministic and engine-portable; ties break alphabetically.
@@ -144,6 +145,55 @@ def hashed_doc_vectors(
         ),
     )
     return mapped.select("doc_id", vec.alias("vector"))
+
+
+def language_consistency(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 20,
+    min_majority: float = 0.8,
+    round_to: int = 4,
+) -> DataFrame:
+    """Mixed-language / code-switching detection: language-ID per
+    ``span_words``-word span, then the per-document majority language
+    and its share of spans; ``is_mixed`` when the majority holds less
+    than ``min_majority`` of spans. CCNet-style documents whose halves
+    disagree get flagged where a whole-doc language vote would hide it.
+
+    Shape: span explode → (doc, lang) count with map-side combine →
+    one doc-keyed argmax window over at most n_languages rows per doc.
+    """
+    from impresso_ta.operators.dedup import word_spans
+
+    spans = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(word_spans(F.col(text_col), span_words)).alias("span"),
+    )
+    counts = (
+        spans.select("doc_id", lang_id(F.col("span")).alias("span_lang"))
+        .groupBy("doc_id", "span_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("span_lang"))
+    tot = Window.partitionBy("doc_id")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_spans", F.sum("n").over(tot))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("span_lang").alias("majority_lang"),
+            F.col("n_spans").cast("long"),
+            F.round(F.col("n") / F.col("n_spans"), round_to).alias(
+                "majority_frac"
+            ),
+            (
+                F.round(F.col("n") / F.col("n_spans"), round_to)
+                < F.lit(min_majority)
+            ).alias("is_mixed"),
+        )
+    )
 
 
 def rolling_fingerprint(text: Column) -> Column:

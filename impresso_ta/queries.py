@@ -2737,6 +2737,56 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "text_language_consistency",
+    r"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+               FROM documents),
+    spans AS (
+        SELECT doc_id,
+               array_to_string(w[((i-1)*20+1):least(i*20, len(w))], ' ') AS span
+        FROM w, unnest(range(1, CAST(ceil(len(w)/20.0) AS BIGINT) + 1)) AS t(i)
+    ),
+    langs AS (
+        SELECT doc_id,
+               CASE WHEN len(regexp_extract_all(span, '[一-鿿]')) > 0 THEN 'zh'
+                    WHEN hde = 0 AND hen = 0 AND hes = 0 AND hfr = 0 THEN 'und'
+                    WHEN hde >= hen AND hde >= hes AND hde >= hfr THEN 'de'
+                    WHEN hen >= hes AND hen >= hfr THEN 'en'
+                    WHEN hes >= hfr THEN 'es'
+                    ELSE 'fr' END AS span_lang
+        FROM (
+            SELECT doc_id, span,
+                len(regexp_extract_all(lower(span), '\b(der|die|und|nicht|das)\b')) AS hde,
+                len(regexp_extract_all(lower(span), '\b(the|and|of|is|to)\b')) AS hen,
+                len(regexp_extract_all(lower(span), '\b(el|la|que|los|una)\b')) AS hes,
+                len(regexp_extract_all(lower(span), '\b(le|la|et|les|des)\b')) AS hfr
+            FROM spans
+        )
+    ),
+    counts AS (SELECT doc_id, span_lang, count(*) AS n
+               FROM langs GROUP BY 1, 2),
+    ranked AS (
+        SELECT doc_id, span_lang, n,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n DESC, span_lang ASC) AS rn,
+               sum(n) OVER (PARTITION BY doc_id) AS n_spans
+        FROM counts
+    )
+    SELECT doc_id, span_lang AS majority_lang, n_spans::BIGINT AS n_spans,
+           round(n::DOUBLE / n_spans, 4) AS majority_frac,
+           (round(n::DOUBLE / n_spans, 4) < 0.8) AS is_mixed
+    FROM ranked WHERE rn = 1
+    """,
+    "Mixed-language / code-switching detection: span-level language ID "
+    "(20-word spans), per-doc majority language + share, is_mixed below "
+    "0.8 — flags what a whole-doc vote hides. Uniformly-keyed span "
+    "count, doc-keyed argmax over ≤n_languages rows.",
+)
+def text_language_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.language_consistency(t(spark, sf_dir, "documents"))
+
+
+@q(
     "text_normalize",
     """
     WITH noisy AS (

@@ -178,3 +178,24 @@ def test_deterministic_split_stable_on_subsets(spark):
 
     with pytest.raises(ValueError):
         deterministic_split(docs, {"train": 0.5, "val": 0.1})
+
+
+def test_language_consistency_flags_code_switching(spark):
+    from impresso_ta.operators.text_analysis import language_consistency
+
+    en = "the cat and the dog is of the house to go " * 2
+    fr = "le chat et les chiens des villes et le pont " * 2
+    docs = spark.createDataFrame(
+        [
+            (0, en + en + en + en),       # pure English
+            (1, en + en + fr + fr),       # half-and-half → mixed
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in language_consistency(docs, span_words=20).collect()
+    }
+    assert out[0]["majority_lang"] == "en" and not out[0]["is_mixed"]
+    assert out[1]["is_mixed"] and out[1]["majority_frac"] < 0.8
+    assert out[1]["majority_lang"] in ("en", "fr")
