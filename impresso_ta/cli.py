@@ -45,6 +45,11 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     imp.add_argument("--ts", help="deterministic timestamp to stamp rows with")
     imp.add_argument("--store-format", default="json", choices=["json", "parquet"])
+    imp.add_argument(
+        "--image-dirs",
+        help="comma-separated image/image-info sidecar dirs for Olive X7 "
+        "coordinate conversion (ref generic_importer's --image-dirs)",
+    )
 
     reb = sub.add_parser("rebuild", help="canonical store → rebuilt docs")
     reb.add_argument("--issues", required=True)
@@ -118,6 +123,18 @@ def cmd_import(args, spark) -> int:
             start, end = rng.split(":")
             ranges[alias] = (start, end)
         disc = date_filter(disc, ranges)
+    if getattr(args, "image_dirs", None):
+        # Olive X7 coordinate conversion: the importer reads the sidecar
+        # location from a path suffix so the discovery schema stays flat
+        disc = disc.withColumn(
+            "path",
+            F.when(
+                F.col("format") == "olive",
+                F.concat(
+                    F.col("path"), F.lit("::image_dirs=" + args.image_dirs)
+                ),
+            ).otherwise(F.col("path")),
+        )
     if args.incremental:
         try:
             done = read_issues(spark, f"{args.output_dir}/issues").select(
