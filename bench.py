@@ -64,6 +64,10 @@ EXTENDED_QUERIES = [
     "text_doc_vectors",
     "text_quality_scorecard",
     "corpus_prepare_pipeline",
+    "text_language_consistency",
+    "text_normalize",
+    "text_quality_outliers",
+    "corpus_split_assign",
 ]
 
 

@@ -591,6 +591,39 @@ def line_dedup(
     return marked.groupBy("doc_id").agg(*agg_cols).select(*out_cols)
 
 
+def semantic_dedup_auto(
+    embeddings: DataFrame,
+    target_cell_size: int = 512,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`semantic_dedup` with nlist sized from the corpus: the
+    documented scale contract ("pick nlist so cells fit a task") made
+    executable — nlist = ⌈n / target_cell_size⌉, seeds the nlist
+    smallest-id vectors. Pair volume stays ~n·target_cell_size instead
+    of growing n²/nlist as the corpus outpaces a fixed nlist (measured
+    sf0.1→sf1: 100× pair blowup at fixed nlist=8 — PLANS §6). Above
+    ``similarity.LITERAL_MAX_NLIST`` the centroid argmax automatically
+    switches to the broadcast-relation strategy, so plan size stays
+    O(1) at any nlist.
+    """
+    import math
+
+    n = embeddings.count()
+    nlist = max(1, math.ceil(n / target_cell_size))
+    seed_rows = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(nlist)
+        .collect()
+    )
+    seeds = [(int(r[id_col]), list(r[vec_col])) for r in seed_rows]
+    return semantic_dedup(
+        embeddings, seeds, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     centroids: list[tuple[int, list[float]]],

@@ -199,3 +199,22 @@ def test_language_consistency_flags_code_switching(spark):
     assert out[0]["majority_lang"] == "en" and not out[0]["is_mixed"]
     assert out[1]["is_mixed"] and out[1]["majority_frac"] < 0.8
     assert out[1]["majority_lang"] in ("en", "fr")
+
+
+def test_semantic_dedup_auto_scales_nlist(spark):
+    from impresso_ta.operators.dedup import semantic_dedup_auto
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    out = semantic_dedup_auto(emb, target_cell_size=10, threshold=0.99)
+    rows = out.collect()
+    assert len(rows) == n
+    # nlist = ceil(n/10) distinct seed cells → max observed cell well
+    # below the whole corpus; every vec assigned
+    cells = {}
+    for r in rows:
+        cells[r["cell"]] = cells.get(r["cell"], 0) + 1
+    assert len(cells) > 1
+    assert max(cells.values()) < n
+    # at tau=0.99 with random vectors nothing drops
+    assert all(r["keep"] for r in rows)
