@@ -2736,6 +2736,60 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new)
 
 
+def _cm_col_sql(word_sql: str, row: int, w: int) -> str:
+    return (
+        f"('0x' || substr(md5('cm{row}:' || {word_sql}), 1, 12))::BIGINT % {w}"
+    )
+
+
+_CM_CELLS = " UNION ALL ".join(
+    f"SELECT {r} AS row, {_cm_col_sql('word', r, 256)} AS col FROM words"
+    for r in range(4)
+)
+
+_CM_PROBE_CELLS = " UNION ALL ".join(
+    f"SELECT word, tf, {r} AS row, {_cm_col_sql('word', r, 256)} AS col "
+    "FROM probes"
+    for r in range(4)
+)
+
+
+@q(
+    "sketch_count_min_heavy_hitters",
+    f"""
+    WITH words AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents
+    ),
+    cells AS ({_CM_CELLS}),
+    sketch AS (SELECT row, col, count(*) AS c FROM cells GROUP BY 1, 2),
+    per AS (SELECT word, doc_id, count(*) AS tfd
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                  FROM documents) GROUP BY 1, 2),
+    probes AS (SELECT word, sum(tfd)::BIGINT AS tf FROM per GROUP BY word
+               ORDER BY tf DESC, word ASC LIMIT 20),
+    probe_cells AS ({_CM_PROBE_CELLS})
+    SELECT word, tf, min(c)::BIGINT AS cm_estimate
+    FROM probe_cells JOIN sketch USING (row, col)
+    GROUP BY word, tf
+    """,
+    "Count-min sketch heavy hitters (d=4, w=256): fixed-size mergeable "
+    "frequency table (map-side combine collapses any stream to ≤ d·w "
+    "rows per task), probed with the exact top-20 — never "
+    "underestimates, estimate==tf when collision-free. The mergeable-"
+    "sketch companion to the HLL++ distinct path.",
+)
+def sketch_count_min_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from impresso_ta.operators.sketches import heavy_hitter_estimates
+
+    return heavy_hitter_estimates(
+        t(spark, sf_dir, "documents"), d=4, w=256, top_k=20
+    )
+
+
 @q(
     "text_language_consistency",
     r"""

@@ -15,3 +15,17 @@ def test_hll_within_relative_error(spark):
         F.approx_count_distinct("w", rsd=0.02).alias("n")
     ).collect()[0]["n"]
     assert abs(approx - exact) / exact < 0.06  # 3σ of rsd=0.02
+
+
+def test_count_min_never_underestimates_and_is_exact_when_wide(spark):
+    from impresso_ta.operators.sketches import heavy_hitter_estimates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = heavy_hitter_estimates(docs, d=4, w=256, top_k=15).collect()
+    assert len(rows) == 15
+    for r in rows:
+        # the CM guarantee
+        assert r["cm_estimate"] >= r["tf"], r["word"]
+    # a very wide sketch has no collisions on this vocabulary → exact
+    wide = heavy_hitter_estimates(docs, d=4, w=65536, top_k=15).collect()
+    assert all(r["cm_estimate"] == r["tf"] for r in wide)
