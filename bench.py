@@ -68,6 +68,7 @@ EXTENDED_QUERIES = [
     "text_normalize",
     "text_quality_outliers",
     "corpus_split_assign",
+    "sketch_count_min_heavy_hitters",
 ]
 
 
