@@ -66,3 +66,67 @@ def point_in_interval_join(
         )
         .drop("_bin")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_start: str = "l_start",
+    left_end: str = "l_end",
+    right_start: str = "r_start",
+    right_end: str = "r_end",
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Interval × interval overlap join (half-open: ``l_start < r_end AND
+    r_start < l_end``) as an equi-join — the other member of the
+    temporal-join family (:func:`point_in_interval_join` is the
+    degenerate point case).
+
+    Both sides explode to the bins they cover and equi-join on
+    (key, bin). A pair overlapping in SEVERAL shared bins would emit
+    once per bin; instead of a distinct (an extra shuffle of the whole
+    result), each match is kept only in its FIRST shared bin — the bin
+    containing ``greatest(l_start, r_start)``, which every genuinely
+    overlapping pair shares by construction. Candidate volume is
+    Σ intervals·(1 + len/W); no BNLJ, no result-wide dedup shuffle.
+    """
+    w = F.lit(bin_seconds)
+    l_binned = left.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(_epoch_seconds(left, left_start) / w),
+                F.floor(_epoch_seconds(left, left_end) / w),
+            )
+        ),
+    )
+    r_binned = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(_epoch_seconds(right, right_start) / w),
+                F.floor(_epoch_seconds(right, right_end) / w),
+            )
+        ),
+    )
+    def _epoch_expr(src: DataFrame, name: str) -> Column:
+        if dict(src.dtypes).get(name, "").startswith("timestamp"):
+            return F.col(name).cast("timestamp").cast("long")
+        return F.col(name).cast("long")
+
+    overlap_start_bin = F.floor(
+        F.greatest(
+            _epoch_expr(left, left_start), _epoch_expr(right, right_start)
+        )
+        / w
+    )
+    return (
+        l_binned.join(r_binned, [key, "_bin"])
+        .filter(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+        )
+        .filter(F.col("_bin") == overlap_start_bin)
+        .drop("_bin")
+    )

@@ -1897,6 +1897,50 @@ def j13_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "j14_interval_overlap_join",
+    """
+    SELECT a.event_id AS purchase_id, count(*) AS n_overlapping_views,
+           min(b.event_id) AS first_view_id
+    FROM (SELECT event_id, user_id, ts AS l_start,
+                 ts + INTERVAL 2 HOUR AS l_end
+          FROM events WHERE event_type = 'purchase') a
+    JOIN (SELECT event_id, user_id, ts AS r_start,
+                 ts + INTERVAL 30 MINUTE AS r_end
+          FROM events WHERE event_type = 'view') b
+      ON a.user_id = b.user_id
+     AND a.l_start < b.r_end AND b.r_start < a.l_end
+    GROUP BY 1
+    """,
+    "Interval×interval overlap join as a binned EQUI-join (first-"
+    "shared-bin keeps each pair exactly once — no result-wide distinct "
+    "shuffle) vs DuckDB's native IEJoin on the raw inequality form.",
+)
+def j14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.rangejoin import interval_overlap_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"),
+        "user_id",
+        F.col("ts").alias("l_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("l_end"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("r_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("r_end"),
+    )
+    joined = interval_overlap_join(
+        purchases, views, key="user_id", bin_seconds=7200
+    )
+    return joined.groupBy(F.col("event_id").alias("purchase_id")).agg(
+        F.count("*").alias("n_overlapping_views"),
+        F.min("view_id").alias("first_view_id"),
+    )
+
+
+@q(
     "corpus_stratified_sample",
     f"""
     SELECT doc_id, lang FROM (
