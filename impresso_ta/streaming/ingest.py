@@ -49,6 +49,68 @@ def stream_canonical_issues(
     return writer.start()
 
 
+def stream_corpus_quality_gate(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Streaming corpus-quality gate: watch a drop directory of document
+    parquet files, keep only rows passing the C4 + Gopher-lite quality
+    predicates, append survivors (with the audit columns) to the clean
+    store. Exactly-once per input file via checkpoint — the streaming
+    twin of the batch ``prepare_corpus`` filter stages for a live crawl
+    feed.
+
+    Corpus-WIDE stages (line dedup, Jaccard dedup) stay batch — they
+    need the full corpus; the row-local gates here are exactly the ones
+    that can run on a stream without state. (First-seen exact dedup is
+    the stateful streaming complement: ``sessions.stream_dedup_first_seen``.)
+    """
+    from impresso_ta.operators.text_analysis import C4_BLACKLIST, tokens
+
+    doc_schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 32)
+        .parquet(in_path)
+    )
+    # the C4 predicates inline as one pure projection — streams filter at
+    # scan speed, no state, no stream-stream join (mirrors
+    # text_analysis.c4_filters' keep semantics)
+    text = F.col("text")
+    toks = tokens(text)
+    n_words = F.size(toks)
+    mean_len = F.aggregate(
+        toks, F.lit(0), lambda a, w: a + F.length(w)
+    ).cast("double") / n_words
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    blacklist = None
+    for term in C4_BLACKLIST:
+        hit = F.contains(F.lower(text), F.lit(term))
+        blacklist = hit if blacklist is None else (blacklist | hit)
+    keep = (
+        (n_words >= 20)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & ((n_alpha.cast("double") / n_words) >= 0.8)
+        & ~blacklist
+    )
+    survivors = stream.filter(keep)
+    writer = (
+        survivors.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",

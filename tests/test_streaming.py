@@ -84,3 +84,36 @@ def test_stream_rebuild_solr_incremental(spark, tmp_path):
     # issue2 carries the same CI payload → same row count again
     assert after.count() == 2 * n_first
     assert {r["id"] for r in after.select("id").collect()} == ids
+
+
+def test_stream_corpus_quality_gate_incremental(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from impresso_ta.streaming.ingest import stream_corpus_quality_gate
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    good = " ".join(f"word{i}" for i in range(40))
+    bad_short = "too short"
+    bad_blk = good + " enable javascript please"
+
+    spark.createDataFrame(
+        [(1, good, "en", "s", len(good)), (2, bad_short, "en", "s", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(drop / "batch1"))
+    q = stream_corpus_quality_gate(spark, str(drop) + "/*", out, ckpt)
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1}
+
+    # second drop: checkpoint means batch1 is not reprocessed
+    spark.createDataFrame(
+        [(3, good + " more", "en", "s", 1), (4, bad_blk, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(drop / "batch2"))
+    q = stream_corpus_quality_gate(spark, str(drop) + "/*", out, ckpt)
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 3]
