@@ -68,3 +68,48 @@ def asof_join(
         .filter(F.col("_side") == 1)
         .select(F.col("_row.*"), F.col("_asof.v").alias(out_col))
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_col: str = "value",
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """Forward as-of join: left rows + EARLIEST right ``value_col`` at or
+    after each left timestamp (null when no later right row) — the
+    next-event / time-to-event direction. Same single key-window plan as
+    the backward form, mirrored: the frame looks forward and right rows
+    sort AFTER left rows at equal timestamps so a same-instant right row
+    is visible as the match.
+    """
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_row"),
+        F.lit(None)
+        .cast(f"struct<v:{right.schema[value_col].dataType.simpleString()}>")
+        .alias("_m"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(l_tag.schema["_row"].dataType).alias("_row"),
+        F.struct(F.col(value_col).alias("v")).alias("_m"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        unioned.withColumn("_asof", F.first("_m", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 0)
+        .select(F.col("_row.*"), F.col("_asof.v").alias(out_col))
+    )

@@ -1863,6 +1863,40 @@ def j12_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "j15_asof_join_forward",
+    """
+    SELECT l.event_id, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(r.value, 2) AS next_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') l
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ) r ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+    "FORWARD as-of join (next-event / time-to-event direction): the "
+    "mirrored single key-window plan vs DuckDB's native forward ASOF "
+    "JOIN (<=) — two independent implementations agreeing row-for-row.",
+)
+def j15_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.asof import asof_join_forward
+
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join_forward(views, purchases, key="user_id", value_col="value")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("asof_value", 2).alias("next_value"),
+    )
+
+
+@q(
     "j13_range_join_binned",
     """
     SELECT i.event_id AS interval_id, count(*) AS n_views

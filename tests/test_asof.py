@@ -59,3 +59,26 @@ def test_asof_join_null_right_value(spark):
         for r in asof_join(left, right, key="user_id").collect()
     }
     assert got == {1: 5.0, 2: None}
+
+
+def test_asof_forward_edges(spark):
+    from impresso_ta.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 35, "c"), (2, 5, "d")],
+        "user_id long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 20, 200.0), (1, 30, 300.0)],
+        "user_id long, ts long, value double",
+    )
+    out = {
+        r["tag"]: r["asof_value"]
+        for r in asof_join_forward(
+            left, right, key="user_id", value_col="value"
+        ).collect()
+    }
+    assert out["a"] == 200.0       # earliest later row
+    assert out["b"] == 200.0       # same-instant right row matches
+    assert out["c"] is None        # nothing later
+    assert out["d"] is None        # key has no right rows
