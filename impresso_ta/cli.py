@@ -93,6 +93,10 @@ def _build_parser() -> argparse.ArgumentParser:
     cor.add_argument(
         "--shards", type=int, default=0, help="also export N training shards"
     )
+    cor.add_argument(
+        "--split",
+        help="add a deterministic split column, e.g. train=0.98,val=0.01,test=0.01",
+    )
     cor.add_argument("--stats", action="store_true", help="print per-stage counts")
     return p
 
@@ -242,7 +246,18 @@ def cmd_corpus(args, spark) -> int:
         domain_col=args.domain_col,
         collect_stats=args.stats,
     )
-    res.docs.write.mode("overwrite").parquet(f"{args.output_dir}/corpus")
+    out_docs = res.docs
+    if args.split:
+        from impresso_ta.operators.corpus import deterministic_split
+
+        fractions = {}
+        for part in args.split.split(","):
+            name, frac = part.split("=")
+            fractions[name] = float(frac)
+        out_docs = deterministic_split(
+            out_docs, fractions, id_col=args.id_col
+        )
+    out_docs.write.mode("overwrite").parquet(f"{args.output_dir}/corpus")
     for stage, n_in, n_out in res.stats:
         print(f"{stage}: {n_in} -> {n_out}")
     if args.shards:

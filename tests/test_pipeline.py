@@ -125,3 +125,22 @@ def test_cli_corpus_with_benchmark_and_temperature(tmp_path, spark):
     # temperature mix downsampled
     total = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert 0 < len(kept) < total
+
+
+def test_cli_corpus_split_column(tmp_path, spark):
+    out = tmp_path / "prepared"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "impresso_ta.cli", "corpus",
+            "--input", f"{SF}/documents.parquet",
+            "--output-dir", str(out),
+            "--no-c4", "--no-gopher", "--line-spans", "0", "--no-doc-dedup",
+            "--split", "train=0.8,val=0.1,test=0.1",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    prepared = spark.read.parquet(str(out / "corpus"))
+    assert "split" in prepared.columns
+    splits = {row["split"] for row in prepared.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
