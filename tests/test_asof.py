@@ -82,3 +82,34 @@ def test_asof_forward_edges(spark):
     assert out["b"] == 200.0       # same-instant right row matches
     assert out["c"] is None        # nothing later
     assert out["d"] is None        # key has no right rows
+
+
+def test_asof_forward_backward_duality(spark):
+    """forward(ts) == backward(-ts): the two directions are mirrors."""
+    from impresso_ta.operators.asof import asof_join, asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, t, f"L{t}") for t in (5, 10, 15, 25)],
+        "user_id long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 80.0), (1, 15, 150.0), (1, 30, 300.0)],
+        "user_id long, ts long, value double",
+    )
+    fwd = {
+        r["tag"]: r["asof_value"]
+        for r in asof_join_forward(
+            left, right, key="user_id", value_col="value"
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    neg = lambda df: df.withColumn("ts", -F.col("ts"))
+    bwd_mirror = {
+        r["tag"]: r["asof_value"]
+        for r in asof_join(
+            neg(left), neg(right), key="user_id", value_col="value"
+        ).collect()
+    }
+    assert fwd == bwd_mirror
+    assert fwd == {"L5": 80.0, "L10": 150.0, "L15": 150.0, "L25": 300.0}
