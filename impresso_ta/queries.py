@@ -970,6 +970,59 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "text_langid_accuracy",
+    """
+    WITH pred AS (
+        SELECT lang,
+            CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+                 WHEN len(regexp_extract_all(lower(text), '\\b(der|die|und|nicht|das)\\b')) = 0
+                  AND len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to)\\b')) = 0
+                  AND len(regexp_extract_all(lower(text), '\\b(el|la|que|los|una)\\b')) = 0
+                  AND len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b')) = 0
+                 THEN 'und'
+                 WHEN len(regexp_extract_all(lower(text), '\\b(der|die|und|nicht|das)\\b'))
+                      >= len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to)\\b'))
+                  AND len(regexp_extract_all(lower(text), '\\b(der|die|und|nicht|das)\\b'))
+                      >= len(regexp_extract_all(lower(text), '\\b(el|la|que|los|una)\\b'))
+                  AND len(regexp_extract_all(lower(text), '\\b(der|die|und|nicht|das)\\b'))
+                      >= len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b'))
+                 THEN 'de'
+                 WHEN len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to)\\b'))
+                      >= len(regexp_extract_all(lower(text), '\\b(el|la|que|los|una)\\b'))
+                  AND len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to)\\b'))
+                      >= len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b'))
+                 THEN 'en'
+                 WHEN len(regexp_extract_all(lower(text), '\\b(el|la|que|los|una)\\b'))
+                      >= len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b'))
+                 THEN 'es'
+                 ELSE 'fr' END AS predicted
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+           round(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4) AS accuracy
+    FROM pred GROUP BY lang
+    """,
+    "Classifier evaluation as a corpus op: language-ID accuracy per "
+    "true label — the eval harness a pipeline runs when tuning a "
+    "heuristic filter. One scan, one small aggregate.",
+)
+def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    correct = F.when(
+        text_analysis.lang_id(F.col("text")) == F.col("lang"), 1
+    ).otherwise(0)
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        F.round(F.sum(correct).cast("double") / F.count("*"), 4).alias(
+            "accuracy"
+        ),
+    )
+
+
+@q(
     "token_count_stats",
     """
     SELECT source,
