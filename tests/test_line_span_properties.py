@@ -54,3 +54,22 @@ def test_line_dedup_invariants(spark, corpus, k):
         assert out[i]["n_kept"] == len(kept)
     # corpus-level conservation: total kept == number of distinct spans
     assert sum(r["n_kept"] for r in out.values()) == len(seen)
+
+
+def test_line_dedup_correct_under_extreme_span_skew(spark):
+    """A boilerplate span in half the corpus: the groupBy(min) shape must
+    stay correct (the reason it isn't a window over the span key)."""
+    boiler = " ".join(f"b{i}" for i in range(5))
+    rows = []
+    for i in range(400):
+        uniq = " ".join(f"u{i}_{j}" for j in range(5))
+        rows.append((i, f"{boiler} {uniq}" if i % 2 == 0 else uniq))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(docs, span_words=5).collect()}
+    assert len(out) == 400
+    # doc 0 holds the first occurrence; every later even doc loses it
+    assert out[0]["n_kept"] == 2
+    for i in range(2, 400, 2):
+        assert out[i]["n_spans"] == 2 and out[i]["n_kept"] == 1, i
+    for i in range(1, 400, 2):
+        assert out[i]["n_kept"] == 1
