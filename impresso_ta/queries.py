@@ -3314,6 +3314,71 @@ def text_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.hashed_doc_vectors(t(spark, sf_dir, "documents"))
 
 
+@q(
+    "corpus_sliding_chunks",
+    r"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+               FROM documents)
+    SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+           CAST((i - 1) * 48 AS INT) AS start_word,
+           len(w[((i-1)*48+1):least((i-1)*48+64, len(w))]) AS n_words,
+           array_to_string(w[((i-1)*48+1):least((i-1)*48+64, len(w))], ' ')
+               AS chunk
+    FROM w, unnest(range(1,
+        greatest(CAST(ceil((len(w) - 64) / 48.0) AS BIGINT) + 1, 1) + 1)) AS t(i)
+    WHERE len(w[((i-1)*48+1):least((i-1)*48+64, len(w))]) > 0
+    """,
+    "Overlapping fixed-window chunking (64-word windows, 48-word "
+    "stride — the RAG-ingestion standard; 16-word overlap carries "
+    "context across boundaries). Pure column expressions, zero shuffle.",
+)
+def corpus_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.chunking import sliding_chunks
+
+    return sliding_chunks(
+        t(spark, sf_dir, "documents"), window_words=64, stride_words=48
+    )
+
+
+@q(
+    "corpus_content_defined_chunks",
+    r"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+               FROM documents),
+    b AS (SELECT doc_id, w,
+                 [i for i in range(1, len(w) + 1)
+                  if ('0x' || substr(md5(w[i]), 1, 12))::BIGINT % 16 = 0]
+                     AS bpos
+          FROM w),
+    segs AS (
+        SELECT doc_id,
+               [s for s in list_zip([0] || bpos, bpos || [len(w)])
+                if s[2] > s[1]] AS seg_bounds,
+               w
+        FROM b
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+           (seg_bounds[i][2] - seg_bounds[i][1]) AS n_words,
+           array_to_string(w[(seg_bounds[i][1]+1):seg_bounds[i][2]], ' ')
+               AS chunk,
+           md5(array_to_string(w[(seg_bounds[i][1]+1):seg_bounds[i][2]], ' '))
+               AS chunk_fp
+    FROM segs, unnest(range(1, len(seg_bounds) + 1)) AS t(i)
+    """,
+    "Content-defined chunking (FastCDC idea at word granularity): "
+    "md5-boundary words end chunks, so chunk edges follow content and "
+    "near-duplicate documents share byte-identical chunks — fixed "
+    "windows mis-align after one insertion. Zero shuffle, boundary "
+    "positions as a filtered index sequence.",
+)
+def corpus_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.chunking import content_defined_chunks
+
+    return content_defined_chunks(
+        t(spark, sf_dir, "documents"), boundary_mod=16
+    )
+
+
 def _bpe_iter_cte(i: int) -> str:
     prev = f"v{i-1}"
     return f"""
