@@ -83,3 +83,82 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def hashed_query_vector(terms: list[str], dim: int = 64) -> list[float]:
+    """The query's feature-hashed vector, computed driver-side with the
+    IDENTICAL md5-bucket + L2 + round(…, 6) arithmetic as
+    ``text_analysis.hashed_doc_vectors`` — a tiny literal, so the dense
+    leg needs no extra Spark job for the query side."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    c = Counter(
+        int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % dim
+        for t in terms
+    )
+    nrm = math.sqrt(sum(v * v for v in c.values()))
+    return [round(c.get(i, 0) / nrm, 6) for i in range(dim)]
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k_sparse: int = 20,
+    k_final: int = 10,
+    dim: int = 64,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hybrid search: BM25 candidate generation re-ranked by dense
+    cosine over feature-hashed vectors, fused with reciprocal-rank
+    fusion (RRF, Cormack et al. 2009): score = Σ 1/(rrf_k + rank_leg).
+    Rank fusion needs no weight tuning and is integer-deterministic —
+    engine-portable by construction.
+
+    Plan: the sparse leg is :func:`bm25_topk` (corpus never shuffled);
+    the dense leg computes vectors ONLY for the k_sparse candidates
+    (semi-join, then the vocabulary-sized vector build); the query
+    vector is a driver-side literal. Everything after candidate
+    generation touches k_sparse rows.
+    """
+    from impresso_ta.operators.similarity import cosine
+    from impresso_ta.operators.text_analysis import hashed_doc_vectors
+    from pyspark.sql.window import Window
+
+    sparse = bm25_topk(
+        docs, terms, k=k_sparse, id_col=id_col, text_col=text_col
+    ).select("doc_id", "bm25")
+    cand_docs = docs.join(
+        sparse.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+    )
+    qv = F.lit(hashed_query_vector(terms, dim))
+    dense = hashed_doc_vectors(
+        cand_docs, id_col=id_col, text_col=text_col, dim=dim
+    ).select(
+        "doc_id", F.round(cosine(qv, F.col("vector")), 4).alias("cosine")
+    )
+    merged = sparse.join(dense, "doc_id")
+    w_s = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    w_d = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    ranked = merged.select(
+        "doc_id",
+        "bm25",
+        "cosine",
+        F.row_number().over(w_s).alias("rank_sparse"),
+        F.row_number().over(w_d).alias("rank_dense"),
+    )
+    rrf = F.round(
+        1.0 / (rrf_k + F.col("rank_sparse"))
+        + 1.0 / (rrf_k + F.col("rank_dense")),
+        9,
+    )
+    return (
+        ranked.select(
+            "doc_id", "bm25", "cosine", rrf.alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(k_final)
+    )

@@ -3314,6 +3314,96 @@ def text_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.hashed_doc_vectors(t(spark, sf_dir, "documents"))
 
 
+def _hybrid_oracle() -> str:
+    from impresso_ta.operators.retrieval import hashed_query_vector
+
+    qv = hashed_query_vector(["dup", "query", "scan"], 64)
+    qlit = "[" + ", ".join(repr(x) for x in qv) + "]"
+    cos = (
+        "round(list_sum(list_transform(list_zip(vector, {q}), "
+        "x -> x[1]::DOUBLE * x[2]::DOUBLE)) / "
+        "(sqrt(list_sum(list_transform(vector, v -> v::DOUBLE * v::DOUBLE)))"
+        " * sqrt(list_sum(list_transform({q}, v -> v::DOUBLE * v::DOUBLE)))"
+        "), 4)"
+    ).format(q=qlit)
+    return rf"""
+    WITH per AS (
+        SELECT doc_id, len(w)::BIGINT AS dl,
+               len(list_filter(w, x -> x = 'dup'))::BIGINT AS tf_0,
+               len(list_filter(w, x -> x = 'query'))::BIGINT AS tf_1,
+               len(list_filter(w, x -> x = 'scan'))::BIGINT AS tf_2
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents)
+    ),
+    stats AS (
+        SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+               sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_0,
+               sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_1,
+               sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_2
+        FROM per
+    ),
+    sparse AS (
+        SELECT doc_id,
+               round(
+                   ln((n - df_0 + 0.5) / (df_0 + 0.5) + 1) * tf_0 * 2.2
+                       / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln((n - df_1 + 0.5) / (df_1 + 0.5) + 1) * tf_1 * 2.2
+                       / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln((n - df_2 + 0.5) / (df_2 + 0.5) + 1) * tf_2 * 2.2
+                       / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+               4) AS bm25
+        FROM per CROSS JOIN stats
+        WHERE tf_0 + tf_1 + tf_2 > 0
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    ),
+    cw AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+           FROM documents WHERE doc_id IN (SELECT doc_id FROM sparse)),
+    bc AS (SELECT doc_id,
+                  ('0x' || substr(md5(word), 1, 12))::BIGINT % 64 AS bucket,
+                  count(*) AS c
+           FROM cw GROUP BY 1, 2),
+    nn AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM bc GROUP BY 1),
+    grid AS (SELECT doc_id, i AS bucket
+             FROM (SELECT DISTINCT doc_id FROM bc), unnest(range(0, 64)) AS t(i)),
+    filled AS (SELECT g.doc_id, g.bucket, coalesce(c, 0) AS c
+               FROM grid g LEFT JOIN bc USING (doc_id, bucket)),
+    vecs AS (SELECT doc_id,
+                    list(round(c::DOUBLE / nrm, 6) ORDER BY bucket) AS vector
+             FROM filled JOIN nn USING (doc_id) GROUP BY doc_id),
+    dense AS (SELECT doc_id, {cos} AS cosine FROM vecs),
+    ranked AS (
+        SELECT s.doc_id, s.bm25, d.cosine,
+               row_number() OVER (ORDER BY s.bm25 DESC, s.doc_id ASC) AS rs,
+               row_number() OVER (ORDER BY d.cosine DESC, s.doc_id ASC) AS rd
+        FROM sparse s JOIN dense d USING (doc_id)
+    )
+    SELECT doc_id, bm25, cosine,
+           round(1.0 / (60 + rs) + 1.0 / (60 + rd), 9) AS rrf
+    FROM ranked ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    """
+
+
+@q(
+    "retrieval_hybrid_topk",
+    _hybrid_oracle(),
+    "Hybrid search: BM25 candidate generation (corpus never shuffled) "
+    "re-ranked by dense cosine over feature-hashed vectors computed "
+    "ONLY for the candidates, fused with reciprocal-rank fusion — "
+    "integer-rank deterministic, no weight tuning. Everything after "
+    "candidate generation touches k_sparse rows.",
+)
+def retrieval_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.retrieval import hybrid_topk
+
+    return hybrid_topk(
+        t(spark, sf_dir, "documents"),
+        terms=["dup", "query", "scan"],
+        k_sparse=20,
+        k_final=10,
+    )
+
+
 @q(
     "corpus_sliding_chunks",
     r"""

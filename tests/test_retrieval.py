@@ -71,3 +71,22 @@ def test_bm25_empty_terms_raises(spark):
     d = _docs(spark, [(1, "x")])
     with pytest.raises(ValueError):
         bm25_topk(d, [])
+
+
+def test_hybrid_topk_properties(spark):
+    from impresso_ta.operators.retrieval import bm25_topk, hybrid_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["dup", "query", "scan"]
+    hybrid = hybrid_topk(docs, terms, k_sparse=15, k_final=5).collect()
+    assert len(hybrid) == 5
+    # hybrid results are a subset of the sparse candidate set
+    cand = {r["doc_id"] for r in bm25_topk(docs, terms, k=15).collect()}
+    assert {r["doc_id"] for r in hybrid} <= cand
+    # rrf is the fusion of two integer ranks → bounded and ordered
+    rrfs = [r["rrf"] for r in hybrid]
+    assert rrfs == sorted(rrfs, reverse=True)
+    assert all(0 < v <= 2 / 61 for v in rrfs)
+    # deterministic
+    again = hybrid_topk(docs, terms, k_sparse=15, k_final=5).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in hybrid]
