@@ -72,7 +72,13 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     cor.add_argument("--input", required=True, help="documents parquet path")
     cor.add_argument("--output-dir", required=True)
-    cor.add_argument("--id-col", default="doc_id")
+    cor.add_argument(
+        "--id-col",
+        default="doc_id",
+        help="document id column; must be integer-typed (or losslessly "
+        "castable to BIGINT) — pipeline stages key their joins on the "
+        "id cast to long",
+    )
     cor.add_argument("--text-col", default="text")
     cor.add_argument("--no-c4", action="store_true")
     cor.add_argument("--no-gopher", action="store_true")
@@ -227,9 +233,29 @@ def cmd_rebuild(args, spark) -> int:
 
 
 def cmd_corpus(args, spark) -> int:
+    from pyspark.sql import functions as F
+
     from impresso_ta.operators.pipeline import prepare_corpus
 
     docs = spark.read.parquet(args.input)
+    # pipeline stages (c4_filters, line_dedup, hashed joins) key on the id
+    # cast to long — a non-castable id would fail under ANSI mode or
+    # silently null-join every row away, so validate up front.
+    dtypes = dict(docs.dtypes)
+    if args.id_col not in dtypes:
+        raise SystemExit(
+            f"--id-col {args.id_col!r} not found; columns: {sorted(dtypes)}"
+        )
+    if dtypes[args.id_col] not in {"tinyint", "smallint", "int", "bigint"}:
+        bad = docs.filter(
+            F.col(args.id_col).isNotNull()
+            & F.col(args.id_col).try_cast("long").isNull()
+        )
+        if bad.take(1):
+            raise SystemExit(
+                f"--id-col {args.id_col!r} has {dtypes[args.id_col]} values "
+                "that do not cast to BIGINT; supply an integer id column"
+            )
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
     res = prepare_corpus(
         docs,

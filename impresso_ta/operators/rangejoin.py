@@ -110,14 +110,10 @@ def interval_overlap_join(
             )
         ),
     )
-    def _epoch_expr(src: DataFrame, name: str) -> Column:
-        if dict(src.dtypes).get(name, "").startswith("timestamp"):
-            return F.col(name).cast("timestamp").cast("long")
-        return F.col(name).cast("long")
-
     overlap_start_bin = F.floor(
         F.greatest(
-            _epoch_expr(left, left_start), _epoch_expr(right, right_start)
+            _epoch_seconds(left, left_start),
+            _epoch_seconds(right, right_start),
         )
         / w
     )

@@ -94,6 +94,8 @@ def hashed_query_vector(terms: list[str], dim: int = 64) -> list[float]:
     import math
     from collections import Counter
 
+    if not terms:
+        raise ValueError("terms must be non-empty")
     c = Counter(
         int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % dim
         for t in terms

@@ -298,6 +298,53 @@ def quality_outliers(
 C4_BLACKLIST: list[str] = ["lorem ipsum", "javascript", "cookie policy", "{"]
 
 
+def c4_signals(
+    text: Column,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+) -> dict[str, Column]:
+    """The C4 signal columns and conjoined ``keep`` predicate as column
+    expressions — the single source of truth shared by the batch
+    ``c4_filters`` stage and the streaming corpus-quality gate, so the
+    thresholds (including the upper word-count bound) can never drift
+    between the two paths.
+    """
+    toks = tokens(text)
+    n_words = F.size(toks)
+    mean_len = F.round(
+        F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)).cast(
+            "double"
+        )
+        / n_words,
+        4,
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.round(n_alpha.cast("double") / n_words, 4)
+    lowered = F.lower(text)
+    blacklist_hit = None
+    for term in C4_BLACKLIST:
+        hit = F.contains(lowered, F.lit(term))
+        blacklist_hit = hit if blacklist_hit is None else (blacklist_hit | hit)
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len)
+        & (alpha_frac >= min_alpha_frac)
+        & ~blacklist_hit
+    )
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": mean_len,
+        "alpha_frac": alpha_frac,
+        "has_blacklist": blacklist_hit,
+        "keep": keep,
+    }
+
+
 def c4_filters(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -317,37 +364,21 @@ def c4_filters(
     Pure column expressions — one codegen'd scan, zero shuffle; the 100 TB
     cost is the scan itself.
     """
-    text = F.col(text_col)
-    toks = tokens(text)
-    n_words = F.size(toks)
-    mean_len = F.round(
-        F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)).cast(
-            "double"
-        )
-        / n_words,
-        4,
+    sig = c4_signals(
+        F.col(text_col),
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        min_alpha_frac=min_alpha_frac,
     )
-    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
-    alpha_frac = F.round(n_alpha.cast("double") / n_words, 4)
-    lowered = F.lower(text)
-    blacklist_hit = None
-    for term in C4_BLACKLIST:
-        hit = F.contains(lowered, F.lit(term))
-        blacklist_hit = hit if blacklist_hit is None else (blacklist_hit | hit)
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        n_words.cast("long").alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        alpha_frac.alias("alpha_frac"),
-        blacklist_hit.alias("has_blacklist"),
-        (
-            (n_words >= min_words)
-            & (n_words <= max_words)
-            & (mean_len >= min_mean_word_len)
-            & (mean_len <= max_mean_word_len)
-            & (alpha_frac >= min_alpha_frac)
-            & ~blacklist_hit
-        ).alias("keep"),
+        sig["n_words"].alias("n_words"),
+        sig["mean_word_len"].alias("mean_word_len"),
+        sig["alpha_frac"].alias("alpha_frac"),
+        sig["has_blacklist"].alias("has_blacklist"),
+        sig["keep"].alias("keep"),
     )
 
 
@@ -373,10 +404,15 @@ def bigram_lm_scores(
     aggregates per doc. No all-pairs, no Python.
     """
     words = tokens(F.col(text_col))
+    # Sub-bigram documents (size < 2) must drop out entirely: _gram_array's
+    # concat_ws skips the missing right-hand word and would emit the lone
+    # word as a degenerate "bigram", while the SQL oracle's
+    # w[i] || ' ' || w[i+1] yields NULL there. A real bigram always
+    # contains exactly one space (tokens split on \s+), so keep only those.
     grams = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(_gram_array(words, 2)).alias("g"),
-    )
+    ).where(F.contains(F.col("g"), F.lit(" ")))
     big_counts = grams.groupBy("g").agg(F.count("*").alias("c2"))
     left_counts = (
         big_counts.select(

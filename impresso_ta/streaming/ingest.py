@@ -68,7 +68,7 @@ def stream_corpus_quality_gate(
     that can run on a stream without state. (First-seen exact dedup is
     the stateful streaming complement: ``sessions.stream_dedup_first_seen``.)
     """
-    from impresso_ta.operators.text_analysis import C4_BLACKLIST, tokens
+    from impresso_ta.operators.text_analysis import c4_signals
 
     doc_schema = (
         "doc_id long, text string, lang string, source string, n_chars long"
@@ -78,28 +78,11 @@ def stream_corpus_quality_gate(
         .option("maxFilesPerTrigger", 32)
         .parquet(in_path)
     )
-    # the C4 predicates inline as one pure projection — streams filter at
-    # scan speed, no state, no stream-stream join (mirrors
-    # text_analysis.c4_filters' keep semantics)
-    text = F.col("text")
-    toks = tokens(text)
-    n_words = F.size(toks)
-    mean_len = F.aggregate(
-        toks, F.lit(0), lambda a, w: a + F.length(w)
-    ).cast("double") / n_words
-    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
-    blacklist = None
-    for term in C4_BLACKLIST:
-        hit = F.contains(F.lower(text), F.lit(term))
-        blacklist = hit if blacklist is None else (blacklist | hit)
-    keep = (
-        (n_words >= 20)
-        & (mean_len >= 3.0)
-        & (mean_len <= 10.0)
-        & ((n_alpha.cast("double") / n_words) >= 0.8)
-        & ~blacklist
-    )
-    survivors = stream.filter(keep)
+    # the C4 predicates come from the SAME builder as the batch
+    # c4_filters stage (c4_signals) — streams filter at scan speed, no
+    # state, no stream-stream join, and the thresholds (incl. the upper
+    # word-count bound) cannot drift from batch.
+    survivors = stream.filter(c4_signals(F.col("text"))["keep"])
     writer = (
         survivors.writeStream.format("parquet")
         .option("path", out_path)
