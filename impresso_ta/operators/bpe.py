@@ -66,39 +66,85 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _select_exact_batch(
+    top_rows, remaining: int, batch_m: int
+) -> list[tuple[str, str, int]]:
+    """Longest prefix of the (cnt desc, lhs, rhs)-sorted pair list that is
+    provably equal, applied as a batch, to taking the same merges
+    one-at-a-time:
+
+    1. **prefix, pairwise symbol-disjoint** — disjoint merges leave each
+       other's pair counts unchanged, so their relative (count, lex)
+       order survives every earlier merge in the batch;
+    2. **strictly above the first excluded pair's count** — any pair a
+       merge (a,b) creates (x,"ab")/("ab",y) or decreases is
+       count-bounded by a pre-merge pair sharing a symbol with (a,b),
+       and every sharing pair ranks outside the disjoint prefix; the
+       strict bound means no created/decreased/excluded pair can
+       overtake (or lex-tie into) a batch slot.
+
+    Trailing members violating (2) are dropped; the head pair alone is
+    always exact (the classic single-merge step), so a batch of ≥1
+    survives whenever any pair exists.
+    """
+    limit = min(batch_m, remaining)
+    batch: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    excluded_cnt: int | None = None
+    for row in top_rows:
+        lhs, rhs, cnt = row["lhs"], row["rhs"], int(row["pair_cnt"])
+        if len(batch) >= limit or lhs in used or rhs in used:
+            excluded_cnt = cnt
+            break
+        batch.append((lhs, rhs, cnt))
+        used.add(lhs)
+        used.add(rhs)
+    if excluded_cnt is not None:
+        while len(batch) > 1 and batch[-1][2] <= excluded_cnt:
+            batch.pop()
+    return batch
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
+    batch_m: int = 16,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges over the corpus.
 
     Returns (merges, final_vocab): merges as (lhs, rhs, pair_count) in
     learned order; final_vocab the (word, cnt, seq) frame after all
     merges (seq split on double spaces = the token sequence).
+
+    Batched merge selection: each pair-count job fetches the top
+    ``batch_m + 1`` pairs and accepts the exact batch of
+    :func:`_select_exact_batch`, so training costs
+    ~n_merges/|batch| Spark jobs instead of one job per merge — the
+    sequential-job ceiling that made 32k-merge tokenizers untenable.
+    The learned merge sequence is IDENTICAL to ``batch_m=1`` (the
+    classic loop) on every input; batching only changes how many merges
+    each job is allowed to confirm.
     """
     vocab = _initial_vocab(docs, text_col).persist()
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        best = (
+    while len(merges) < n_merges:
+        top = (
             _pair_counts(vocab)
             .orderBy(F.desc("pair_cnt"), F.asc("lhs"), F.asc("rhs"))
-            .limit(1)
+            .limit(batch_m + 1)
             .collect()
         )
-        if not best:
+        batch = _select_exact_batch(top, n_merges - len(merges), batch_m)
+        if not batch:
             break
-        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["pair_cnt"])
-        merges.append((lhs, rhs, cnt))
-        nxt = vocab.select(
-            "word",
-            "cnt",
-            F.replace(
-                F.col("seq"),
-                F.lit(f" {lhs}  {rhs} "),
-                F.lit(f" {lhs}{rhs} "),
-            ).alias("seq"),
-        ).persist()
+        merges.extend(batch)
+        seq = F.col("seq")
+        for lhs, rhs, _ in batch:
+            seq = F.replace(
+                seq, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
+            )
+        nxt = vocab.select("word", "cnt", seq.alias("seq")).persist()
         vocab.unpersist()
         vocab = nxt
     return merges, vocab

