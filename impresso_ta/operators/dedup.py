@@ -597,21 +597,51 @@ def semantic_dedup_auto(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "auto",
 ) -> DataFrame:
     """:func:`semantic_dedup` with nlist sized from the corpus: the
     documented scale contract ("pick nlist so cells fit a task") made
     executable — nlist = ⌈n / target_cell_size⌉, seeds the nlist
     smallest-id vectors. Pair volume stays ~n·target_cell_size instead
     of growing n²/nlist as the corpus outpaces a fixed nlist (measured
-    sf0.1→sf1: 100× pair blowup at fixed nlist=8 — PLANS §6). Above
-    ``similarity.LITERAL_MAX_NLIST`` the centroid argmax automatically
-    switches to the broadcast-relation strategy, so plan size stays
-    O(1) at any nlist.
+    sf0.1→sf1: 100× pair blowup at fixed nlist=8 — PLANS §6).
+
+    Seed selection is distributed: above
+    ``similarity.LITERAL_MAX_NLIST`` the nlist smallest-id vectors are
+    selected as a DataFrame (orderBy + limit → TakeOrdered, nlist rows)
+    and fed to the centroid argmax as a JVM-side broadcast relation —
+    the seed vectors never materialize in driver Python, removing the
+    driver ceiling of collecting ~n/512 embeddings at corpus scale. At
+    small nlist the collect-to-literal path stays (whole-stage-codegen
+    argmax, fastest); both paths are bit-identical (parity-tested).
+
+    ``strategy``: "auto" (size-based switch), "collect" (literal path),
+    or "distributed" (DataFrame-relation path).
     """
     import math
 
+    from impresso_ta.operators.similarity import LITERAL_MAX_NLIST
+
     n = embeddings.count()
     nlist = max(1, math.ceil(n / target_cell_size))
+    if strategy == "auto":
+        strategy = "collect" if nlist <= LITERAL_MAX_NLIST else "distributed"
+    if strategy == "distributed":
+        centroids = (
+            embeddings.select(
+                F.col(id_col).cast("int").alias("cell"),
+                F.col(vec_col).alias("cvec"),
+            )
+            .orderBy("cell")
+            .limit(nlist)
+        )
+        return semantic_dedup(
+            embeddings,
+            centroids,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     seed_rows = (
         embeddings.select(F.col(id_col), F.col(vec_col))
         .orderBy(id_col)
@@ -626,7 +656,7 @@ def semantic_dedup_auto(
 
 def semantic_dedup(
     embeddings: DataFrame,
-    centroids: list[tuple[int, list[float]]],
+    centroids,  # list[(cell, vector)] or DataFrame of (cell, cvec)
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -225,6 +225,27 @@ def _centroids_relation(spark, centroids: list[tuple[int, list[float]]]):
     )
 
 
+def _centroids_relation_from_df(centroids_df: DataFrame):
+    """The one-row ``_cents`` relation built FROM a DataFrame of
+    (cell, cvec) — the fully-distributed twin of
+    :func:`_centroids_relation`: centroid vectors never cross into
+    driver Python (no ``collect``, no py4j row transfer); the broadcast
+    exchange ships them JVM-to-JVM. Norms use the same left-to-right
+    ``norm`` fold as ``_py_norm``, so scores are bit-identical to the
+    collect-based path."""
+    return centroids_df.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("cell").cast("int").alias("cell"),
+                    F.col("cvec").cast("array<double>").alias("cvec"),
+                    norm(F.col("cvec").cast("array<double>")).alias("cnorm"),
+                )
+            )
+        ).alias("_cents")
+    )
+
+
 def _cell_scores_over(vec: Column, vnorm: Column, round_to: int) -> Column:
     """Array of (rounded cosine, -cell) structs computed from the
     broadcast ``_cents`` column — the transform-based twin of
@@ -267,8 +288,15 @@ def ivf_assign(
 
     Cosines are rounded before comparison so the DuckDB oracle (which
     ranks with round(...,4)) agrees on ties.
+
+    ``centroids`` may also be a DataFrame of (cell, cvec) — then the
+    broadcast strategy is used with the relation built distributed
+    (:func:`_centroids_relation_from_df`), so centroid vectors never
+    materialize in driver Python.
     """
-    if strategy == "auto":
+    if isinstance(centroids, DataFrame):
+        strategy = "broadcast"
+    elif strategy == "auto":
         strategy = (
             "literal" if len(centroids) <= LITERAL_MAX_NLIST else "broadcast"
         )
@@ -276,7 +304,11 @@ def ivf_assign(
         F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_vnorm")
     )
     if strategy == "broadcast":
-        cents = _centroids_relation(corpus.sparkSession, centroids)
+        cents = (
+            _centroids_relation_from_df(centroids)
+            if isinstance(centroids, DataFrame)
+            else _centroids_relation(corpus.sparkSession, centroids)
+        )
         best = F.array_max(
             _cell_scores_over(F.col(vec_col), F.col("_vnorm"), round_to)
         )

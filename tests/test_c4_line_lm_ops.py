@@ -218,3 +218,31 @@ def test_semantic_dedup_auto_scales_nlist(spark):
     assert max(cells.values()) < n
     # at tau=0.99 with random vectors nothing drops
     assert all(r["keep"] for r in rows)
+
+
+def test_semantic_dedup_auto_distributed_matches_collect(spark):
+    """Parity at nlist > LITERAL_MAX_NLIST: the distributed seed path
+    (DataFrame centroid relation, no driver-Python materialization)
+    must match the collect-to-literal path row for row."""
+    from impresso_ta.operators.dedup import semantic_dedup_auto
+    from impresso_ta.operators.similarity import LITERAL_MAX_NLIST
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    cell = 2  # nlist = ceil(n/2) >> LITERAL_MAX_NLIST
+    assert n / cell > LITERAL_MAX_NLIST
+    kw = dict(target_cell_size=cell, threshold=0.9)
+    got = sorted(
+        tuple(r)
+        for r in semantic_dedup_auto(emb, strategy="distributed", **kw).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in semantic_dedup_auto(emb, strategy="collect", **kw).collect()
+    )
+    assert got == want
+    # auto picks the distributed path at this nlist
+    auto = sorted(
+        tuple(r) for r in semantic_dedup_auto(emb, **kw).collect()
+    )
+    assert auto == want
