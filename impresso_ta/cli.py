@@ -50,6 +50,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help="comma-separated image/image-info sidecar dirs for Olive X7 "
         "coordinate conversion (ref generic_importer's --image-dirs)",
     )
+    imp.add_argument(
+        "--validate",
+        action="store_true",
+        help="validate canonical rows against the value-level schema "
+        "rules before writing; violations go to the error channel "
+        "(ref utils.py:71-89 write-time JSON-Schema validation)",
+    )
 
     reb = sub.add_parser("rebuild", help="canonical store → rebuilt docs")
     reb.add_argument("--issues", required=True)
@@ -164,17 +171,45 @@ def cmd_import(args, spark) -> int:
             pass
 
     res = import_issues(disc, ts=args.ts)
-    write_issues(res.issues, f"{args.output_dir}/issues", fmt=args.store_format)
-    write_pages(res.pages, f"{args.output_dir}/pages", fmt=args.store_format)
-    if res.records.take(1):
-        write_pages(
-            res.records, f"{args.output_dir}/records", fmt=args.store_format
+    issues_df, pages_df, records_df, errors_df = (
+        res.issues,
+        res.pages,
+        res.records,
+        res.errors,
+    )
+    if args.validate:
+        from impresso_ta.operators.validate import (
+            split_valid,
+            validate_audio_records,
+            validate_issues,
+            validate_pages,
         )
-    write_errors(res.errors, f"{args.output_dir}/errors")
+
+        issues_df, issue_errs = split_valid(
+            validate_issues(issues_df), "validate-issue"
+        )
+        pages_df, page_errs = split_valid(
+            validate_pages(pages_df), "validate-page"
+        )
+        records_df, record_errs = split_valid(
+            validate_audio_records(records_df), "validate-record"
+        )
+        errors_df = (
+            errors_df.unionByName(issue_errs)
+            .unionByName(page_errs)
+            .unionByName(record_errs)
+        )
+    write_issues(issues_df, f"{args.output_dir}/issues", fmt=args.store_format)
+    write_pages(pages_df, f"{args.output_dir}/pages", fmt=args.store_format)
+    if records_df.take(1):
+        write_pages(
+            records_df, f"{args.output_dir}/records", fmt=args.store_format
+        )
+    write_errors(errors_df, f"{args.output_dir}/errors")
     # manifest goes through the sink (distributed write) — at scale the
     # (alias, year) grid is big enough that a full driver collect is a
     # bottleneck; the console only echoes a bounded sample.
-    stats_df = manifest_stats(res.issues)
+    stats_df = manifest_stats(issues_df)
     stats_df.write.mode("overwrite").json(f"{args.output_dir}/manifest")
     echo = stats_df.orderBy("alias", "year").limit(20).collect()
     for row in echo:

@@ -371,3 +371,38 @@ TYPE_MAPPINGS: dict[str, str | None] = {
 
 SOURCE_TYPES = ("newspaper", "radio_broadcast")
 SOURCE_MEDIUMS = ("print", "typescript", "audio")
+
+# Content-item type vocabulary of the canonical schema, reconstructed from
+# every reference code path that mints a ``tp`` value (the schema JSON files
+# are an empty submodule in the reference checkout): CONTENTITEM_TYPES
+# (ref: importers/__init__.py:3-17), the METS/ALTO div-type mapping targets,
+# BNF-EN content types + TYPE_TRANSLATION (ref: bnf_en/classes.py:30-40),
+# Olive legacy lowercased types, SwissInfo/INA radio types
+# (ref: swissinfo/classes.py:53, ina/classes.py:158), and the rebuilt-side
+# TYPE_MAPPINGS keys (ref: rebuilders/helpers.py:36-48).
+KNOWN_CI_TYPES = (
+    "article",
+    "ar",
+    "advertisement",
+    "ad",
+    "obituary",
+    "death_notice",
+    "ob",
+    "weather",
+    "w",
+    "image",
+    "img",
+    "picture",
+    "illustration",
+    "table",
+    "tb",
+    "chronicle",
+    "ch",
+    "section",
+    "page",
+    "pg",
+    "ornament",
+    "freead",
+    "radio_bulletin",
+    "radio_broadcast_episode",
+)

@@ -30,6 +30,7 @@ def test_validate_issues_pass_and_fail(spark):
         "id_shape",
         "st_enum",
         "ci_ids_prefixed",
+        "ci_pp_in_range",  # CI references page 1 but the issue has no pages
         "supports_present",
     }
 
