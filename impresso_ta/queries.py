@@ -1628,6 +1628,229 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_truth_cte() -> str:
+    """Brute-force top-3 ground truth for the %97 query set over the
+    whole embeddings table — shared by both recall oracles."""
+    return f"""
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC,
+                                c.vec_id ASC
+                   ) AS rk
+            FROM embeddings q CROSS JOIN embeddings c
+            WHERE q.vec_id % 97 = 0
+        ) WHERE rk <= 3
+    )"""
+
+
+def _ivf_recall_sql() -> str:
+    approx_parts = []
+    for p in (1, 2, 4):
+        approx_parts.append(
+            f"""
+        SELECT {p} AS nprobe, query_id, neighbor_id FROM (
+            SELECT pr.query_id, a.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY pr.query_id
+                       ORDER BY {_cos_sql('pr.qv', 'a.embedding')} DESC,
+                                a.vec_id ASC
+                   ) AS rk
+            FROM (SELECT query_id, qv, cell FROM probes
+                  WHERE probe_rank <= {p}) pr
+            JOIN assigned a USING (cell)
+        ) WHERE rk <= 3"""
+        )
+    approx = " UNION ALL ".join(approx_parts)
+    return f"""
+    WITH seeds AS (
+        SELECT vec_id AS cell, embedding AS sv FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, s.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql('e.embedding', 's.sv')} DESC, s.cell ASC
+                   ) AS rk
+            FROM embeddings e CROSS JOIN seeds s
+        ) WHERE rk = 1
+    ),
+    probes AS (
+        SELECT query_id, qv, cell, rk AS probe_rank FROM (
+            SELECT q.vec_id AS query_id, q.embedding AS qv, s.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_cos_sql('q.embedding', 's.sv')} DESC, s.cell ASC
+                   ) AS rk
+            FROM embeddings q CROSS JOIN seeds s WHERE q.vec_id % 97 = 0
+        ) WHERE rk <= 4
+    ),
+    {_ann_truth_cte().lstrip()},
+    approx AS ({approx})
+    SELECT nprobe, n_truth, n_hits,
+           round(n_hits::DOUBLE / n_truth, 4) AS recall
+    FROM (
+        SELECT a.nprobe,
+               (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+               count(t.query_id)::BIGINT AS n_hits
+        FROM approx a
+        LEFT JOIN truth t USING (query_id, neighbor_id)
+        GROUP BY a.nprobe
+    )
+    """
+
+
+@q(
+    "similarity_ivf_recall",
+    _ivf_recall_sql(),
+    "Measured recall@3 of IVF ANN vs brute-force ground truth at "
+    "nprobe ∈ {1,2,4} — the accuracy/cost curve of the approximate "
+    "path, as an oracled number (target: recall rises monotonically "
+    "with nprobe, 1.0 when every probed cell set covers the true "
+    "neighbors; ~0.6-0.9 at nprobe=1 on the synthetic embeddings)",
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 97 == 0)
+    truth = similarity.cosine_topk(e, qs, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    truth_n = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    parts = []
+    for p in (1, 2, 4):
+        approx = similarity.ivf_topk(e, qs, nlist=8, nprobe=p, k=3)
+        parts.append(
+            approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count("*").cast("long").alias("n_hits"))
+            .select(F.lit(p).alias("nprobe"), "n_hits")
+        )
+    res = parts[0]
+    for x in parts[1:]:
+        res = res.unionByName(x)
+    return res.crossJoin(F.broadcast(truth_n)).select(
+        "nprobe",
+        "n_truth",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall"),
+    )
+
+
+def _lsh_plane_sets(
+    n_tables: int = 3, n_planes: int = 4, dims: int = 64
+) -> list[list[list[float]]]:
+    """Deterministic per-table hyperplane sets (Weyl-sequence
+    coefficients continuing ``_lsh_planes`` — table 0 IS _lsh_planes())."""
+    sets = []
+    for tidx in range(n_tables):
+        planes = []
+        for i in range(n_planes):
+            gi = tidx * n_planes + i
+            planes.append(
+                [
+                    round(((gi * dims + j) * 2654435761 % 1000) / 500.0 - 1.0, 6)
+                    for j in range(dims)
+                ]
+            )
+        sets.append(planes)
+    return sets
+
+
+def _lsh_recall_sql() -> str:
+    def bucket_expr(col: str, planes: list[list[float]]) -> str:
+        terms = []
+        for i, plane in enumerate(planes):
+            lits = ", ".join(str(v) for v in plane)
+            terms.append(
+                f"(CASE WHEN list_sum(list_transform(list_zip({col}::DOUBLE[], "
+                f"[{lits}]::DOUBLE[]), x -> x[1] * x[2])) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return "CAST(" + " + ".join(terms) + " AS INT)"
+
+    plane_sets = _lsh_plane_sets(3)
+    bucket_cols = ", ".join(
+        f"{bucket_expr('embedding', planes)} AS b{i}"
+        for i, planes in enumerate(plane_sets)
+    )
+    approx_parts = []
+    for nt in (1, 2, 3):
+        cand_union = " UNION ALL ".join(
+            f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            f"q.embedding AS qv, c.embedding AS cv "
+            f"FROM b q JOIN b c ON q.b{ti} = c.b{ti} "
+            f"WHERE q.vec_id % 97 = 0"
+            for ti in range(nt)
+        )
+        approx_parts.append(
+            f"""
+        SELECT {nt} AS n_tables, query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY {_cos_sql('qv', 'cv')} DESC, neighbor_id ASC
+                   ) AS rk
+            FROM (SELECT DISTINCT query_id, neighbor_id, qv, cv
+                  FROM ({cand_union}))
+        ) WHERE rk <= 3"""
+        )
+    approx = " UNION ALL ".join(approx_parts)
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bucket_cols} FROM embeddings),
+    {_ann_truth_cte().lstrip()},
+    approx AS ({approx})
+    SELECT n_tables, n_truth, n_hits,
+           round(n_hits::DOUBLE / n_truth, 4) AS recall
+    FROM (
+        SELECT a.n_tables,
+               (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+               count(t.query_id)::BIGINT AS n_hits
+        FROM approx a
+        LEFT JOIN truth t USING (query_id, neighbor_id)
+        GROUP BY a.n_tables
+    )
+    """
+
+
+@q(
+    "similarity_lsh_recall",
+    _lsh_recall_sql(),
+    "Measured recall@3 of multi-probe hyperplane LSH vs brute-force "
+    "ground truth at 1-3 probe tables — recall compounds as "
+    "1-Π(1-rᵢ) per added table while the corpus is scanned once "
+    "(target: monotone non-decreasing in n_tables)",
+)
+def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 97 == 0)
+    truth = similarity.cosine_topk(e, qs, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    truth_n = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    plane_sets = _lsh_plane_sets(3)
+    parts = []
+    for nt in (1, 2, 3):
+        approx = similarity.multiprobe_lsh_topk(
+            e, qs, plane_sets[:nt], k=3
+        )
+        parts.append(
+            approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count("*").cast("long").alias("n_hits"))
+            .select(F.lit(nt).alias("n_tables"), "n_hits")
+        )
+    res = parts[0]
+    for x in parts[1:]:
+        res = res.unionByName(x)
+    return res.crossJoin(F.broadcast(truth_n)).select(
+        "n_tables",
+        "n_truth",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall"),
+    )
+
+
 @q(
     "a10_salted_skew_agg",
     """

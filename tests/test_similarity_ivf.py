@@ -172,3 +172,22 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark):
     qids = {r["vec_id"] for r in queries.select("vec_id").collect()}
     assert {q for q, _ in multi} <= qids
     assert all((q, q) in multi for q in {q for q, _ in multi})
+
+
+def test_recall_queries_monotone(spark):
+    """The oracled recall-evaluation queries: recall@3 must not decrease
+    as nprobe (IVF) / n_tables (multi-probe LSH) grows, and the query
+    itself is always among its own candidates (recall >= 1/3)."""
+    from impresso_ta.queries import similarity_ivf_recall, similarity_lsh_recall
+
+    sf = "/root/testdata/sf0.001"
+    ivf = {r["nprobe"]: r for r in similarity_ivf_recall(spark, sf).collect()}
+    rs = [ivf[p]["recall"] for p in (1, 2, 4)]
+    assert rs == sorted(rs)
+    assert rs[0] >= 1 / 3 - 1e-9
+    assert all(ivf[p]["n_truth"] == ivf[1]["n_truth"] for p in (2, 4))
+
+    lsh = {r["n_tables"]: r for r in similarity_lsh_recall(spark, sf).collect()}
+    rs = [lsh[t]["recall"] for t in (1, 2, 3)]
+    assert rs == sorted(rs)
+    assert rs[0] >= 1 / 3 - 1e-9
