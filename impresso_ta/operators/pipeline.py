@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from impresso_ta.operators import dedup as _dedup
@@ -60,18 +60,27 @@ def prepare_corpus(
     documents (text rewritten by line dedup) plus optional per-stage
     counts.
 
-    ``collect_stats`` triggers one count() action per enabled stage —
-    fine for reporting runs, skip it when the pipeline feeds a sink
-    directly (the lazy plan then executes once).
+    ``collect_stats`` gathers per-stage (in, out) counts via
+    ``Observation`` (CollectMetrics) nodes inserted at every stage
+    boundary and triggers ONE count() action at the end — the whole
+    pipeline executes once and every boundary count falls out of that
+    single pass (no per-stage recompute). Skip it when the pipeline
+    feeds a sink directly; the returned plan still carries the metric
+    nodes, which are free.
     """
     stats: list[tuple[str, int, int]] = []
+    # (boundary name, Observation) in pipeline order; boundary k's count
+    # is stage k's docs_out and stage k+1's docs_in.
+    boundaries: list[tuple[str, Observation]] = []
 
     def step(name: str, before: DataFrame, after: DataFrame) -> DataFrame:
-        if collect_stats:
-            stats.append((name, before.count(), after.count()))
-        return after
+        if not collect_stats:
+            return after
+        ob = Observation(f"corpus_stage_{name}")
+        boundaries.append((name, ob))
+        return after.observe(ob, F.count(F.lit(1)).alias("n"))
 
-    cur = docs
+    cur = step("input", docs, docs)
     if c4:
         keep = _ta.c4_filters(cur, id_col, text_col).filter("keep")
         cur = step(
@@ -147,5 +156,16 @@ def prepare_corpus(
                 domain_col=domain_col,
                 id_col=id_col,
             ),
+        )
+    if collect_stats and len(boundaries) > 1:
+        # the single action: every CollectMetrics node in the plan fires
+        # during this one pass (self-join branches dedupe — each named
+        # observation reports its boundary's row count exactly once).
+        cur.count()
+        vals = [(name, int(ob.get["n"])) for name, ob in boundaries]
+        stats.extend(
+            (name, vals[i - 1][1], n)
+            for i, (name, n) in enumerate(vals)
+            if i > 0
         )
     return PipelineResult(docs=cur, stats=stats)

@@ -61,6 +61,56 @@ def test_pipeline_decontamination_drops_overlap(spark):
     assert res.stats[0][2] < res.stats[0][1]
 
 
+def test_pipeline_stats_single_action_matches_counted_form(spark):
+    """collect_stats=True must execute ONE action (VERDICT r2 item 9) and
+    the Observation-collected boundary counts must equal the counts a
+    per-stage count() form would have produced."""
+    d = _docs(spark)
+    cls = type(d)  # the concrete DataFrame class (classic, in local mode)
+    calls = {"n": 0}
+    orig_count = cls.count
+
+    def counting(self):
+        calls["n"] += 1
+        return orig_count(self)
+
+    cls.count = counting
+    try:
+        # doc_dedup excluded here: its connected-components clustering is
+        # iterative (per-iteration convergence count is the algorithm,
+        # not stats overhead)
+        lazy_res = prepare_corpus(d, doc_dedup=False, collect_stats=True)
+    finally:
+        cls.count = orig_count
+    assert calls["n"] == 1, f"{calls['n']} count() actions, expected 1"
+    assert [s[0] for s in lazy_res.stats] == [
+        "c4_filters", "gopher_repetition", "line_dedup",
+    ]
+
+    res = prepare_corpus(d, collect_stats=True)
+
+    # counted form: each prefix of the stage chain, counted independently
+    expected_outs = {
+        "c4_filters": prepare_corpus(
+            d, gopher=False, line_spans=None, doc_dedup=False
+        ).docs.count(),
+        "gopher_repetition": prepare_corpus(
+            d, line_spans=None, doc_dedup=False
+        ).docs.count(),
+        "line_dedup": prepare_corpus(d, doc_dedup=False).docs.count(),
+        "doc_dedup": prepare_corpus(d).docs.count(),
+    }
+    chain = [("input", d.count())] + [
+        (name, expected_outs[name]) for name, _, _ in res.stats
+    ]
+    expected = [
+        (name, chain[i - 1][1], out)
+        for i, (name, out) in enumerate(chain)
+        if i > 0
+    ]
+    assert res.stats == expected
+
+
 def test_pipeline_deterministic(spark):
     d = _docs(spark)
     a = sorted(r["doc_id"] for r in prepare_corpus(d).docs.collect())
