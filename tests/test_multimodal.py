@@ -92,20 +92,136 @@ def test_decode_images_real_decoder_path(ppm_media):
 
 def test_default_decoder_selection(monkeypatch):
     monkeypatch.setattr(multimodal, "have_pil", lambda: False)
-    assert multimodal.default_image_decoder() is multimodal._fake_image_decode
+    assert multimodal.default_image_decoder() is multimodal._auto_image_decode
     monkeypatch.setattr(multimodal, "have_pil", lambda: True)
     assert multimodal.default_image_decoder() is multimodal._pil_image_decode
 
 
-@pytest.mark.skipif(not multimodal.have_pil(), reason="Pillow not installed")
-def test_pil_decode_real(ppm_media):
-    """When Pillow IS present, the auto-selected decoder reads true
-    dimensions (runs wherever the environment has codecs)."""
+def _png_gray(width, height, value):
+    return multimodal.png_encode(
+        width, height, 0, bytes([value]) * (width * height)
+    )
+
+
+def _png_rgb(width, height, rgb):
+    return multimodal.png_encode(
+        width, height, 2, bytes(rgb) * (width * height)
+    )
+
+
+@pytest.fixture(scope="module")
+def png_media(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("png")
+    (d / "gray.png").write_bytes(_png_gray(8, 4, 200))
+    (d / "rgb.png").write_bytes(_png_rgb(3, 5, (255, 0, 0)))
+    return multimodal.read_media_dir(spark, str(d), mime="image/png").cache()
+
+
+def test_auto_decoder_reads_real_png(png_media):
+    """The DEFAULT decoder reads true dimensions from real PNG bytes in
+    every environment: the PIL path when Pillow is installed, the
+    stdlib zlib codec otherwise (VERDICT r2 item 7 — no skip)."""
     meta = {
         r["media_id"]: r.asDict()
-        for r in multimodal.decode_images(ppm_media).collect()
+        for r in multimodal.decode_images(png_media).collect()
     }
-    assert meta["a.ppm"]["width"] == 8 and meta["a.ppm"]["height"] == 4
+    assert meta["gray.png"]["width"] == 8 and meta["gray.png"]["height"] == 4
+    assert meta["gray.png"]["mode"] == "L"
+    assert meta["gray.png"]["mean_luma"] == round(200 / 255.0, 6)
+    assert meta["rgb.png"]["width"] == 3 and meta["rgb.png"]["height"] == 5
+    assert meta["rgb.png"]["mode"] == "RGB"
+    # pure red: ITU-R 601-2 luma = 0.299 * 255
+    assert abs(meta["rgb.png"]["mean_luma"] - 0.299) < 0.005
+
+
+def test_png_decode_filtered_scanlines():
+    """Unfiltering (Sub/Up/Average/Paeth) reconstructs the same pixels a
+    filter-0 encode yields: re-encode each line with every filter type
+    and check the decoder inverts it."""
+    import struct
+    import zlib
+
+    w, h = 5, 4
+    # a gradient so filters actually transform bytes
+    pixels = bytes((x * 37 + y * 11) % 256 for y in range(h) for x in range(w * 3))
+    plain = multimodal._png_read(_png_rgb_raw(w, h, pixels))
+    for ftype in (1, 2, 3, 4):
+        filtered = _png_rgb_filtered(w, h, pixels, ftype)
+        got = multimodal._png_read(filtered)
+        assert got[4] == plain[4], f"filter {ftype} roundtrip mismatch"
+        assert plain[4] == pixels
+
+    # corrupt variants raise, never fake-succeed
+    with pytest.raises(ValueError):
+        multimodal._png_image_decode(b"\x89PNG\r\n\x1a\nnot-chunks")
+    trunc = _png_rgb_raw(w, h, pixels)[:-20]
+    with pytest.raises((ValueError, zlib.error, struct.error)):
+        multimodal._png_image_decode(trunc)
+
+
+def _png_rgb_raw(w, h, pixels):
+    return multimodal.png_encode(w, h, 2, pixels)
+
+
+def _png_rgb_filtered(w, h, pixels, ftype):
+    """Encode RGB pixels using one specific PNG filter type on every
+    scanline (exercises the decoder's unfilter branches)."""
+    import struct
+    import zlib
+
+    stride = w * 3
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        line = pixels[y * stride : (y + 1) * stride]
+        enc = bytearray()
+        for i in range(stride):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                q = a + b - c
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc.append((line[i] - pred) & 0xFF)
+        raw += bytes([ftype]) + enc
+        prev = bytearray(line)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        multimodal.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_resize_real_png_path(png_media):
+    """Default resizer downsamples real PNGs without Pillow; output is
+    itself a decodable PNG with the new dimensions."""
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.resize_images(png_media, max_side=4).collect()
+    }
+    # 8x4 → scale 0.5 → 4x2; 3x5 → scale 0.8 → 2x4
+    assert (rows["gray.png"]["width"], rows["gray.png"]["height"]) == (4, 2)
+    assert (rows["rgb.png"]["width"], rows["rgb.png"]["height"]) == (2, 4)
+    meta = multimodal._png_image_decode(bytes(rows["gray.png"]["content"]))
+    assert (meta["width"], meta["height"]) == (4, 2)
+    assert meta["mean_luma"] == round(200 / 255.0, 6)  # constant image
 
 
 def test_frame_sampling_fanout(media):
