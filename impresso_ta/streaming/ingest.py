@@ -55,6 +55,7 @@ def stream_corpus_quality_gate(
     out_path: str,
     checkpoint: str,
     available_now: bool = True,
+    max_files_per_trigger: int = 32,
 ):
     """Streaming corpus-quality gate: watch a drop directory of document
     parquet files, keep only rows passing the C4 + Gopher-lite quality
@@ -75,7 +76,7 @@ def stream_corpus_quality_gate(
     )
     stream = (
         spark.readStream.schema(doc_schema)
-        .option("maxFilesPerTrigger", 32)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(in_path)
     )
     # the C4 predicates come from the SAME builder as the batch

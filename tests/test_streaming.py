@@ -86,6 +86,83 @@ def test_stream_rebuild_solr_incremental(spark, tmp_path):
     assert {r["id"] for r in after.select("id").collect()} == ids
 
 
+def test_stream_corpus_quality_gate_kill_resume_exactly_once(spark, tmp_path):
+    """Crash-recovery guarantee (VERDICT r2 item 8): stop the gate mid-
+    backlog, restart from the same checkpoint, and the sink holds every
+    passing doc exactly once — no duplicates (sink commit log is
+    batch-id idempotent), no losses (offset log replays the in-flight
+    batch). Matches the exactly-once the batch pipeline gets from its
+    commit protocol."""
+    import shutil
+    import time
+
+    from impresso_ta.streaming.ingest import stream_corpus_quality_gate
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    good = " ".join(f"word{i}" for i in range(40))
+    n_files, per_file = 24, 2
+
+    doc_schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    expected = set()
+    for f in range(n_files):
+        rows = []
+        for j in range(per_file):
+            doc_id = f * per_file + j
+            if j == 0:  # one passing doc per file
+                rows.append((doc_id, f"{good} file{f}", "en", "s", 1))
+                expected.add(doc_id)
+            else:  # one failing doc per file (too short)
+                rows.append((doc_id, "too short", "en", "s", 1))
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.parquet(
+            str(drop / f"batch{f:03d}")
+        )
+
+    # one file per micro-batch → the backlog needs n_files commits
+    q = stream_corpus_quality_gate(
+        spark, str(drop) + "/*", out, ckpt, max_files_per_trigger=1
+    )
+    # kill mid-drain: as soon as a few batches committed, stop the query
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            n_now = spark.read.parquet(out).count()
+        except Exception:  # sink not created yet
+            n_now = 0
+        if n_now >= 3:
+            break
+        if not q.isActive:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    mid = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert mid, "stream stopped before any batch committed"
+    assert len(mid) < n_files, "backlog fully drained before the kill"
+
+    # restart from the SAME checkpoint: drains the rest exactly once
+    q = stream_corpus_quality_gate(
+        spark, str(drop) + "/*", out, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = [r["doc_id"] for r in spark.read.parquet(out).collect()]
+    assert sorted(got) == sorted(expected)  # no loss
+    assert len(got) == len(set(got))  # no duplicate
+
+    # third run: nothing new → sink unchanged (idempotent)
+    q = stream_corpus_quality_gate(
+        spark, str(drop) + "/*", out, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == len(expected)
+    shutil.rmtree(str(drop))
+
+
 def test_stream_corpus_quality_gate_incremental(spark, tmp_path):
     from pyspark.sql import functions as F
 
