@@ -112,6 +112,16 @@ def main() -> None:
     registry = catalog.queries()
     errors: dict[str, str] = {}
 
+    def run_extended(at_dir: str) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in EXTENDED_QUERIES:
+            fn = registry[name]
+            try:
+                timings[name] = timed(lambda fn=fn: fn(spark, at_dir))
+            except Exception as ex:
+                errors[f"{at_dir}:{name}"] = str(ex).split("\n")[0][:300]
+        return timings
+
     def run_suite(at_dir: str) -> dict[str, float]:
         # one failing query must not void the rest of the suite — record
         # it under "errors" and keep timing the others
@@ -155,13 +165,7 @@ def main() -> None:
 
     # Extended pass: newer corpus-text operators, reported separately so
     # the primary metric stays round-over-round comparable.
-    extended: dict[str, float] = {}
-    for name in EXTENDED_QUERIES:
-        fn = registry[name]
-        try:
-            extended[name] = timed(lambda fn=fn: fn(spark, sf_dir))
-        except Exception as ex:
-            errors[f"{sf_dir}:{name}"] = str(ex).split("\n")[0][:300]
+    extended = run_extended(sf_dir)
     if extended:
         result["extended"] = extended
 
@@ -180,6 +184,9 @@ def main() -> None:
                 "sf": 1.0,
                 "total": round(sum(sf1_timings.values()), 3),
                 "queries": sf1_timings,
+                # the corpus-text operators at 10x data: the scaling
+                # evidence for the newest perf surface (VERDICT r2 item 6)
+                "extended": run_extended(sf1_dir),
             }
         except Exception as ex:  # bench must still report the primary sf
             result["sf1"] = {"error": str(ex).split("\n")[0][:300]}

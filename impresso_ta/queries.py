@@ -3895,3 +3895,406 @@ def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_words"),
     )
+
+
+# =====================================================================
+# Round 3: remaining classic OLAP shapes (TPC-H q2/q7/q8/q16/q18/q19/
+# q20/q21 adapted to the synthetic star schema — no partsupp table, so
+# part↔supplier links come from distinct lineitem pairs). Each exercises
+# a distinct optimizer pattern: scalar-subquery decorrelation, dual-
+# dimension join symmetry, share-of-total conditional agg, NOT IN +
+# distinct agg, HAVING semi-back-join, disjunctive pushdown, aggregated
+# IN-subquery, and double EXISTS/NOT EXISTS.
+# =====================================================================
+
+@q(
+    "q2_best_supplier_per_part",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    best AS (
+        SELECT ps.l_partkey AS pk, max(s.s_acctbal) AS mx
+        FROM ps JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        GROUP BY 1
+    )
+    SELECT p.p_partkey, s.s_name, round(s.s_acctbal, 2) AS best_bal
+    FROM part p
+    JOIN ps ON ps.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN best ON best.pk = p.p_partkey AND s.s_acctbal = best.mx
+    WHERE p.p_size < 10 AND p.p_type = 'SMALL'
+    ORDER BY best_bal DESC, p_partkey ASC, s_name ASC LIMIT 25
+    """,
+    "Correlated scalar-subquery shape (TPC-H Q2): best supplier per "
+    "part, decorrelated into a per-part max aggregate joined back on "
+    "equality — the supplier dim (100 rows) broadcasts; the only "
+    "corpus-sized shuffle is the distinct part↔supplier pair build.",
+)
+def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    pairs = ps.join(
+        F.broadcast(s), ps.l_suppkey == s.s_suppkey
+    ).select("l_partkey", "s_name", "s_acctbal")
+    best = pairs.groupBy("l_partkey").agg(F.max("s_acctbal").alias("mx"))
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 10) & (F.col("p_type") == "SMALL")
+    )
+    return (
+        pairs.join(best, "l_partkey")
+        .filter(F.col("s_acctbal") == F.col("mx"))
+        .join(p, pairs.l_partkey == p.p_partkey)
+        .select(
+            "p_partkey",
+            "s_name",
+            F.round(F.col("s_acctbal"), 2).alias("best_bal"),
+        )
+        .orderBy(F.desc("best_bal"), F.asc("p_partkey"), F.asc("s_name"))
+        .limit(25)
+    )
+
+
+@q(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, ship_year, round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l.l_shipdate) AS ship_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY 1, 2, 3
+    """,
+    "Bidirectional two-nation trade volume (TPC-H Q7): both nation "
+    "dims broadcast; the symmetric pair predicate survives as a single "
+    "post-join disjunction, orders⋈lineitem is the one big shuffle.",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    ))
+    n2 = F.broadcast(n.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+    ))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, "s_nationkey")
+        .join(n2, "c_nationkey")
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+        SELECT year(o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n1.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n2.n_regionkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    GROUP BY o_year
+    """,
+    "Share-of-total conditional aggregate (TPC-H Q8): numerator and "
+    "denominator in ONE pass (no self-join); region restriction "
+    "reaches the customer side through two broadcast dims.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = F.broadcast(n.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    ))
+    # customer-side nations restricted to the ASIA region before the
+    # broadcast — the region filter prunes customers at the dim, not
+    # after the fact join
+    n2 = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select(
+            F.col("n_nationkey").alias("c_nationkey")
+        )
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, "s_nationkey")
+        .join(n2, "c_nationkey")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", volume).otherwise(0.0)
+                )
+                / F.sum(volume),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@q(
+    "q16_supplier_count",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC LIMIT 30
+    """,
+    "NOT IN + distinct aggregate (TPC-H Q16): the excluded-supplier "
+    "set is a broadcast anti-join (null-free key, so NOT IN ≡ "
+    "left_anti); countDistinct expands to a two-stage partial "
+    "aggregate, never a per-group set collect.",
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bad = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"),
+            F.asc("p_brand"),
+            F.asc("p_type"),
+            F.asc("p_size"),
+        )
+        .limit(30)
+    )
+
+
+@q(
+    "q18_large_orders",
+    """
+    SELECT c.c_name, o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice,
+           round(big.sum_qty, 2) AS sum_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
+    ) big ON big.l_orderkey = o.o_orderkey
+    ORDER BY sum_qty DESC, o_orderkey ASC LIMIT 20
+    """,
+    "HAVING + semi-back-join (TPC-H Q18): the aggregate's survivor set "
+    "(p99 threshold → tiny) joins back to orders/customer — AQE "
+    "downgrades both probe joins to broadcasts at runtime.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            F.round(F.col("sum_qty"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "q19_disjunctive_pushdown",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    "OR-of-ANDs join predicate (TPC-H Q19): Catalyst extracts the "
+    "single-side conjuncts (brand IN, quantity range) below the join "
+    "as scan filters; the cross-side disjunction stays as the join's "
+    "residual condition.",
+)
+def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    branch = lambda brand, lo_s, hi_s, lo_q, hi_q: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(lo_s, hi_s)
+        & F.col("l_quantity").between(lo_q, hi_q)
+    )
+    return joined.filter(
+        branch("Brand#1", 1, 15, 1, 20)
+        | branch("Brand#2", 10, 30, 10, 35)
+        | branch("Brand#3", 20, 50, 20, 50)
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@q(
+    "q20_promo_shippers",
+    """
+    SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey HAVING sum(l_quantity) > 400
+    )
+    ORDER BY s_name ASC
+    """,
+    "IN over an aggregated subquery (TPC-H Q20 shape): the HAVING "
+    "aggregate runs once, its (small) key set semi-joins the supplier "
+    "dim — never a per-supplier correlated re-aggregation.",
+)
+def q20_promo_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    keys = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 400)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return (
+        t(spark, sf_dir, "supplier")
+        .join(keys, "s_suppkey", "left_semi")
+        .select("s_name", F.round(F.col("s_acctbal"), 2).alias("s_acctbal"))
+        .orderBy(F.asc("s_name"))
+    )
+
+
+@q(
+    "q21_sole_failing_supplier",
+    """
+    WITH stats AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                   THEN l_suppkey END) AS n_fail
+        FROM lineitem GROUP BY 1
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN stats st ON st.l_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R' AND st.n_supp >= 2 AND st.n_fail = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name ASC LIMIT 20
+    """,
+    "Double EXISTS / NOT EXISTS (TPC-H Q21, returnflag standing in for "
+    "the receipt-delay predicate): both correlated subqueries collapse "
+    "into ONE per-order distinct-count aggregate reused for the EXISTS "
+    "(n_supp >= 2) and the NOT EXISTS (n_fail = 1) — one lineitem "
+    "shuffle instead of two self-joins.",
+)
+def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_fail"),
+    )
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            stats.filter((F.col("n_supp") >= 2) & (F.col("n_fail") == 1)),
+            "l_orderkey",
+            "left_semi",
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
