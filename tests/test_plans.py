@@ -126,6 +126,45 @@ def test_anti_join_and_decorrelated_subquery_plans(spark):
     assert "HashAggregate" in plan17
 
 
+def test_q16_not_in_runs_as_broadcast_anti_join(spark):
+    from impresso_ta.queries import REGISTRY
+
+    q = REGISTRY["q16_supplier_count"].fn(spark, SF)
+    plan = _plan(q)
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    # countDistinct = two-stage partial agg, never a per-group collect
+    assert "partial_" in plan
+
+
+def test_q19_disjunction_pushes_single_side_conjuncts(spark):
+    """The OR-of-ANDs predicate must not block pushdown entirely:
+    Catalyst extracts the union of each side's conjuncts (brand IN (...)
+    on part, quantity range on lineitem) below the join as scan
+    filters."""
+    from impresso_ta.queries import REGISTRY
+
+    q = REGISTRY["q19_disjunctive_pushdown"].fn(spark, SF)
+    plan = _plan(q)
+    assert "PushedFilters" in plan
+    # the brand-side disjunction reaches the part scan (In or Or form)
+    assert "Brand#" in plan.split("ReadSchema")[0] or "In(p_brand" in plan
+
+
+def test_q21_collapses_double_exists_to_one_aggregate(spark):
+    """Both correlated subqueries (EXISTS other-supplier, NOT EXISTS
+    other-failing-supplier) ride ONE per-order distinct-count aggregate:
+    lineitem is shuffled by l_orderkey at most twice (candidate join +
+    stats agg), with no nested-loop or cartesian fallback."""
+    from impresso_ta.queries import REGISTRY
+
+    q = REGISTRY["q21_sole_failing_supplier"].fn(spark, SF)
+    plan = _plan(q)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("expand") <= 2  # countDistinct expand, not blowup
+
+
 def test_running_offsets_single_exchange(spark):
     from impresso_ta.queries import REGISTRY
 
