@@ -55,7 +55,12 @@ EXTENDED_QUERIES = [
     "text_repetition_stats",
     "dedup_shingle_containment",
     "retrieval_bm25_topk",
-    "dedup_semantic",
+    # r3: the benched SemDeDup is the LSH-cell variant — the fixed-8-seed
+    # demo query (dedup_semantic, still in the catalog for its oracle) is
+    # Σ|cell|²-quadratic by construction when nlist stays fixed while the
+    # corpus grows (measured 16.7x at 10x data), which is the documented
+    # anti-pattern, not the scale path.
+    "dedup_semantic_lsh",
     "text_c4_filters",
     "corpus_epoch_upsample",
     "corpus_snapshot_diff",

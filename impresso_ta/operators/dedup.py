@@ -677,11 +677,32 @@ def semantic_dedup(
     posture of the SemDeDup paper. One shuffle on cell for the self-join,
     one broadcast-able anti-join on the drop list.
     """
-    from impresso_ta.operators.similarity import cosine, ivf_assign
+    from impresso_ta.operators.similarity import ivf_assign
 
     assigned = ivf_assign(
         embeddings, centroids, id_col=id_col, vec_col=vec_col
     ).persist()
+    return _within_cell_dedup(
+        assigned,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_to=round_to,
+    )
+
+
+def _within_cell_dedup(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    round_to: int,
+) -> DataFrame:
+    """The cell-scoped greedy-by-id drop pass shared by every SemDeDup
+    cell assignment (Voronoi or LSH): self-equi-join on cell, drop any
+    vector whose smaller-id cell-mate is cosine-≥-threshold."""
+    from impresso_ta.operators.similarity import cosine
+
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
     )
@@ -707,4 +728,83 @@ def semantic_dedup(
             "cell",
             F.col("drop_id").isNull().alias("keep"),
         )
+    )
+
+
+def hyperplane_cells(
+    vec_col: Column,
+    n_bits: int,
+    dims: int,
+    round_to: int = 4,
+) -> Column:
+    """Deterministic hyperplane-LSH cell id: ``n_bits`` sign bits of
+    dot products with md5-derived pseudo-random hyperplanes, packed
+    into a long. Engine-portable — the weights come from md5 hex
+    digits (identical in Spark, DuckDB and Python's hashlib), and the
+    dot product is rounded before the sign test so float
+    order-of-summation differences can't flip a bit.
+
+    Cost is n·n_bits·dims row-local work, zero shuffle — the cell
+    COUNT (2^n_bits) grows exponentially in bits while assignment cost
+    grows only linearly, which is what makes the LSH-cell SemDeDup
+    near-linear at corpus scale (vs. Voronoi assignment's n·nlist).
+    """
+    import hashlib
+
+    cell = F.lit(0).cast("long")
+    for k in range(n_bits):
+        w = [
+            (int(hashlib.md5(f"{k}_{d}".encode()).hexdigest()[:6], 16) % 2001
+             - 1000) / 1000.0
+            for d in range(dims)
+        ]
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(x) for x in w]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cell = cell + (F.round(dot, round_to) >= 0).cast("long") * F.lit(
+            1 << k
+        )
+    return cell
+
+
+def semantic_dedup_lsh(
+    embeddings: DataFrame,
+    n_bits: int = 4,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    round_to: int = 4,
+) -> DataFrame:
+    """SemDeDup with hyperplane-LSH cells — the 100 TB assignment path.
+
+    Voronoi assignment (``semantic_dedup``/``semantic_dedup_auto``)
+    costs n·nlist dot products; with nlist sized ~n/cell_size that is
+    O(n²/cell_size) — fine to ~10⁷ vectors, structurally superlinear
+    beyond. Here the cell id is ``n_bits`` hyperplane sign bits
+    (n·n_bits·dims row-local work, no shuffle), so doubling the corpus
+    adds ONE bit, not n/512 centroids: pick
+    ``n_bits = ceil(log2(n / target_cell_size))``. Random-hyperplane
+    buckets also co-locate high-cosine pairs by construction (the same
+    property the ANN ``lsh_bucketed_topk`` relies on), which is exactly
+    what the within-cell drop pass needs. Trade-off vs Voronoi: cells
+    are equi-probable half-space intersections, not data-adaptive —
+    near-dup pairs split across a boundary are missed at a known rate
+    (1 - angle/π per bit) instead of a geometry-dependent one.
+    """
+    assigned = embeddings.withColumn(
+        "cell", hyperplane_cells(F.col(vec_col), n_bits, dims, round_to)
+    )
+    return _within_cell_dedup(
+        assigned,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_to=round_to,
     )

@@ -4298,3 +4298,50 @@ def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@q(
+    "dedup_semantic_lsh",
+    f"""
+    WITH wts AS (
+        SELECT k, d,
+               ((('0x' || substr(md5(k::VARCHAR || '_' || d::VARCHAR), 1, 6))::BIGINT
+                 % 2001) - 1000) / 1000.0 AS w
+        FROM generate_series(0, 3) AS gk(k), generate_series(0, 63) AS gd(d)
+    ),
+    dots AS (
+        SELECT e.vec_id, w.k,
+               round(sum(e.embedding[w.d + 1]::DOUBLE * w.w), 4) AS dot
+        FROM embeddings e CROSS JOIN wts w
+        GROUP BY 1, 2
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.embedding, c.cell
+        FROM embeddings e JOIN (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN dot >= 0
+                                 THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT)
+                   AS cell
+            FROM dots GROUP BY 1
+        ) c USING (vec_id)
+    )
+    SELECT a.vec_id, a.cell,
+           NOT EXISTS (
+               SELECT 1 FROM assigned b
+               WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+                 AND {_SEMANTIC_COS} >= 0.37
+           ) AS keep
+    FROM assigned a
+    """,
+    "SemDeDup over hyperplane-LSH cells — the 100 TB assignment path: "
+    "cell id = 4 md5-derived hyperplane sign bits (row-local, zero "
+    "shuffle, n·bits·dims work), so cell COUNT grows exponentially in "
+    "bits while assignment cost grows linearly — doubling the corpus "
+    "adds one bit, unlike Voronoi assignment's n·nlist dot products "
+    "(O(n²/cell_size) when nlist tracks n). Within-cell drop pass "
+    "identical to dedup_semantic (τ=0.37 demo threshold).",
+)
+def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.semantic_dedup_lsh(
+        t(spark, sf_dir, "embeddings"), n_bits=4, threshold=0.37
+    )

@@ -246,3 +246,61 @@ def test_semantic_dedup_auto_distributed_matches_collect(spark):
         tuple(r) for r in semantic_dedup_auto(emb, **kw).collect()
     )
     assert auto == want
+
+
+def test_semantic_dedup_lsh_twins_always_caught(spark):
+    """Identical vectors produce identical sign bits at ANY n_bits, so
+    exact twins can never be split across LSH cells — the higher id is
+    dropped just as in the Voronoi variant."""
+    from impresso_ta.operators.dedup import semantic_dedup_lsh
+
+    base = [(i % 7) / 7.0 - 0.4 for i in range(64)]
+    other = [((i * 3) % 11) / 11.0 - 0.5 for i in range(64)]
+    rows = [(0, base), (3, other), (9, list(base))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for bits in (1, 4, 8):
+        out = {
+            r["vec_id"]: r
+            for r in semantic_dedup_lsh(
+                emb, n_bits=bits, threshold=0.99
+            ).collect()
+        }
+        assert out[0]["keep"]
+        assert not out[9]["keep"], f"twin survived at n_bits={bits}"
+        assert out[0]["cell"] == out[9]["cell"]
+        assert 0 <= out[0]["cell"] < (1 << bits)
+
+
+def test_hyperplane_cells_deterministic_and_match_hashlib(spark):
+    """Cell ids are a pure function of the vector and the md5-derived
+    hyperplanes — recompute one vector's cell in plain Python and
+    compare (guards the engine-portable weight formula the DuckDB
+    oracle mirrors)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from impresso_ta.operators.dedup import hyperplane_cells
+
+    vec = [((i * 5) % 13) / 13.0 - 0.45 for i in range(64)]
+    emb = spark.createDataFrame(
+        [(1, vec)], "vec_id long, embedding array<float>"
+    )
+    got = emb.select(
+        hyperplane_cells(F.col("embedding"), n_bits=6, dims=64).alias("c")
+    ).collect()[0]["c"]
+
+    expected = 0
+    import numpy as np
+
+    v32 = np.array(vec, dtype=np.float32)  # Spark stores float32
+    for k in range(6):
+        w = [
+            (int(hashlib.md5(f"{k}_{d}".encode()).hexdigest()[:6], 16) % 2001
+             - 1000) / 1000.0
+            for d in range(64)
+        ]
+        dot = sum(float(v32[d]) * w[d] for d in range(64))
+        if round(dot, 4) >= 0:
+            expected += 1 << k
+    assert got == expected
