@@ -74,6 +74,8 @@ EXTENDED_QUERIES = [
     "text_quality_outliers",
     "corpus_split_assign",
     "sketch_count_min_heavy_hitters",
+    "sketch_hll_distinct",
+    "embedding_gramian",
 ]
 
 

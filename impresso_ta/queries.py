@@ -4345,3 +4345,65 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup_lsh(
         t(spark, sf_dir, "embeddings"), n_bits=4, threshold=0.37
     )
+
+
+@q(
+    "embedding_gramian",
+    """
+    SELECT i, j,
+           round(sum(e.embedding[i]::DOUBLE * e.embedding[j]::DOUBLE), 4) AS g
+    FROM read_parquet_embeddings_placeholder e,
+         generate_series(1, 64) AS s1(i), generate_series(1, 64) AS s2(j)
+    GROUP BY 1, 2
+    """.replace("read_parquet_embeddings_placeholder", "embeddings"),
+    "Distributed Gramian X^T X (the RowMatrix.computeGramian shape): "
+    "each Arrow batch contributes one dims x dims numpy partial; only "
+    "those fixed-size partials shuffle — reduce volume is "
+    "n_batches·dims², independent of corpus row count, one corpus "
+    "scan. The PCA/whitening front-end for ANN indexing.",
+)
+def embedding_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.linalg import gramian
+
+    return gramian(t(spark, sf_dir, "embeddings")).select(
+        "i", "j", F.round(F.col("g"), 4).alias("g")
+    )
+
+
+@q(
+    "sketch_hll_distinct",
+    r"""
+    WITH words AS (
+        SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents
+    )
+    SELECT lang, count(DISTINCT w) AS n_exact, true AS within_5pct
+    FROM words GROUP BY lang
+    """,
+    "HyperLogLog++ distinct-count accuracy eval (the langid_accuracy "
+    "pattern for sketches): per-language approx_count_distinct at "
+    "rsd=0.02 vs the exact distinct count, asserting ≤5% relative "
+    "error as an oracled boolean. At 100 TB the exact branch is "
+    "dropped and the sketch's fixed-size registers (map-side merged) "
+    "replace the full distinct shuffle.",
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    return (
+        words.groupBy("lang")
+        .agg(
+            F.countDistinct("w").alias("n_exact"),
+            F.approx_count_distinct("w", rsd=0.02).alias("n_est"),
+        )
+        .select(
+            "lang",
+            "n_exact",
+            (
+                F.abs(F.col("n_est") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("within_5pct"),
+        )
+    )
