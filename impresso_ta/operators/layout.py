@@ -1,0 +1,68 @@
+"""Data-layout optimization: Z-order (Morton) keys for multi-dimension
+data skipping.
+
+At 100 TB the cheapest query is the one that never reads the bytes:
+parquet row-group min/max statistics prune scans, but only if the
+file layout clusters the filtered columns. Sorting by ONE column
+clusters that column alone; interleaving the bits of several columns
+(the Z-order curve, as used by Delta/Iceberg OPTIMIZE ZORDER) bounds
+the per-row-group min/max spread of EVERY participating column, so
+selective filters on any of them skip most row groups.
+
+The key computation is a pure row-local bit-interleave in whole-stage
+codegen (zero shuffle); the write path adds one range-repartition on
+the key (the same exchange any global sort pays). Extends the
+reference's year-partitioned layout (A1 package groupby, ref
+core.py:618-660) to multi-dimensional locality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def minmax_scale_to_int(col: Column, lo: float, hi: float, bits: int = 16) -> Column:
+    """Affine-scale a bounded numeric column onto [0, 2^bits): the
+    Z-order ingredient for non-integer / unbounded inputs. lo/hi come
+    from domain knowledge or a stats pass; values outside clamp."""
+    scaled = (col.cast("double") - F.lit(lo)) / F.lit(float(hi - lo))
+    clamped = F.least(F.greatest(scaled, F.lit(0.0)), F.lit(1.0))
+    return F.floor(clamped * F.lit((1 << bits) - 1)).cast("long")
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Morton interleave of ``len(cols)`` non-negative int columns
+    (each < 2^bits) into one long: bit b of column i lands at position
+    b * n_cols + i. Pure literal expression tree — no UDF, no shuffle."""
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a long")
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            key = key + F.shiftleft(bit, b * n + i)
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[Column],
+    bits: int = 16,
+    n_files: int = 8,
+) -> None:
+    """Write parquet clustered along the Z-curve of ``cols``: one
+    range-exchange on the interleaved key, sort within partitions, key
+    dropped before write. Row-group min/max stats of every
+    participating column are then tight per file, so selective filters
+    on any of them prune at scan time."""
+    keyed = df.withColumn("_zkey", zorder_key(cols, bits))
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -4407,3 +4407,39 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_5pct"),
         )
     )
+
+
+@q(
+    "layout_zorder_key",
+    """
+    SELECT o_orderkey,
+           CAST(sum((((o_custkey >> b) & 1) << (2 * b))
+                    + (((dd >> b) & 1) << (2 * b + 1))) AS BIGINT) AS zkey
+    FROM (
+        SELECT o_orderkey, o_custkey,
+               date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS dd
+        FROM orders
+    ), generate_series(0, 15) AS s(b)
+    GROUP BY o_orderkey
+    """,
+    "Z-order (Morton) layout key over (custkey, order-day) — the "
+    "Delta/Iceberg OPTIMIZE ZORDER primitive for multi-dimension "
+    "parquet data skipping: pure row-local bit-interleave in "
+    "whole-stage codegen, zero shuffle; writing sorted by this key "
+    "bounds per-row-group min/max spread of BOTH columns so selective "
+    "filters on either prune row groups at scan time.",
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.layout import zorder_key
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).alias("dd"),
+    )
+    return o.select(
+        "o_orderkey",
+        zorder_key([F.col("o_custkey"), F.col("dd")], bits=16).alias("zkey"),
+    )
