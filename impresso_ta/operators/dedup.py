@@ -616,7 +616,10 @@ def semantic_dedup_auto(
     argmax, fastest); both paths are bit-identical (parity-tested).
 
     ``strategy``: "auto" (size-based switch), "collect" (literal path),
-    or "distributed" (DataFrame-relation path).
+    "distributed" (DataFrame-relation path), or "lsh" (hyperplane-cell
+    path: n_bits = ⌈log₂ nlist⌉ sign bits — assignment cost n·bits·dims
+    instead of Voronoi's n·nlist, the pick beyond ~10⁷ vectors; see
+    :func:`semantic_dedup_lsh` for the trade-off).
     """
     import math
 
@@ -624,6 +627,18 @@ def semantic_dedup_auto(
 
     n = embeddings.count()
     nlist = max(1, math.ceil(n / target_cell_size))
+    if strategy == "lsh":
+        dims = len(
+            embeddings.select(vec_col).first()[0]
+        )
+        return semantic_dedup_lsh(
+            embeddings,
+            n_bits=max(1, math.ceil(math.log2(nlist))) if nlist > 1 else 1,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            dims=dims,
+        )
     if strategy == "auto":
         strategy = "collect" if nlist <= LITERAL_MAX_NLIST else "distributed"
     if strategy == "distributed":

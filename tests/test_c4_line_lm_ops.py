@@ -304,3 +304,23 @@ def test_hyperplane_cells_deterministic_and_match_hashlib(spark):
         if round(dot, 4) >= 0:
             expected += 1 << k
     assert got == expected
+
+
+def test_semantic_dedup_auto_lsh_strategy(spark):
+    """strategy='lsh' sizes n_bits from the corpus (⌈log2 n/cell⌉) and
+    still drops exact twins; cells bounded by 2^bits."""
+    from impresso_ta.operators.dedup import semantic_dedup_auto
+
+    base = [((i * 3) % 17) / 17.0 - 0.4 for i in range(8)]
+    rows = [(i, [x + i * 0.01 for x in base]) for i in range(40)]
+    rows.append((99, list(rows[0][1])))  # exact twin of id 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup_auto(
+            emb, target_cell_size=10, threshold=0.999, strategy="lsh"
+        ).collect()
+    }
+    # n=41, cell=10 → nlist=5 → n_bits=3 → cells < 8
+    assert all(0 <= r["cell"] < 8 for r in out.values())
+    assert out[0]["keep"] and not out[99]["keep"]
