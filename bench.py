@@ -55,12 +55,13 @@ EXTENDED_QUERIES = [
     "text_repetition_stats",
     "dedup_shingle_containment",
     "retrieval_bm25_topk",
-    # r3: the benched SemDeDup is the LSH-cell variant — the fixed-8-seed
-    # demo query (dedup_semantic, still in the catalog for its oracle) is
-    # Σ|cell|²-quadratic by construction when nlist stays fixed while the
-    # corpus grows (measured 16.7x at 10x data), which is the documented
-    # anti-pattern, not the scale path.
-    "dedup_semantic_lsh",
+    # r3: the benched SemDeDup is the corpus-sized LSH-cell variant —
+    # ANY fixed-granularity form (fixed nlist=8 Voronoi: 16.7x at 10x
+    # data; fixed 4-bit LSH: 55x) is Σ|cell|²-quadratic by construction
+    # once the corpus outgrows the cell count. n_bits = ceil(log2(n/32))
+    # holds cell size ~constant, so pair volume stays linear. The
+    # fixed-granularity demos stay in the catalog for their oracles.
+    "dedup_semantic_lsh_auto",
     "text_c4_filters",
     "corpus_epoch_upsample",
     "corpus_snapshot_diff",

@@ -4443,3 +4443,159 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         zorder_key([F.col("o_custkey"), F.col("dd")], bits=16).alias("zkey"),
     )
+
+
+_QUANT_DEQ_CTES = """
+    qstats AS (
+        SELECT d, min(e.embedding[d]::DOUBLE) AS lo,
+               max(e.embedding[d]::DOUBLE) AS hi
+        FROM embeddings e, generate_series(1, 64) AS s(d)
+        GROUP BY 1
+    ),
+    sarr AS (
+        SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his
+        FROM qstats
+    ),
+    deq AS (
+        SELECT e.vec_id,
+               list_transform(
+                   list_zip(e.embedding, s.los, s.his),
+                   x -> x[2] + coalesce(
+                       least(greatest(round(
+                           (x[1]::DOUBLE - x[2]) / nullif(x[3] - x[2], 0)
+                           * 255), 0), 255), 0)
+                       * (x[3] - x[2]) / 255
+               ) AS dv
+        FROM embeddings e CROSS JOIN sarr s
+    )"""
+
+
+@q(
+    "embedding_quantize_error",
+    f"""
+    WITH {_QUANT_DEQ_CTES.lstrip()},
+    errs AS (
+        SELECT e.vec_id, s.d,
+               abs(e.embedding[s.d]::DOUBLE - dq.dv[s.d]) AS err
+        FROM embeddings e
+        JOIN deq dq USING (vec_id), generate_series(1, 64) AS s(d)
+    )
+    SELECT e.d, round(q.lo, 6) AS lo, round(q.hi, 6) AS hi,
+           round(avg(e.err), 6) AS mean_abs_err
+    FROM errs e JOIN qstats q USING (d)
+    GROUP BY e.d, q.lo, q.hi
+    """,
+    "Scalar int8 quantization of the embedding store (4x smaller than "
+    "float32 before ANN indexing): per-dim min/max in ONE map-side-"
+    "combined pass (2·dims aggregates, constant-size collect), codes "
+    "as zero-shuffle literal expressions; oracled per-dimension "
+    "reconstruction error — the bound is (hi-lo)/510 per coordinate.",
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.linalg import (
+        dequantize_expr,
+        quantize_embeddings,
+        quantize_stats,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    stats = quantize_stats(e)
+    qdf = quantize_embeddings(e, stats=stats)
+    errs = F.zip_with(
+        F.col("embedding"),
+        dequantize_expr(F.col("codes"), stats),
+        lambda a, b: F.abs(a.cast("double") - b),
+    )
+    los = F.array(*[F.lit(float(lo)) for lo, _ in stats])
+    his = F.array(*[F.lit(float(hi)) for _, hi in stats])
+    return (
+        qdf.select(F.posexplode(errs).alias("pos", "err"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("err"), 6).alias("mean_abs_err"))
+        .select(
+            (F.col("pos") + 1).alias("d"),
+            F.round(F.element_at(los, F.col("pos") + 1), 6).alias("lo"),
+            F.round(F.element_at(his, F.col("pos") + 1), 6).alias("hi"),
+            "mean_abs_err",
+        )
+    )
+
+
+@q(
+    "embedding_quantize_recall",
+    f"""
+    WITH {_QUANT_DEQ_CTES.lstrip()},
+    {_ann_truth_cte().lstrip()},
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_cos_sql('q.dv', 'c.dv')} DESC,
+                                c.vec_id ASC
+                   ) AS rk
+            FROM deq q CROSS JOIN deq c
+            WHERE q.vec_id % 97 = 0
+        ) WHERE rk <= 3
+    )
+    SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+           count(t.query_id)::BIGINT AS n_hits,
+           round(count(t.query_id)::DOUBLE
+                 / (SELECT count(*) FROM truth), 4) AS recall
+    FROM approx a LEFT JOIN truth t USING (query_id, neighbor_id)
+    """,
+    "Measured recall@3 of int8-quantized cosine search vs float32 "
+    "ground truth (%97 query set) — the accuracy side of the 4x "
+    "storage cut, as an oracled number (expected ≈1.0: 1/510-per-dim "
+    "reconstruction error rarely reorders top-3 on these embeddings).",
+)
+def embedding_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.linalg import (
+        dequantize_expr,
+        quantize_embeddings,
+        quantize_stats,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    stats = quantize_stats(e)
+    deq = quantize_embeddings(e, stats=stats).select(
+        "vec_id", dequantize_expr(F.col("codes"), stats).alias("embedding")
+    )
+    truth = similarity.cosine_topk(
+        e, e.filter(F.col("vec_id") % 97 == 0), k=3
+    ).select("query_id", "neighbor_id")
+    approx = similarity.cosine_topk(
+        deq, deq.filter(F.col("vec_id") % 97 == 0), k=3
+    ).select("query_id", "neighbor_id")
+    truth_n = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    return (
+        approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .crossJoin(F.broadcast(truth_n))
+        .select(
+            "n_truth",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall"),
+        )
+    )
+
+
+@q(
+    "dedup_semantic_lsh_auto",
+    REGISTRY["dedup_semantic_lsh"].oracle,
+    "Corpus-sized LSH SemDeDup: n_bits = ceil(log2(n / 32)) grows with "
+    "the corpus so cell size stays ~constant and pair volume stays "
+    "linear — the scale contract the fixed-granularity demos violate "
+    "(fixed nlist=8 Voronoi measured 16.7x, fixed 4-bit LSH 55x at 10x "
+    "data; this variant is the benched one). The oracle SQL pins 4 "
+    "bits because that IS the auto sizing at the sf0.01 check scale "
+    "(ceil(log2(500/32)) = 4) — same convention as dedup_semantic's "
+    "nlist=8 seed CTE.",
+)
+def dedup_semantic_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.semantic_dedup_auto(
+        t(spark, sf_dir, "embeddings"),
+        target_cell_size=32,
+        threshold=0.37,
+        strategy="lsh",
+    )
