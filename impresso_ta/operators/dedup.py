@@ -210,24 +210,19 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def _minhash_parts(
     docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 3,
-    num_perm: int = 24,
-    bands: int = 8,
-    threshold: float = 0.8,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_perm: int,
+    bands: int,
     cache_shingles: bool = False,
-) -> DataFrame:
-    """MinHash-LSH near-dup pairs, verified with exact Jaccard.
-
-    bands=8 × rows=3 over 24 permutations: P(candidate | j) = 1-(1-j³)⁸ —
-    ≥ 0.999 at j=0.85, ~0.02 at j=0.15, so candidate volume stays linear
-    in corpus size for a typical similarity distribution while recall at
-    the 0.8 threshold is effectively exact. Verification re-computes true
-    Jaccard on the candidates only.
-    """
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared MinHash plumbing: (shingle frame, signature frame, band
+    table). Hash parameters are a pure function of the permutation
+    index, so two corpora banded through this helper are join-compatible
+    — the property :func:`incremental_minhash_dedup` relies on."""
     rows = num_perm // bands
     sh = _explode_shingle_hashes(docs, id_col, text_col, k)
     if cache_shingles:
@@ -264,6 +259,30 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("b")
     ).select("doc_id", "b.band", "b.bh")
+    return sh, sigs, banded
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 24,
+    bands: int = 8,
+    threshold: float = 0.8,
+    cache_shingles: bool = False,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified with exact Jaccard.
+
+    bands=8 × rows=3 over 24 permutations: P(candidate | j) = 1-(1-j³)⁸ —
+    ≥ 0.999 at j=0.85, ~0.02 at j=0.15, so candidate volume stays linear
+    in corpus size for a typical similarity distribution while recall at
+    the 0.8 threshold is effectively exact. Verification re-computes true
+    Jaccard on the candidates only.
+    """
+    sh, sigs, banded = _minhash_parts(
+        docs, id_col, text_col, k, num_perm, bands, cache_shingles
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -309,6 +328,83 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 24,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Dedupe an incoming batch against the already-ingested corpus:
+    returns the NEW docs with no existing near-dup (exact Jaccard ≥
+    ``threshold``), unchanged — the arrival-driven complement of the
+    full-corpus :func:`minhash_lsh_pairs` (which re-pairs everything).
+
+    Scale shape: candidates are new-band ⋈ existing-band on
+    (band, band-hash) — work proportional to the BATCH, not the corpus.
+    Both sides ride :func:`_minhash_parts` with identical hash
+    parameters, so in production the existing side's signature/band
+    tables are computed once, stored bucketed by (band, bh), and each
+    increment probes them without touching existing TEXT except for the
+    candidate verify (join-pruned to colliding pairs). Extends the
+    reference's incremental import anti-join (F3/J1, ref
+    generic_importer.py:240-249) from exact-id skip to near-dup skip.
+    """
+    sh_n, sigs_n, band_n = _minhash_parts(
+        new_docs, id_col, text_col, k, num_perm, bands
+    )
+    sh_e, sigs_e, band_e = _minhash_parts(
+        existing_docs, id_col, text_col, k, num_perm, bands
+    )
+    candidates = (
+        band_n.select(F.col("doc_id").alias("new_id"), "band", "bh")
+        .join(
+            band_e.select(F.col("doc_id").alias("ex_id"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .select("new_id", "ex_id")
+        .distinct()
+    )
+    common = (
+        candidates.join(
+            sh_n.select(F.col("doc_id").alias("new_id"), "h"), "new_id"
+        )
+        .join(sh_e.select(F.col("doc_id").alias("ex_id"), "h"), ["ex_id", "h"])
+        .groupBy("new_id", "ex_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    dups = (
+        common.join(
+            sigs_n.select(
+                F.col("doc_id").alias("new_id"),
+                F.col("n_shingles").alias("n_n"),
+            ),
+            "new_id",
+        )
+        .join(
+            sigs_e.select(
+                F.col("doc_id").alias("ex_id"),
+                F.col("n_shingles").alias("n_e"),
+            ),
+            "ex_id",
+        )
+        .filter(
+            F.round(
+                F.col("n_common")
+                / (F.col("n_n") + F.col("n_e") - F.col("n_common")),
+                4,
+            )
+            >= threshold
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(dups, id_col, "left_anti")
 
 
 def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -628,9 +724,8 @@ def semantic_dedup_auto(
     n = embeddings.count()
     nlist = max(1, math.ceil(n / target_cell_size))
     if strategy == "lsh":
-        dims = len(
-            embeddings.select(vec_col).first()[0]
-        )
+        first = embeddings.select(vec_col).first()
+        dims = len(first[0]) if first is not None else 64  # empty corpus
         return semantic_dedup_lsh(
             embeddings,
             n_bits=max(1, math.ceil(math.log2(nlist))) if nlist > 1 else 1,

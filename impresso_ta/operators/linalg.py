@@ -89,6 +89,8 @@ def pca_components(
     import numpy as np
 
     rows = gramian(df, vec_col).collect()
+    if not rows:
+        raise ValueError("pca_components: empty corpus (no vectors to scan)")
     d = max(r["i"] for r in rows)
     g = np.zeros((d, d))
     for r in rows:
@@ -121,6 +123,8 @@ def quantize_stats(
             for d in range(dims)
         ],
     ).collect()[0]
+    if row["lo0"] is None:
+        raise ValueError("quantize_stats: empty corpus (no vectors to scan)")
     return [(row[f"lo{d}"], row[f"hi{d}"]) for d in range(dims)]
 
 

@@ -4599,3 +4599,46 @@ def dedup_semantic_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.37,
         strategy="lsh",
     )
+
+
+@q(
+    "dedup_incremental_lsh",
+    r"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   for i in range(1, greatest(len(w) - 2, 1) + 1)
+               ]) AS shingles
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents)
+    ),
+    dups AS (
+        SELECT DISTINCT n.doc_id
+        FROM sh n JOIN sh e
+          ON n.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+        WHERE round(len(list_intersect(n.shingles, e.shingles))::DOUBLE /
+                    (len(n.shingles) + len(e.shingles)
+                     - len(list_intersect(n.shingles, e.shingles))), 4) >= 0.8
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id % 2 = 1
+      AND d.doc_id NOT IN (SELECT doc_id FROM dups)
+    """,
+    "Incremental near-dup gate: an incoming batch (odd doc_ids) probes "
+    "the already-ingested corpus (even doc_ids) through the SAME "
+    "MinHash band tables — candidate work proportional to the batch, "
+    "not the corpus (existing signatures are computed once and stored "
+    "bucketed by band hash in production); exact-Jaccard verify on "
+    "colliding pairs only. The near-dup generalization of the "
+    "reference's exact-id incremental anti-join (F3/J1). LSH recall at "
+    "j≥0.8 is ≥1-3e-4, so the exact-Jaccard oracle matches.",
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    survivors = dedup.incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        threshold=0.8,
+    )
+    return survivors.select("doc_id", "lang")

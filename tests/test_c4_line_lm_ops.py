@@ -324,3 +324,34 @@ def test_semantic_dedup_auto_lsh_strategy(spark):
     # n=41, cell=10 → nlist=5 → n_bits=3 → cells < 8
     assert all(0 <= r["cell"] < 8 for r in out.values())
     assert out[0]["keep"] and not out[99]["keep"]
+
+
+def test_incremental_minhash_dedup_drops_only_near_dups(spark):
+    """New docs near-duplicating an EXISTING doc are dropped; new docs
+    that only near-duplicate each OTHER both survive (incremental gate
+    compares against the ingested corpus, not within the batch)."""
+    from impresso_ta.operators.dedup import incremental_minhash_dedup
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    other = " ".join(f"w{i} v{i}" for i in range(40))
+    existing = spark.createDataFrame(
+        [(0, base), (2, other)], "doc_id long, text string"
+    )
+    twin_a = base + " extra"
+    batch_dup = " ".join(f"z{i} y{i}" for i in range(50))
+    new = spark.createDataFrame(
+        [
+            (1, twin_a),            # near-dup of existing 0 → dropped
+            (3, batch_dup),         # near-dup of 5 but NOT of existing → kept
+            (5, batch_dup + " q"),  # same → kept
+            (7, " ".join(f"unique{i}" for i in range(30))),  # kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(new, existing, threshold=0.8)
+        .select("doc_id")
+        .collect()
+    }
+    assert kept == {3, 5, 7}
