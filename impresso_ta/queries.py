@@ -4642,3 +4642,170 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.8,
     )
     return survivors.select("doc_id", "lang")
+
+
+@q(
+    "events_funnel_conversion",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+          WHERE e.event_type = 'click' GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t_buy
+          FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+          WHERE e.event_type = 'purchase' GROUP BY 1)
+    SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+           (SELECT count(*) FROM c)::BIGINT AS n_click,
+           (SELECT count(*) FROM p)::BIGINT AS n_purchase,
+           round((SELECT count(*) FROM p)::DOUBLE
+                 / (SELECT count(*) FROM v), 4) AS conversion
+    """,
+    "Ordered-funnel conversion (view → click-after-view → purchase-"
+    "after-click): sequential pattern matching as staged min-aggregates "
+    "— each stage shuffles only ITS event type's rows on user_id and "
+    "joins the (tiny) prior-stage frame, never a per-user sort of the "
+    "whole stream; the user-journey analytics shape over the events "
+    "table (sessionize's batch cousin).",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    nv = v.agg(F.count("*").cast("long").alias("n_view"))
+    nc = c.agg(F.count("*").cast("long").alias("n_click"))
+    np_ = p.agg(F.count("*").cast("long").alias("n_purchase"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.round(F.col("n_purchase") / F.col("n_view"), 4).alias(
+                "conversion"
+            ),
+        )
+    )
+
+
+@q(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "Pure predicate-pushdown aggregate (TPC-H Q6): every conjunct "
+    "reaches the parquet scan as a pushed filter, one map-side-combined "
+    "sum, no join, no wide shuffle.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY 1
+    ) GROUP BY 1
+    """,
+    "Distribution-of-counts (TPC-H Q13): LEFT OUTER join keeps "
+    "zero-order customers, then a second (tiny, count-keyed) aggregate "
+    "— the join-side filter stays in the JOIN CONDITION (not a WHERE, "
+    "which would turn the outer join inner).",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@q(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s_suppkey ASC
+    """,
+    "Max-over-aggregate equality (TPC-H Q15 'view' shape): the revenue "
+    "aggregate computes once, its one-row max broadcasts back as a "
+    "scalar-subquery filter — never a re-aggregation per row; ties all "
+    "surface (no arbitrary LIMIT 1).",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx.mx)
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy(F.asc("s_suppkey"))
+    )
