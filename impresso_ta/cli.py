@@ -100,6 +100,13 @@ def _build_parser() -> argparse.ArgumentParser:
     cor.add_argument(
         "--benchmark", help="parquet of benchmark docs to decontaminate against"
     )
+    cor.add_argument(
+        "--dedup-against",
+        help="parquet of the already-ingested corpus: drop input docs "
+        "near-duplicating it (MinHash band probe + exact-Jaccard "
+        "verify) BEFORE the pipeline stages — the incremental-crawl "
+        "gate",
+    )
     cor.add_argument("--temperature-alpha", type=float)
     cor.add_argument("--temperature-target", type=int, default=0)
     cor.add_argument("--domain-col", default="lang")
@@ -291,6 +298,19 @@ def cmd_corpus(args, spark) -> int:
                 f"--id-col {args.id_col!r} has {dtypes[args.id_col]} values "
                 "that do not cast to BIGINT; supply an integer id column"
             )
+    if args.dedup_against:
+        from impresso_ta.operators.dedup import incremental_minhash_dedup
+
+        existing = spark.read.parquet(args.dedup_against)
+        before = docs.count()
+        docs = incremental_minhash_dedup(
+            docs,
+            existing,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            threshold=args.jaccard_threshold,
+        )
+        print(f"incremental_dedup: {before} -> {docs.count()}")
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
     res = prepare_corpus(
         docs,

@@ -194,3 +194,42 @@ def test_cli_corpus_split_column(tmp_path, spark):
     assert "split" in prepared.columns
     splits = {row["split"] for row in prepared.select("split").distinct().collect()}
     assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+def test_cli_corpus_dedup_against(tmp_path, spark):
+    """--dedup-against drops input docs near-duplicating the ingested
+    corpus before the pipeline stages run."""
+    existing_path = tmp_path / "existing.parquet"
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    # ingested corpus = the even-id half; the odd half is the new batch
+    d.filter("doc_id % 2 = 0").write.parquet(str(existing_path))
+    new_path = tmp_path / "incoming.parquet"
+    # make one incoming doc a near-dup of an ingested one: copy text
+    from pyspark.sql import functions as F
+
+    ex_row = d.filter("doc_id = 0").select("text").first()
+    incoming = d.filter("doc_id % 2 = 1").union(
+        d.filter("doc_id = 1").withColumn("doc_id", F.lit(99991).cast("long"))
+        .withColumn("text", F.lit(ex_row["text"]))
+    )
+    incoming.write.parquet(str(new_path))
+    out = tmp_path / "prepared"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "impresso_ta.cli", "corpus",
+            "--input", str(new_path),
+            "--output-dir", str(out),
+            "--no-c4", "--no-gopher", "--line-spans", "0", "--no-doc-dedup",
+            "--dedup-against", str(existing_path),
+            "--jaccard-threshold", "0.9",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "incremental_dedup:" in r.stdout
+    kept = {
+        row["doc_id"]
+        for row in spark.read.parquet(str(out / "corpus")).collect()
+    }
+    assert 99991 not in kept          # exact twin of ingested doc 0
+    assert len(kept) > 0 and all(k % 2 == 1 for k in kept)
