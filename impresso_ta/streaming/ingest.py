@@ -95,6 +95,77 @@ def stream_corpus_quality_gate(
     return writer.start()
 
 
+def stream_incremental_dedup(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+    available_now: bool = True,
+    max_files_per_trigger: int = 32,
+):
+    """Continuous crawl dedup: every micro-batch of documents is
+    (1) near-dup-deduped WITHIN the batch (MinHash-LSH + survivor
+    pass), then (2) gated against EVERYTHING previously accepted via
+    :func:`impresso_ta.operators.dedup.incremental_minhash_dedup` —
+    the accepted store doubles as the band-table state, so state never
+    diverges from output.
+
+    Exactly-once across crashes: survivors land in a ``batch=N``
+    partition written with mode=overwrite, so a replayed micro-batch
+    rewrites its own partition idempotently; the gate reads only
+    ``batch < N`` partitions, so a half-written own-partition from a
+    crashed attempt can never make the batch's docs look like dups of
+    themselves. The streaming composition of F3/J1 incremental skip
+    (exact ids) with near-dup semantics.
+    """
+    from impresso_ta.operators.dedup import (
+        dedup_survivors,
+        incremental_minhash_dedup,
+        minhash_lsh_pairs,
+    )
+
+    doc_schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    def _gate(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sess = batch.sparkSession
+        pairs = minhash_lsh_pairs(batch, threshold=threshold)
+        survivors = dedup_survivors(batch, pairs)
+        try:
+            seen = (
+                sess.read.parquet(out_path)
+                .filter(F.col("batch") < batch_id)
+                .drop("batch")
+            )
+            has_seen = bool(seen.take(1))
+        except Exception:  # first batch: no store yet
+            has_seen = False
+        if has_seen:
+            survivors = incremental_minhash_dedup(
+                survivors, seen, threshold=threshold
+            )
+        survivors.write.mode("overwrite").parquet(
+            f"{out_path}/batch={batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",

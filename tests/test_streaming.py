@@ -194,3 +194,60 @@ def test_stream_corpus_quality_gate_incremental(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 3]
+
+
+def test_stream_incremental_dedup_within_and_across_batches(spark, tmp_path):
+    """Continuous crawl dedup: within-batch near-dups collapse to one
+    survivor, cross-batch dups are gated by the accepted store, and a
+    checkpointed re-run leaves the store unchanged."""
+    import time as _time
+
+    from impresso_ta.streaming.ingest import stream_incremental_dedup
+
+    drop = tmp_path / "crawl"
+    drop.mkdir()
+    out = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    doc_schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    def text(tag, n=40):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    # batch 1: two distinct docs + an exact twin of the first
+    spark.createDataFrame(
+        [
+            (1, text("alpha"), "en", "s", 1),
+            (2, text("alpha"), "en", "s", 1),  # within-batch twin
+            (3, text("beta"), "en", "s", 1),
+        ],
+        doc_schema,
+    ).coalesce(1).write.parquet(str(drop / "f1"))
+    _time.sleep(1.1)  # file-source batches follow modification time
+    # batch 2: one twin of an accepted doc + one genuinely new doc
+    spark.createDataFrame(
+        [
+            (10, text("beta"), "en", "s", 1),  # cross-batch twin
+            (11, text("gamma"), "en", "s", 1),
+        ],
+        doc_schema,
+    ).coalesce(1).write.parquet(str(drop / "f2"))
+
+    q = stream_incremental_dedup(
+        spark, str(drop) + "/*", out, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(240)
+    assert q.exception() is None
+    accepted = spark.read.parquet(out)
+    texts = [r["text"] for r in accepted.collect()]
+    # one survivor per distinct text, none lost
+    assert sorted(t.split()[0] for t in texts) == ["alpha0", "beta0", "gamma0"]
+    assert len(texts) == len(set(texts))
+
+    # idempotent re-run from the same checkpoint: nothing reprocessed
+    q = stream_incremental_dedup(
+        spark, str(drop) + "/*", out, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 3
