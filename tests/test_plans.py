@@ -200,3 +200,39 @@ def test_snapshot_diff_single_equi_join(spark):
     assert "CartesianProduct" not in plan
     # full-outer on the id key: one sort-merge join, nothing else
     assert plan.count("SortMergeJoin") == 1
+
+
+def test_q13_outer_join_not_turned_inner(spark):
+    """The anti-URGENT filter lives in the join CONDITION: the LEFT
+    OUTER must survive planning (a WHERE would convert it inner and
+    silently drop zero-order customers)."""
+    from impresso_ta.queries import REGISTRY
+
+    q = REGISTRY["q13_customer_distribution"].fn(spark, SF)
+    plan = _plan(q)
+    assert "LeftOuter" in plan
+    # the outer join preserves EVERY customer (zero-order ones included)
+    total = q.agg(F.sum("custdist")).collect()[0][0]
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert total == n_cust
+
+
+def test_q15_max_equality_single_aggregation_pass(spark):
+    """The revenue aggregate computes once; the max arrives as a
+    broadcast one-row side, never a per-row re-aggregation."""
+    from impresso_ta.queries import REGISTRY
+
+    q = REGISTRY["q15_top_supplier"].fn(spark, SF)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the lineitem-sized aggregate appears a bounded number of times
+    # (rev + its max reuse), not once per supplier row
+    assert plan.count("HashAggregate") <= 8
+
+
+def test_funnel_no_cartesian_of_event_frames(spark):
+    from impresso_ta.queries import REGISTRY
+
+    q = REGISTRY["events_funnel_conversion"].fn(spark, SF)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan  # only 1-row crossJoins remain
