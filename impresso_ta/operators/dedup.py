@@ -883,6 +883,35 @@ def hyperplane_cells(
     return cell
 
 
+def hyperplane_dots(
+    vec_col: Column, n_bits: int, dims: int
+) -> Column:
+    """The raw hyperplane dot products behind :func:`hyperplane_cells`,
+    as an array — the per-bit MARGINS multiprobe needs (a small |dot|
+    means the vector sits near that cell boundary)."""
+    import hashlib
+
+    dots = []
+    for k in range(n_bits):
+        w = [
+            (int(hashlib.md5(f"{k}_{d}".encode()).hexdigest()[:6], 16) % 2001
+             - 1000) / 1000.0
+            for d in range(dims)
+        ]
+        dots.append(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(x) for x in w]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    return F.array(*dots)
+
+
 def semantic_dedup_lsh(
     embeddings: DataFrame,
     n_bits: int = 4,
@@ -891,6 +920,7 @@ def semantic_dedup_lsh(
     vec_col: str = "embedding",
     dims: int = 64,
     round_to: int = 4,
+    n_probes: int = 1,
 ) -> DataFrame:
     """SemDeDup with hyperplane-LSH cells — the 100 TB assignment path.
 
@@ -907,14 +937,72 @@ def semantic_dedup_lsh(
     are equi-probable half-space intersections, not data-adaptive —
     near-dup pairs split across a boundary are missed at a known rate
     (1 - angle/π per bit) instead of a geometry-dependent one.
+
+    ``n_probes > 1`` shrinks that miss rate the multiprobe-LSH way
+    (Lv et al. 2007, as in ``similarity.multiprobe_lsh_topk``): each
+    vector ALSO probes the ``n_probes - 1`` cells reached by flipping
+    its lowest-|margin| sign bits, so a pair split by one near-boundary
+    hyperplane is re-united. Candidate volume grows ≤ n_probes×; the
+    drop rule (greedy-by-id over distinct colliding pairs) is unchanged
+    and n_probes=1 reproduces the single-probe result exactly.
     """
     assigned = embeddings.withColumn(
         "cell", hyperplane_cells(F.col(vec_col), n_bits, dims, round_to)
     )
-    return _within_cell_dedup(
-        assigned,
-        threshold=threshold,
-        id_col=id_col,
-        vec_col=vec_col,
-        round_to=round_to,
+    if n_probes <= 1:
+        return _within_cell_dedup(
+            assigned,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_to=round_to,
+        )
+
+    from impresso_ta.operators.similarity import cosine
+
+    # probe cells: flip the (n_probes-1) lowest-|dot| bits one at a time
+    margins = F.array_sort(
+        F.transform(
+            hyperplane_dots(F.col(vec_col), n_bits, dims),
+            lambda d, i: F.struct(
+                F.abs(F.round(d, round_to)).alias("m"), i.alias("j")
+            ),
+        )
+    )
+    flips = F.slice(margins, 1, n_probes - 1)
+    probe_cells = F.array_union(
+        F.array(F.col("cell")),
+        F.transform(
+            flips,
+            lambda s: F.col("cell").bitwiseXOR(
+                (F.lit(2.0) ** s["j"]).cast("long")
+            ),
+        ),
+    )
+    probed = assigned.withColumn("pcell", F.explode(probe_cells)).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("pcell").alias("jcell"),
+    )
+    primary = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("cell").alias("jcell"),
+    )
+    # every (a-probe → b-primary) collision; both orientations arise
+    # because every vector appears on the probe side
+    drops = (
+        probed.join(primary, "jcell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            F.round(cosine(F.col("va"), F.col("vb")), round_to)
+            >= F.lit(threshold)
+        )
+        .select(F.greatest("id_a", "id_b").alias("drop_id"))
+        .distinct()
+    )
+    return assigned.join(
+        drops, assigned[id_col] == drops["drop_id"], "left"
+    ).select(
+        F.col(id_col),
+        "cell",
+        F.col("drop_id").isNull().alias("keep"),
     )

@@ -355,3 +355,62 @@ def test_incremental_minhash_dedup_drops_only_near_dups(spark):
         .collect()
     }
     assert kept == {3, 5, 7}
+
+
+def test_semantic_dedup_lsh_multiprobe_catches_boundary_pair(spark):
+    """A near-dup pair split by ONE near-boundary hyperplane is missed
+    single-probe but caught with n_probes=2; probed drops dominate
+    unprobed drops on the same input."""
+    import hashlib
+
+    import numpy as np
+
+    from impresso_ta.operators.dedup import semantic_dedup_lsh
+
+    dims, bits = 16, 3
+    w = np.array(
+        [
+            [
+                (int(hashlib.md5(f"{k}_{d}".encode()).hexdigest()[:6], 16)
+                 % 2001 - 1000) / 1000.0
+                for d in range(dims)
+            ]
+            for k in range(bits)
+        ]
+    )
+    rng = np.array([((i * 5) % 13) / 13.0 - 0.45 for i in range(dims)])
+    base = rng / np.linalg.norm(rng)
+    # push base very close to hyperplane 0's boundary, clearly off 1&2
+    d0 = base @ w[0]
+    base = base - (d0 - 1e-3) * w[0] / (w[0] @ w[0])
+    # twin: reflect across hyperplane 0 only → adjacent cell, cosine≈1
+    twin = base - 2 * (base @ w[0]) * w[0] / (w[0] @ w[0])
+    cos = float(base @ twin / (np.linalg.norm(base) * np.linalg.norm(twin)))
+    assert cos > 0.99
+    filler = [
+        (10 + i, [float(x) for x in (rng * (0.3 + 0.1 * i)) + i * 0.05])
+        for i in range(4)
+    ]
+    emb = spark.createDataFrame(
+        [(0, [float(x) for x in base]), (1, [float(x) for x in twin])]
+        + filler,
+        "vec_id long, embedding array<float>",
+    )
+    kw = dict(n_bits=bits, threshold=0.99, dims=dims)
+    single = {
+        r["vec_id"]: r for r in semantic_dedup_lsh(emb, **kw).collect()
+    }
+    probed = {
+        r["vec_id"]: r
+        for r in semantic_dedup_lsh(emb, n_probes=2, **kw).collect()
+    }
+    # the pair straddles hyperplane 0 → different cells → single misses
+    assert single[0]["cell"] != single[1]["cell"]
+    assert single[1]["keep"]
+    # multiprobe flips the low-margin bit and re-unites the pair
+    assert not probed[1]["keep"]
+    assert probed[0]["keep"]
+    # dominance: probed drop set contains the unprobed drop set
+    dropped_single = {k for k, r in single.items() if not r["keep"]}
+    dropped_probed = {k for k, r in probed.items() if not r["keep"]}
+    assert dropped_single <= dropped_probed
