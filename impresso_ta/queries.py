@@ -4809,3 +4809,154 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_rev")
         .orderBy(F.asc("s_suppkey"))
     )
+
+
+@q(
+    "dedup_semantic_lsh_recall",
+    f"""
+    WITH wts AS (
+        SELECT k, d,
+               ((('0x' || substr(md5(k::VARCHAR || '_' || d::VARCHAR), 1, 6))::BIGINT
+                 % 2001) - 1000) / 1000.0 AS w
+        FROM generate_series(0, 3) AS gk(k), generate_series(0, 63) AS gd(d)
+    ),
+    dots AS (
+        SELECT e.vec_id, w.k,
+               round(sum(e.embedding[w.d + 1]::DOUBLE * w.w), 4) AS dot
+        FROM embeddings e CROSS JOIN wts w
+        GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dot >= 0
+                             THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT)
+               AS cell
+        FROM dots GROUP BY 1
+    ),
+    margins AS (
+        SELECT vec_id, k AS flip_k FROM (
+            SELECT vec_id, k,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY abs(dot) ASC, k ASC
+                   ) AS rk
+            FROM dots
+        ) WHERE rk = 1
+    ),
+    probed AS (
+        SELECT vec_id, cell FROM cells
+        UNION
+        SELECT c.vec_id, xor(c.cell, (1::BIGINT << m.flip_k)) AS cell
+        FROM cells c JOIN margins m USING (vec_id)
+    ),
+    truth AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_SEMANTIC_COS} >= 0.37
+    ),
+    hit1 AS (
+        SELECT t.ia, t.ib FROM truth t
+        JOIN cells ca ON ca.vec_id = t.ia
+        JOIN cells cb ON cb.vec_id = t.ib AND cb.cell = ca.cell
+    ),
+    hit2 AS (
+        SELECT DISTINCT t.ia, t.ib FROM truth t
+        JOIN probed pa ON pa.vec_id = t.ia
+        JOIN cells cb ON cb.vec_id = t.ib AND cb.cell = pa.cell
+        UNION
+        SELECT DISTINCT t.ia, t.ib FROM truth t
+        JOIN probed pb ON pb.vec_id = t.ib
+        JOIN cells ca ON ca.vec_id = t.ia AND ca.cell = pb.cell
+    )
+    SELECT probes, n_truth, n_caught,
+           round(n_caught::DOUBLE / n_truth, 4) AS recall
+    FROM (
+        SELECT 1 AS probes,
+               (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+               (SELECT count(*) FROM hit1)::BIGINT AS n_caught
+        UNION ALL
+        SELECT 2,
+               (SELECT count(*) FROM truth)::BIGINT,
+               (SELECT count(*) FROM (SELECT DISTINCT ia, ib FROM hit2))::BIGINT
+    )
+    """,
+    "Measured near-dup PAIR recall of the LSH cells vs the full "
+    "pairwise ground truth (cos ≥ 0.37, 4 bits) at probes ∈ {{1, 2}} — "
+    "the accuracy/cost curve of the boundary-flip multiprobe, as an "
+    "oracled number (recall must not decrease with probes; each added "
+    "probe costs ≤ 1 extra candidate set).",
+)
+def dedup_semantic_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.dedup import hyperplane_cells, hyperplane_dots
+    from impresso_ta.operators.similarity import cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    n_bits, dims, tau = 4, 64, 0.37
+    cells = e.select(
+        "vec_id",
+        hyperplane_cells(F.col("embedding"), n_bits, dims).alias("cell"),
+    )
+    # lowest-|margin| bit per vector (ties → lowest k), as in multiprobe
+    margins = F.array_sort(
+        F.transform(
+            hyperplane_dots(F.col("embedding"), n_bits, dims),
+            lambda d, i: F.struct(
+                F.abs(F.round(d, 4)).alias("m"), i.alias("j")
+            ),
+        )
+    )
+    probed = (
+        e.join(cells, "vec_id")
+        .select(
+            "vec_id",
+            F.explode(
+                F.array_union(
+                    F.array(F.col("cell")),
+                    F.array(
+                        F.col("cell").bitwiseXOR(
+                            (F.lit(2.0) ** margins[0]["j"]).cast("long")
+                        )
+                    ),
+                )
+            ).alias("cell"),
+        )
+    )
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 4) >= tau)
+        .select("ia", "ib")
+        .persist()
+    )
+    ca = cells.select(F.col("vec_id").alias("ia"), F.col("cell").alias("cell_a"))
+    cb = cells.select(F.col("vec_id").alias("ib"), F.col("cell").alias("cell_b"))
+    hit1 = (
+        truth.join(ca, "ia").join(cb, "ib")
+        .filter(F.col("cell_a") == F.col("cell_b"))
+        .select("ia", "ib")
+    )
+    pa = probed.select(F.col("vec_id").alias("ia"), F.col("cell").alias("pc"))
+    pb = probed.select(F.col("vec_id").alias("ib"), F.col("cell").alias("pc"))
+    hit2 = (
+        truth.join(pa, "ia").join(cb, "ib")
+        .filter(F.col("pc") == F.col("cell_b"))
+        .select("ia", "ib")
+        .unionByName(
+            truth.join(pb, "ib").join(ca, "ia")
+            .filter(F.col("pc") == F.col("cell_a"))
+            .select("ia", "ib")
+        )
+        .distinct()
+    )
+    n_truth = truth.count()
+
+    def row(probes: int, hits: DataFrame) -> DataFrame:
+        return hits.agg(F.count("*").cast("long").alias("n_caught")).select(
+            F.lit(probes).alias("probes"),
+            F.lit(n_truth).cast("long").alias("n_truth"),
+            "n_caught",
+            F.round(F.col("n_caught") / F.lit(n_truth), 4).alias("recall"),
+        )
+
+    return row(1, hit1).unionByName(row(2, hit2))
