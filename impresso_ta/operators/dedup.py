@@ -694,6 +694,7 @@ def semantic_dedup_auto(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     strategy: str = "auto",
+    n_probes: int = 1,
 ) -> DataFrame:
     """:func:`semantic_dedup` with nlist sized from the corpus: the
     documented scale contract ("pick nlist so cells fit a task") made
@@ -733,6 +734,7 @@ def semantic_dedup_auto(
             id_col=id_col,
             vec_col=vec_col,
             dims=dims,
+            n_probes=n_probes,
         )
     if strategy == "auto":
         strategy = "collect" if nlist <= LITERAL_MAX_NLIST else "distributed"

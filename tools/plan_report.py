@@ -1,0 +1,75 @@
+"""Dump the ACTUAL executed physical plans (`explain formatted`) of
+representative catalog queries into EXPLAIN.md — committed evidence that
+the scale claims (pushdown, broadcast, map-side combine, zero-shuffle)
+hold in the plans Spark really runs, not just in docstrings.
+
+Usage: python tools/plan_report.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# one per claimed plan property
+QUERIES = [
+    ("q1_pricing_summary", "full-scan agg: partial_ map-side combine, ONE exchange"),
+    ("q5_local_supplier_volume", "multi-join: every dim broadcast, no SortMergeJoin"),
+    ("q16_supplier_count", "NOT IN as broadcast LeftAnti + two-stage countDistinct"),
+    ("q19_disjunctive_pushdown", "OR-of-ANDs: single-side conjuncts pushed to scans"),
+    ("q13_customer_distribution", "LEFT OUTER preserved (filter in join condition)"),
+    ("w3_running_offsets", "single-exchange window (RANGE frame over dup keys)"),
+    ("dedup_minhash_lsh", "banded equi-join, partial_min signatures"),
+    ("similarity_topk_cosine", "corpus never shuffled; query side broadcast"),
+    ("similarity_ivf_topk", "zero-shuffle centroid argmax"),
+    ("dedup_semantic_lsh_auto", "row-local LSH cells; pair join keyed by cell"),
+    ("embedding_gramian", "dims^2 partial per batch; corpus-size-independent reduce"),
+    ("layout_zorder_key", "Morton key in whole-stage codegen, zero shuffle"),
+    ("corpus_contamination", "broadcast bloom probe, row-local"),
+    ("events_funnel_conversion", "staged min-aggs; no cartesian of event frames"),
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from impresso_ta.queries import REGISTRY
+    from impresso_ta.session import get_spark
+
+    spark = get_spark(
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_confs={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out = [
+        "# EXPLAIN — actual executed plans (auto-generated)",
+        "",
+        f"`python tools/plan_report.py {sf_dir}` — `explain('formatted')`",
+        "of representative catalog queries; regenerate after plan-shape",
+        "changes. Each heading states the property the plan is evidence",
+        "for (asserted programmatically in `tests/test_plans.py`).",
+        "",
+    ]
+    for name, claim in QUERIES:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out.append(f"## {name}")
+        out.append(f"_{claim}_")
+        out.append("")
+        out.append("```")
+        out.append(plan.rstrip())
+        out.append("```")
+        out.append("")
+    with open("/root/repo/EXPLAIN.md", "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote EXPLAIN.md ({len(QUERIES)} plans)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
