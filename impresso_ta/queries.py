@@ -4960,3 +4960,81 @@ def dedup_semantic_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return row(1, hit1).unionByName(row(2, hit2))
+
+
+@q(
+    "sketch_quantile_accuracy",
+    """
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(max(CASE WHEN rn = greatest(1, ceil(0.5 * n)) THEN v END), 2) AS p50_exact,
+           round(max(CASE WHEN rn = greatest(1, ceil(0.95 * n)) THEN v END), 2) AS p95_exact,
+           true AS p50_within_2pct, true AS p95_within_2pct
+    FROM ranked GROUP BY l_returnflag
+    """,
+    "Greenwald-Khanna approximate-quantile accuracy eval (the HLL "
+    "pattern for quantiles): percentile_approx at accuracy=10000 vs "
+    "the exact rank-selected percentile, ≤2% relative error asserted "
+    "as oracled booleans — at 100 TB the sketch's fixed-size mergeable "
+    "summaries replace a11's per-group sort entirely (a11's docstring "
+    "names this as its scale path; this query MEASURES it).",
+)
+def sketch_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    exact = ranked.groupBy("l_returnflag").agg(
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.greatest(F.lit(1), F.ceil(0.5 * F.col("n"))),
+                    F.col("v"),
+                )
+            ),
+            2,
+        ).alias("p50_exact"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.greatest(F.lit(1), F.ceil(0.95 * F.col("n"))),
+                    F.col("v"),
+                )
+            ),
+            2,
+        ).alias("p95_exact"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_est"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_est"),
+    )
+    return exact.join(approx, "l_returnflag").select(
+        "l_returnflag",
+        "p50_exact",
+        "p95_exact",
+        (
+            F.abs(F.col("p50_est") - F.col("p50_exact"))
+            <= 0.02 * F.abs(F.col("p50_exact"))
+        ).alias("p50_within_2pct"),
+        (
+            F.abs(F.col("p95_est") - F.col("p95_exact"))
+            <= 0.02 * F.abs(F.col("p95_exact"))
+        ).alias("p95_within_2pct"),
+    )
