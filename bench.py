@@ -77,6 +77,12 @@ EXTENDED_QUERIES = [
     "sketch_count_min_heavy_hitters",
     "sketch_hll_distinct",
     "embedding_gramian",
+    "events_funnel_conversion",
+    "dedup_incremental_lsh",
+    "embedding_quantize_error",
+    "layout_zorder_key",
+    # NOT benched: *_recall evals (their brute-force ground truth is
+    # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]
 
 
