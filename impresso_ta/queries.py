@@ -5038,3 +5038,30 @@ def sketch_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.02 * F.abs(F.col("p95_exact"))
         ).alias("p95_within_2pct"),
     )
+
+
+@q(
+    "a16_cube_stats",
+    """
+    SELECT source, lang,
+           grouping(source) AS g_source, grouping(lang) AS g_lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM documents
+    GROUP BY CUBE (source, lang)
+    """,
+    "Full CUBE over (source, lang) with GROUPING() disambiguation of "
+    "real NULLs vs subtotal rows — all 2^k granularities in ONE scan "
+    "via the Expand operator (each input row fans out to its 4 "
+    "grouping-set variants map-side, then one keyed shuffle), vs 4 "
+    "separate aggregation scans; the corpus-profiling complement of "
+    "a12's linear rollup.",
+)
+def a16_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.cube("source", "lang").agg(
+        F.grouping("source").cast("int").alias("g_source"),
+        F.grouping("lang").cast("int").alias("g_lang"),
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    ).select("source", "lang", "g_source", "g_lang", "n_docs", "avg_chars")
