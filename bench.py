@@ -103,6 +103,13 @@ def main() -> None:
             "spark.driver.memory": os.environ.get(
                 "SPARK_GRAFT_DRIVER_MEM", "8g"
             ),
+            # Local-scale split sizing: the bench tables are MBs, so the
+            # TB-scale 128 MB default collapses every scan (and all the
+            # row-local compute fused onto it) into 1-2 tasks. 4 MB
+            # splits ≈ one split per core at sf0.1-sf1. On a real
+            # cluster at 100 TB the default is right and this override
+            # does not apply.
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

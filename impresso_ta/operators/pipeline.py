@@ -39,6 +39,13 @@ class PipelineResult:
     docs: DataFrame
     # (stage, docs_in, docs_out) when collect_stats; else empty
     stats: list[tuple[str, int, int]] = field(default_factory=list)
+    # frames persisted at reuse boundaries; callers that keep the
+    # session alive after consuming .docs should call .unpersist()
+    cached: list[DataFrame] = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        for df in self.cached:
+            df.unpersist()
 
 
 def prepare_corpus(
@@ -80,21 +87,42 @@ def prepare_corpus(
         boundaries.append((name, ob))
         return after.observe(ob, F.count(F.lit(1)).alias("n"))
 
-    cur = step("input", docs, docs)
+    from impresso_ta.operators.partitioning import spread_small_input
+
+    from pyspark import StorageLevel
+
+    cached: list[DataFrame] = []
+    multi_use_downstream = bool(line_spans) or doc_dedup or (
+        benchmark is not None
+    )
+
+    cur = step("input", docs, spread_small_input(docs))
+    # Both signal families are row-local column builders — filter
+    # directly on the scan (no keep-id self-joins, no shuffle, no doc_id
+    # cast). Predicate pushdown fuses them into the parquet scan, which
+    # is exactly right at corpus scale (filters run where the data is
+    # read, nothing survives that shouldn't reach a shuffle).
     if c4:
-        keep = _ta.c4_filters(cur, id_col, text_col).filter("keep")
         cur = step(
-            "c4_filters",
-            cur,
-            cur.join(keep.select(F.col("doc_id").alias(id_col)), id_col),
+            "c4_filters", cur, cur.filter(_ta.c4_signals(F.col(text_col))["keep"])
         )
     if gopher:
-        keep = _ta.repetition_features(cur, id_col, text_col).filter("keep")
         cur = step(
             "gopher_repetition",
             cur,
-            cur.join(keep.select(F.col("doc_id").alias(id_col)), id_col),
+            cur.filter(_ta.repetition_signals(F.col(text_col))["keep"]),
         )
+    if multi_use_downstream:
+        # Every later stage self-joins the current corpus (line dedup
+        # rewrites text, doc dedup anti-joins survivors, decontamination
+        # anti-joins hits), and Catalyst executes each branch's subtree
+        # independently — without a persist the filter stack re-runs
+        # once per branch, compounding per stage. MEMORY_AND_DISK, not
+        # MEMORY_ONLY: at 100 TB the filtered corpus spills rather than
+        # evicting (the reference persists at the same boundary,
+        # core.py:402).
+        cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(cur)
     if line_spans:
         rebuilt = _dedup.line_dedup(
             cur, id_col, text_col, span_words=line_spans, with_text=True
@@ -110,6 +138,10 @@ def prepare_corpus(
             )
         )
         cur = step("line_dedup", cur, replaced)
+        if doc_dedup or benchmark is not None:
+            # the rewritten corpus is again consumed by ≥2 branches
+            cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(cur)
     if doc_dedup:
         pairs = _dedup.jaccard_pairs(
             cur, id_col=id_col, text_col=text_col, threshold=jaccard_threshold
@@ -168,4 +200,4 @@ def prepare_corpus(
             for i, (name, n) in enumerate(vals)
             if i > 0
         )
-    return PipelineResult(docs=cur, stats=stats)
+    return PipelineResult(docs=cur, stats=stats, cached=cached)

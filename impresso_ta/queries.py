@@ -2707,8 +2707,9 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM counts GROUP BY doc_id
     """,
     "Gopher-style repetition quality filters: top-word fraction, "
-    "duplicate 2-/3-gram occurrence fractions, keep flag. Two shuffles "
-    "(gram histogram + conditional aggregate), both uniformly keyed.",
+    "duplicate 2-/3-gram occurrence fractions, keep flag. Zero shuffles: "
+    "per-doc gram histograms fold row-locally (array_sort + aggregate "
+    "run-length scan) inside whole-stage codegen.",
 )
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.repetition_features(t(spark, sf_dir, "documents"))
@@ -3474,26 +3475,24 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "all uniformly keyed.",
 )
 def text_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All signal families are row-local column builders, so the whole
+    # scorecard is ONE scan + ONE shuffle (the uniqueness window on the
+    # fingerprint) — no self-joins of per-signal sub-frames.
+    from impresso_ta.operators.partitioning import spread_small_input
+
     docs = t(spark, sf_dir, "documents")
-    c4 = text_analysis.c4_filters(docs).select(
-        "doc_id", F.col("keep").alias("keep_c4")
-    )
-    gopher = text_analysis.repetition_features(docs).select(
-        "doc_id", F.col("keep").alias("keep_gopher")
-    )
-    w = Window.partitionBy(dedup.text_fingerprint(F.col("text"))).orderBy(
-        "doc_id"
-    )
-    uniq = docs.select(
-        "doc_id", (F.row_number().over(w) == 1).alias("keep_unique")
-    )
-    base = docs.select(
-        "doc_id", F.col("n_chars").between(100, 1_000_000).alias("keep_length")
-    )
+    w = Window.partitionBy("_fp").orderBy("doc_id")
     return (
-        base.join(c4, "doc_id")
-        .join(gopher, "doc_id")
-        .join(uniq, "doc_id")
+        spread_small_input(docs).select(
+            "doc_id",
+            text_analysis.c4_signals(F.col("text"))["keep"].alias("keep_c4"),
+            text_analysis.repetition_signals(F.col("text"))["keep"].alias(
+                "keep_gopher"
+            ),
+            dedup.text_fingerprint(F.col("text")).alias("_fp"),
+            F.col("n_chars").between(100, 1_000_000).alias("keep_length"),
+        )
+        .withColumn("keep_unique", F.row_number().over(w) == 1)
         .select(
             "doc_id",
             "keep_c4",

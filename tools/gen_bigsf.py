@@ -109,9 +109,14 @@ def generate(src: str, out: str, copies: int = 10) -> None:
     for name in KEYED:
         t = pq.read_table(os.path.join(src, f"{name}.parquet"))
         dest = os.path.join(out, f"{name}.parquet")
+        # documents rows carry orders-of-magnitude more compute per byte
+        # (tokenize/shingle/fold) than the TPC-H rows — tiny row groups
+        # let Spark's byte-splitting actually fan the scan-fused work out
+        # across cores instead of pinning it to one split per copy.
+        rg = 1024 if name == "documents" else ROW_GROUP
         with pq.ParquetWriter(dest, t.schema) as w:
             for i in range(copies):
-                w.write_table(_clone(name, t, i, maxes), row_group_size=ROW_GROUP)
+                w.write_table(_clone(name, t, i, maxes), row_group_size=rg)
 
 
 if __name__ == "__main__":
