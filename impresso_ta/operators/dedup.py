@@ -695,6 +695,7 @@ def semantic_dedup_auto(
     vec_col: str = "embedding",
     strategy: str = "auto",
     n_probes: int = 1,
+    broadcast_budget_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """:func:`semantic_dedup` with nlist sized from the corpus: the
     documented scale contract ("pick nlist so cells fit a task") made
@@ -717,6 +718,15 @@ def semantic_dedup_auto(
     path: n_bits = ⌈log₂ nlist⌉ sign bits — assignment cost n·bits·dims
     instead of Voronoi's n·nlist, the pick beyond ~10⁷ vectors; see
     :func:`semantic_dedup_lsh` for the trade-off).
+
+    "auto" is three-tier: collect-to-literal while nlist fits
+    whole-stage codegen (``LITERAL_MAX_NLIST``), the DataFrame-relation
+    Voronoi path while the centroid relation fits a broadcast
+    (nlist × dims × 8 B ≤ ``broadcast_budget_bytes``), and the LSH-cell
+    path beyond that — at 10⁹ vectors / 512-vector cells the Voronoi
+    centroid relation is ~2M × dims full vectors (multi-GB broadcast →
+    executor OOM, plus an orderBy.limit(nlist) single-task sink to build
+    it), while LSH cell assignment is row-local with zero broadcast.
     """
     import math
 
@@ -724,9 +734,17 @@ def semantic_dedup_auto(
 
     n = embeddings.count()
     nlist = max(1, math.ceil(n / target_cell_size))
-    if strategy == "lsh":
+    if strategy in ("auto", "lsh"):
         first = embeddings.select(vec_col).first()
         dims = len(first[0]) if first is not None else 64  # empty corpus
+    if strategy == "auto":
+        if nlist <= LITERAL_MAX_NLIST:
+            strategy = "collect"
+        elif nlist * dims * 8 <= broadcast_budget_bytes:
+            strategy = "distributed"
+        else:
+            strategy = "lsh"
+    if strategy == "lsh":
         return semantic_dedup_lsh(
             embeddings,
             n_bits=max(1, math.ceil(math.log2(nlist))) if nlist > 1 else 1,
@@ -736,8 +754,6 @@ def semantic_dedup_auto(
             dims=dims,
             n_probes=n_probes,
         )
-    if strategy == "auto":
-        strategy = "collect" if nlist <= LITERAL_MAX_NLIST else "distributed"
     if strategy == "distributed":
         centroids = (
             embeddings.select(

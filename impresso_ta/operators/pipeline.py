@@ -62,6 +62,7 @@ def prepare_corpus(
     temperature_target: int = 0,
     domain_col: str = "lang",
     collect_stats: bool = False,
+    spread: str = "after_filters",
 ) -> PipelineResult:
     """Run the corpus-preparation pipeline; returns the surviving
     documents (text rewritten by line dedup) plus optional per-stage
@@ -92,16 +93,38 @@ def prepare_corpus(
     from pyspark import StorageLevel
 
     cached: list[DataFrame] = []
-    multi_use_downstream = bool(line_spans) or doc_dedup or (
-        benchmark is not None
+    # temperature_sample consumes its input twice (domain-count aggregate
+    # + membership filter), so the temperature branch alone is enough to
+    # make the filter stack multi-consumed — without it in this predicate
+    # the zero-shuffle c4/gopher folds re-execute per consumption (the
+    # old shuffle-based stages got implicit reuse via shuffle files; the
+    # row-local folds do not).
+    multi_use_downstream = (
+        bool(line_spans)
+        or doc_dedup
+        or benchmark is not None
+        or temperature_alpha is not None
     )
 
-    cur = step("input", docs, spread_small_input(docs))
+    # ``spread`` placement (A/B'd in one session, tools/ab_pipeline.py,
+    # results in PLANS.md §7): "input" repartitions the raw scan before
+    # the filters (r3 form — unlocks N-way filter compute when the file
+    # has fewer row groups than cores, but ships every raw text byte
+    # through a shuffle and blocks scan fusion), "after_filters" runs the
+    # row-local filter folds fused onto the scan and widens only the
+    # survivors (filter first, then spread — the shuffle carries the
+    # smaller post-filter corpus, and downstream explodes still get full
+    # parallelism), "none" trusts the scan's own split count (the 100 TB
+    # posture, where the scan already has ~10⁶ splits and
+    # spread_small_input is a no-op anyway).
+    cur = step(
+        "input", docs, spread_small_input(docs) if spread == "input" else docs
+    )
     # Both signal families are row-local column builders — filter
     # directly on the scan (no keep-id self-joins, no shuffle, no doc_id
-    # cast). Predicate pushdown fuses them into the parquet scan, which
-    # is exactly right at corpus scale (filters run where the data is
-    # read, nothing survives that shouldn't reach a shuffle).
+    # cast), so with spread != "input" predicate pushdown fuses them
+    # into the parquet scan (filters run where the data is read, nothing
+    # survives that shouldn't reach a shuffle).
     if c4:
         cur = step(
             "c4_filters", cur, cur.filter(_ta.c4_signals(F.col(text_col))["keep"])
@@ -112,6 +135,8 @@ def prepare_corpus(
             cur,
             cur.filter(_ta.repetition_signals(F.col(text_col))["keep"]),
         )
+    if spread == "after_filters":
+        cur = spread_small_input(cur)
     if multi_use_downstream:
         # Every later stage self-joins the current corpus (line dedup
         # rewrites text, doc dedup anti-joins survivors, decontamination

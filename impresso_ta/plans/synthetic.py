@@ -22,25 +22,39 @@ def synthetic_canonical_corpus(
     Issue id ``SYN-{yyyy-mm-dd}-{edition}`` minted from doc_id (dates
     cycle over ~10 years, editions a-c) — valid canonical ids, unique per
     doc. One CI per issue covering the whole page.
+
+    Skewed profile: when the input carries ``_issue``/``_seq`` columns
+    (see ``tools.skewed_docs.zipfian_documents``), issues are minted
+    from ``_issue`` instead — many documents share an issue (zipfian
+    group sizes), each contributing page ``p{_seq:04d}`` and CI
+    ``i{_seq:04d}``, so the rebuild's per-issue groupBy and assembly
+    UDTF see realistic hot keys while every page/CI id stays unique.
     """
     from impresso_ta.operators.partitioning import spread_small_input
 
-    d = spread_small_input(docs).select(
+    skewed = "_issue" in docs.columns and "_seq" in docs.columns
+    cols = [
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("text"),
         F.col("lang"),
-    )
+    ]
+    if skewed:
+        cols += [F.col("_issue").cast("long"), F.col("_seq").cast("int")]
+    d = spread_small_input(docs).select(*cols)
+    issue_ord = F.col("_issue") if skewed else F.col("doc_id")
     date_str = F.date_format(
-        F.date_add(F.lit("1900-01-01").cast("date"), (F.col("doc_id") % 3650).cast("int")),
+        F.date_add(F.lit("1900-01-01").cast("date"), (issue_ord % 3650).cast("int")),
         "yyyy-MM-dd",
     )
     edition = F.concat(
         F.lit("a"),
-        (F.col("doc_id") / 3650).cast("long").cast("string"),
+        (issue_ord / 3650).cast("long").cast("string"),
     )
     issue_id = F.concat_ws("-", F.lit("SYN"), date_str, edition)
-    ci_id = F.concat(issue_id, F.lit("-i0001"))
-    page_id = F.concat(issue_id, F.lit("-p0001"))
+    seq = F.col("_seq") if skewed else F.lit(1)
+    nnnn = F.lpad(seq.cast("string"), 4, "0")
+    ci_id = F.concat(issue_id, F.lit("-i"), nnnn)
+    page_id = F.concat(issue_id, F.lit("-p"), nnnn)
 
     words = F.split(F.trim(F.col("text")), r"\s+")
     tokens = F.transform(
@@ -65,18 +79,18 @@ def synthetic_canonical_corpus(
 
     base = d.select(
         "doc_id", "lang", issue_id.alias("issue_id"), ci_id.alias("ci_id"),
-        page_id.alias("page_id"), region.alias("region"),
+        page_id.alias("page_id"), region.alias("region"), seq.alias("seq"),
     )
 
     ci = F.struct(
         F.struct(
             F.col("ci_id").alias("id"),
-            F.array(F.lit(1)).alias("pp"),
+            F.array(F.col("seq")).alias("pp"),
             F.lit(None).cast("array<int>").alias("rr"),
             F.lit("article").alias("tp"),
             F.lit(None).cast("string").alias("t"),
             F.col("lang").alias("lg"),
-            F.lit(1).alias("ro"),
+            F.col("seq").alias("ro"),
             F.lit(None).cast("string").alias("iiif_link"),
             F.lit(None).cast("boolean").alias("cc"),
             F.lit(None).cast("string").alias("var_t"),
@@ -84,15 +98,36 @@ def synthetic_canonical_corpus(
         ).alias("m"),
     )
 
-    issues_df = base.select(
-        F.col("issue_id").alias("id"),
-        F.lit(None).cast("string").alias("cdt"),
-        F.lit(None).cast("string").alias("ts"),
-        F.lit("newspaper").alias("st"),
-        F.lit("print").alias("sm"),
-        F.array(ci).alias("i"),
-        F.array(F.col("page_id")).alias("pp"),
-    )
+    if skewed:
+        # one issue row per zipfian issue: its CI and page lists carry
+        # the whole (possibly huge) group — array_sort restores the
+        # _seq order collect_list does not guarantee
+        issues_df = (
+            base.groupBy("issue_id")
+            .agg(
+                F.array_sort(F.collect_list(ci)).alias("i"),
+                F.array_sort(F.collect_list(F.col("page_id"))).alias("pp"),
+            )
+            .select(
+                F.col("issue_id").alias("id"),
+                F.lit(None).cast("string").alias("cdt"),
+                F.lit(None).cast("string").alias("ts"),
+                F.lit("newspaper").alias("st"),
+                F.lit("print").alias("sm"),
+                "i",
+                "pp",
+            )
+        )
+    else:
+        issues_df = base.select(
+            F.col("issue_id").alias("id"),
+            F.lit(None).cast("string").alias("cdt"),
+            F.lit(None).cast("string").alias("ts"),
+            F.lit("newspaper").alias("st"),
+            F.lit("print").alias("sm"),
+            F.array(ci).alias("i"),
+            F.array(F.col("page_id")).alias("pp"),
+        )
 
     pages_df = base.select(
         F.col("page_id").alias("id"),

@@ -3881,6 +3881,13 @@ def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        # temperature_sample consumes this frame twice (domain-count
+        # aggregate + membership filter); prepare_corpus returned no
+        # persist boundary here (doc_dedup/line_spans/temperature all
+        # off), so without this the c4+gopher fold stack and the dedup
+        # window would re-execute per branch. MEMORY_AND_DISK: spills
+        # rather than evicting at corpus scale.
+        .persist()
     )
     from impresso_ta.operators.corpus import temperature_sample
 

@@ -149,6 +149,25 @@ def test_bpe_batched_training_bounds_spark_jobs(spark):
     assert 0 < len(jobs) <= 24, f"{len(jobs)} Spark jobs for 256 merges"
 
 
+def test_bpe_checkpoint_cadence_is_transparent(spark):
+    """localCheckpoint lineage truncation (every checkpoint_every
+    batches) must not change the learned merges — only the plan depth."""
+    base = 0x5E00
+    rows = []
+    for i in range(64):
+        a, b, c = (chr(base + 3 * i + j) for j in range(3))
+        cnt = 500 - i
+        rows.append((i, ((a + b + " ") * cnt) + ((a + b + c + " ") * cnt)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with_ckpt, v0 = bpe_train(
+        docs, n_merges=64, batch_m=16, checkpoint_every=2
+    )
+    v0.unpersist()
+    without, v1 = bpe_train(docs, n_merges=64, batch_m=16, checkpoint_every=0)
+    v1.unpersist()
+    assert with_ckpt == without and len(with_ckpt) == 64
+
+
 def test_bpe_merge_table_on_real_docs(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     a = [tuple(r) for r in bpe_merge_table(docs, n_merges=3).collect()]

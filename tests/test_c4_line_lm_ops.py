@@ -326,6 +326,37 @@ def test_semantic_dedup_auto_lsh_strategy(spark):
     assert out[0]["keep"] and not out[99]["keep"]
 
 
+def test_semantic_dedup_auto_routes_past_broadcast_budget(spark):
+    """'auto' must not feed a Voronoi centroid relation bigger than the
+    broadcast budget to a broadcast join (VERDICT r3 #3): with the
+    budget forced below nlist*dims*8 the auto path takes the row-local
+    LSH-cell route and is bit-identical to an explicit strategy='lsh'
+    run at the same (corpus-derived) sizing."""
+    from impresso_ta.operators.dedup import semantic_dedup_auto
+
+    base = [((i * 5) % 13) / 13.0 - 0.3 for i in range(8)]
+    rows = [(i, [x + i * 0.02 for x in base]) for i in range(70)]
+    rows.append((200, list(rows[3][1])))  # exact twin of id 3
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(target_cell_size=1, threshold=0.999)
+    # nlist = 71 > LITERAL_MAX_NLIST (64) so the collect tier is out;
+    # dims=8 → relation = 71*8*8 B; a 1 B budget forces the LSH tier
+    via_auto = sorted(
+        tuple(r)
+        for r in semantic_dedup_auto(
+            emb, strategy="auto", broadcast_budget_bytes=1, **kw
+        ).collect()
+    )
+    via_lsh = sorted(
+        tuple(r)
+        for r in semantic_dedup_auto(emb, strategy="lsh", **kw).collect()
+    )
+    assert via_auto == via_lsh
+    got = {r[0]: r for r in via_auto}
+    assert not got[200][-1]  # exact twin of a smaller id never survives
+    assert any(r[-1] for r in via_auto)  # and the pass is not drop-all
+
+
 def test_incremental_minhash_dedup_drops_only_near_dups(spark):
     """New docs near-duplicating an EXISTING doc are dropped; new docs
     that only near-duplicate each OTHER both survive (incremental gate

@@ -339,3 +339,91 @@ def test_decode_audio_fake_fallback_deterministic(media):
     a = [tuple(r) for r in multimodal.decode_audio(media).orderBy("media_id").collect()]
     b = [tuple(r) for r in multimodal.decode_audio(media).orderBy("media_id").collect()]
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------
+# Pillow-present parity coverage (VERDICT r3 task 8): when PIL is
+# importable these run REAL-codec-vs-stdlib/fallback parity; in this
+# container PIL is absent so they skip with the reason recorded — on any
+# CI image with Pillow they become live coverage for the strict=True
+# real-decode path (incl. JPEG, which has no stdlib codec).
+# ---------------------------------------------------------------------
+
+pil_required = pytest.mark.skipif(
+    not multimodal.have_pil(),
+    reason="Pillow not installed in this container; parity tests become "
+    "live on a PIL-enabled CI image",
+)
+
+
+@pil_required
+@pytest.mark.parametrize(
+    "maker,args",
+    [
+        ("gray", (7, 5, 0)),
+        ("gray", (16, 16, 255)),
+        ("gray", (33, 9, 128)),
+        ("rgb", (8, 8, (255, 0, 0))),
+        ("rgb", (12, 4, (10, 200, 30))),
+    ],
+)
+def test_pil_vs_stdlib_png_decode_parity(maker, args):
+    """The stdlib PNG codec and PIL must report identical width/height
+    and mean_luma within rounding (ITU-R 601-2 weights both sides)."""
+    content = _png_gray(*args) if maker == "gray" else _png_rgb(*args)
+    ours = multimodal._png_image_decode(content)
+    pil = multimodal._pil_image_decode(content)
+    assert (pil["width"], pil["height"]) == (ours["width"], ours["height"])
+    assert abs(pil["mean_luma"] - ours["mean_luma"]) < 0.005
+
+
+@pil_required
+def test_pil_jpeg_strict_decode_and_sof_width_parity(spark, tmp_path):
+    """JPEG end-to-end through the strict decode_images path with PIL as
+    the real codec, and the Olive SOF header scanner agreeing with PIL
+    on width (importers/olive_boxes.jpeg_x_dim replaces cv.imdecode)."""
+    import io
+
+    from PIL import Image
+
+    from impresso_ta.importers.olive_boxes import jpeg_x_dim
+
+    d = tmp_path / "jpgs"
+    d.mkdir()
+    sizes = [(31, 17), (64, 64), (120, 45)]
+    for i, (w, h) in enumerate(sizes):
+        img = Image.new("RGB", (w, h), (i * 40 % 256, 100, 50))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG")
+        (d / f"img{i}.jpg").write_bytes(buf.getvalue())
+        assert jpeg_x_dim(buf.getvalue()) == w  # SOF scan == PIL width
+    media = multimodal.read_media_dir(spark, str(d), mime="image/jpeg")
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.decode_images(media, strict=True).collect()
+    }
+    for i, (w, h) in enumerate(sizes):
+        assert (rows[f"img{i}.jpg"]["width"], rows[f"img{i}.jpg"]["height"]) == (w, h)
+
+
+@pil_required
+def test_pil_resize_parity_dims(png_media):
+    """strict resize via PIL produces the same output dimensions as the
+    stdlib nearest-neighbor resizer (content differs — resampling — but
+    the Spark-side contract is dims + valid PNG payload)."""
+    ours = {
+        r["media_id"]: r
+        for r in multimodal.resize_images(png_media, max_side=8).collect()
+    }
+    real = {
+        r["media_id"]: r
+        for r in multimodal.resize_images(
+            png_media, max_side=8, strict=True
+        ).collect()
+    }
+    assert set(ours) == set(real)
+    for k in ours:
+        assert (real[k]["width"], real[k]["height"]) == (
+            ours[k]["width"],
+            ours[k]["height"],
+        )

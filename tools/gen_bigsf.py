@@ -109,14 +109,19 @@ def generate(src: str, out: str, copies: int = 10) -> None:
     for name in KEYED:
         t = pq.read_table(os.path.join(src, f"{name}.parquet"))
         dest = os.path.join(out, f"{name}.parquet")
-        # documents rows carry orders-of-magnitude more compute per byte
-        # (tokenize/shingle/fold) than the TPC-H rows — tiny row groups
-        # let Spark's byte-splitting actually fan the scan-fused work out
-        # across cores instead of pinning it to one split per copy.
-        rg = 1024 if name == "documents" else ROW_GROUP
+        # One standard ROW_GROUP per copy for every table, documents
+        # included. The r3 experiment with 1024-row documents groups
+        # (fan scan-fused fold work out at row-group granularity) was
+        # A/B'd in one session (tools/ab_pipeline.py, PLANS.md §7) and
+        # measured SLOWER (3-8% across text_quality/repetition/minhash/
+        # pipeline) — per-group metadata overhead beats the extra
+        # parallelism here, and the standard layout is what real corpus
+        # parquet looks like, keeping bench numbers round-comparable.
         with pq.ParquetWriter(dest, t.schema) as w:
             for i in range(copies):
-                w.write_table(_clone(name, t, i, maxes), row_group_size=rg)
+                w.write_table(
+                    _clone(name, t, i, maxes), row_group_size=ROW_GROUP
+                )
 
 
 if __name__ == "__main__":
