@@ -110,6 +110,16 @@ def hashed_doc_vectors(
     was measured 70× SLOWER: higher-order-function lambdas run
     interpreted per element, so O(dim·n_words) interpreted comparisons
     lose badly to two codegen'd hash aggregations.)
+
+    Decision rule — HOF fold vs shuffle aggregation (this operator and
+    ``repetition_signals``/``language_consistency`` sit on opposite
+    sides of it): a row-local fold over the token array WINS when the
+    per-element work is O(1) (constant interpreted cost per token, zero
+    exchange — repetition/language stats), and LOSES when the
+    per-element work is O(dim) or worse (interpreted inner loop per
+    token — this operator's per-bucket comparisons), where exploding
+    into a codegen'd hash aggregate amortizes the shuffle over JIT'd
+    per-row work. Measure before moving an operator across the line.
     """
     from impresso_ta.operators.dedup import shingle_hash48
     from impresso_ta.operators.partitioning import spread_small_input
@@ -171,7 +181,10 @@ def language_consistency(
     fold finds the longest run (strict ``>`` on the sorted array keeps
     ties on the alphabetically-first language, matching the old
     argmax-window semantics). Embarrassingly parallel at 100 TB — versus
-    the naive span-explode plan that shuffled every vote twice.
+    the naive span-explode plan that shuffled every vote twice. WIN side
+    of the HOF-fold decision rule (``hashed_doc_vectors``): O(1) state
+    per span — predecessor + run counters — so the fold beats any
+    shuffle-based plan; don't \"optimize\" it back to explode+agg.
     """
     from impresso_ta.operators.dedup import word_spans
 
@@ -479,6 +492,13 @@ def repetition_signals(
     Everything stays inside whole-stage codegen; at 100 TB this is
     embarrassingly parallel, versus the naive plan that shuffles 3× the
     token volume twice.
+
+    This sits on the WIN side of the HOF-fold decision rule (see
+    ``hashed_doc_vectors``): per-element state is O(1) — compare to the
+    predecessor, bump two counters — so the interpreted-lambda cost per
+    gram is constant and beating it would require a shuffle of the full
+    gram volume. ``hashed_doc_vectors`` is the counter-example (O(dim)
+    per element → explode + hash agg wins 70×).
     """
     words = tokens(text)
 
