@@ -356,14 +356,50 @@ def c4_signals(
     for term in C4_BLACKLIST:
         hit = F.contains(lowered, F.lit(term))
         blacklist_hit = hit if blacklist_hit is None else (blacklist_hit | hit)
-    keep = (
-        (n_words >= min_words)
-        & (n_words <= max_words)
-        & (mean_len >= min_mean_word_len)
-        & (mean_len <= max_mean_word_len)
-        & (alpha_frac >= min_alpha_frac)
-        & ~blacklist_hit
+
+    # ``keep`` folds ALL numeric signals in ONE aggregate pass whose
+    # ``finish`` lambda applies the thresholds, so the interpreted fold
+    # appears exactly once in the predicate tree. Spark's subexpression
+    # elimination covers repeated subtrees in PROJECTIONS but not inside
+    # a FILTER predicate (measured: the reference-per-signal form
+    # re-evaluated the split + both HOF passes per reference — ~4x this
+    # form on the c4_filters stage). The scalar arithmetic inside
+    # ``finish`` runs once per ROW, not per element, so its duplicate
+    # round() subtrees are O(1) noise. Semantics are bit-identical to
+    # the signal columns above: cnt == size(toks), same cast/round
+    # order, nulls propagate the same way.
+    def _merge(st: Column, w: Column) -> Column:
+        return F.struct(
+            (st["sum_len"] + F.length(w)).alias("sum_len"),
+            (
+                st["n_alpha"]
+                + F.when(w.rlike("[A-Za-z]"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_alpha"),
+            (st["cnt"] + F.lit(1)).alias("cnt"),
+        )
+
+    def _finish(st: Column) -> Column:
+        mean = F.round(st["sum_len"].cast("double") / st["cnt"], 4)
+        alpha = F.round(st["n_alpha"].cast("double") / st["cnt"], 4)
+        return (
+            (st["cnt"] >= min_words)
+            & (st["cnt"] <= max_words)
+            & (mean >= min_mean_word_len)
+            & (mean <= max_mean_word_len)
+            & (alpha >= min_alpha_frac)
+        )
+
+    numeric_keep = F.aggregate(
+        toks,
+        F.struct(
+            F.lit(0).alias("sum_len"),
+            F.lit(0).alias("n_alpha"),
+            F.lit(0).alias("cnt"),
+        ),
+        _merge,
+        _finish,
     )
+    keep = numeric_keep & ~blacklist_hit
     return {
         "n_words": n_words.cast("long"),
         "mean_word_len": mean_len,
@@ -502,45 +538,62 @@ def repetition_signals(
     """
     words = tokens(text)
 
-    def run_stats(n: int) -> Column:
-        """Fold the sorted n-gram array into (dup occurrences, max run,
-        total grams). A new run starts whenever the gram differs from
+    def run_frac(n: int, field: str) -> Column:
+        """ONE sort + ONE fold over the n-gram array, with the final
+        fraction (``field``/total) produced by the ``finish`` lambda —
+        so the whole signal is a single expression node. This matters in
+        FILTER predicates: Spark eliminates repeated subtrees in
+        projections but not inside a filter's predicate tree, so the
+        earlier struct-returning form (fraction = two GetStructField
+        refs over the fold + a separate size(array_sort(...))) ran the
+        interpreted sort+fold up to 3x per signal when used as a filter
+        — measured ~3x slower on the gopher_filters stage.
+
+        Fold semantics: a new run starts whenever the gram differs from
         its predecessor; when a run reaches 2 both occurrences become
-        duplicates, each further element adds one."""
+        duplicates, each further element adds one; ``cnt`` counts every
+        element, so cnt == size(grams) and the division matches the old
+        size()-based form bit-for-bit (same cast + round order).
+        """
         grams = F.array_sort(_gram_array(words, n))
+        # the accumulator carries only the fields THIS signal needs —
+        # the merge lambda is interpreted per element, so every struct
+        # field costs per-gram work: maxrun for the top-word signal,
+        # dup for the duplicate-fraction signals, never both
         init = F.struct(
             F.lit(None).cast("string").alias("prev"),
             F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("dup"),
-            F.lit(0).cast("long").alias("maxrun"),
+            F.lit(0).cast("long").alias(field),
+            F.lit(0).cast("long").alias("cnt"),
         )
 
         def merge(st: Column, x: Column) -> Column:
             run = F.when(x == st["prev"], st["run"] + 1).otherwise(F.lit(1))
-            dup = st["dup"] + (
-                F.when(run == 2, F.lit(2))
-                .when(run > 2, F.lit(1))
-                .otherwise(F.lit(0))
-            )
+            if field == "dup":
+                stat = st["dup"] + (
+                    F.when(run == 2, F.lit(2))
+                    .when(run > 2, F.lit(1))
+                    .otherwise(F.lit(0))
+                )
+            else:
+                stat = F.greatest(st["maxrun"], run)
             return F.struct(
                 x.alias("prev"),
                 run.alias("run"),
-                dup.cast("long").alias("dup"),
-                F.greatest(st["maxrun"], run).cast("long").alias("maxrun"),
+                stat.cast("long").alias(field),
+                (st["cnt"] + F.lit(1)).alias("cnt"),
             )
 
-        folded = F.aggregate(grams, init, merge)
-        return F.struct(
-            folded["dup"].alias("dup"),
-            folded["maxrun"].alias("maxrun"),
-            F.size(grams).cast("long").alias("total"),
+        return F.aggregate(
+            grams,
+            init,
+            merge,
+            lambda st: F.round(st[field].cast("double") / st["cnt"], 4),
         )
 
-    s1, s2, s3 = run_stats(1), run_stats(2), run_stats(3)
-    frac = lambda num, den: F.round(num.cast("double") / den, 4)  # noqa: E731
-    top_word = frac(s1["maxrun"], s1["total"])
-    dup2 = frac(s2["dup"], s2["total"])
-    dup3 = frac(s3["dup"], s3["total"])
+    top_word = run_frac(1, "maxrun")
+    dup2 = run_frac(2, "dup")
+    dup3 = run_frac(3, "dup")
     return {
         "top_word_frac": top_word,
         "dup_2gram_frac": dup2,
