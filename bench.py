@@ -223,10 +223,17 @@ def main() -> None:
         except Exception as ex:
             errors[f"{at_dir}:bpe_256_merges"] = str(ex).split("\n")[0][:300]
         try:
+            from impresso_ta.rebuild.solr import rebuild_issues_solr_ci
+
             skewed = zipfian_documents(docs)
             issues_df, pages_df = synthetic_canonical_corpus(skewed)
             out["rebuild_solr_zipfian"] = timed(
                 lambda: rebuild_issues_solr(issues_df, pages_df)
+            )
+            # the skew-safe CI-level twin: same output (parity-tested),
+            # work keyed by content item so the hot issue can't straggle
+            out["rebuild_solr_zipfian_ci"] = timed(
+                lambda: rebuild_issues_solr_ci(issues_df, pages_df)
             )
         except Exception as ex:
             errors[f"{at_dir}:rebuild_zipfian"] = str(ex).split("\n")[0][:300]

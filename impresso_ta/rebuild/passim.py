@@ -129,8 +129,17 @@ def rebuild_issues_passim(
     support_cols = [
         F.col(f.name) for f in supports_df.schema.fields if f.name in _USED
     ]
+    keyed = supports_df.withColumn(
+        "issue_id", support_issue_id(F.col("id"))
+    )
+    # explicit keyed repartition: same single shuffle, but exempt from
+    # AQE byte-based coalescing, which under-parallelizes the per-row
+    # compute-heavy assembly UDTF (see rebuild_issues_solr)
     grouped = (
-        supports_df.withColumn("issue_id", support_issue_id(F.col("id")))
+        keyed.repartition(
+            int(keyed.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "issue_id",
+        )
         .groupBy("issue_id")
         .agg(F.collect_list(F.struct(*support_cols)).alias("_supports"))
     )

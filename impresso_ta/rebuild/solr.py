@@ -357,10 +357,30 @@ def rebuild_issues_solr(
     # see sinks.write_pages_bucketed) keeps its bucketing through the
     # groupBy — the shuffle disappears. Otherwise derive the key.
     if "issue_id" in supports_df.columns:
+        # bucketed-store path: the existing layout (possibly bucketed by
+        # issue_id) satisfies the groupBy — adding a repartition here
+        # would reintroduce the shuffle the bucketing removed (tested)
         keyed = supports_df
     else:
+        # Pin the grouping exchange with an explicit keyed repartition:
+        # the groupBy reuses it (ClusteredDistribution(issue_id) is
+        # satisfied — ONE shuffle either way), but a user-specified
+        # partition count is exempt from AQE partition coalescing. AQE
+        # sizes partitions by shuffle BYTES, and the downstream assembly
+        # UDTF's cost is per-ROW compute (token-tree JSON assembly), so
+        # byte-sized coalescing can serialize it: on the zipfian sf1
+        # profile (1024 issues, ~50 docs each) AQE collapsed the join
+        # output to ONE task — 34.8 s vs 11.2 s with the exchange pinned.
+        # collect_list has no byte-reducing map-side combine, so nothing
+        # is lost by aggregating after the exchange.
         keyed = supports_df.withColumn(
             "issue_id", support_issue_id(F.col("id"))
+        )
+        keyed = keyed.repartition(
+            int(
+                keyed.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            ),
+            "issue_id",
         )
     grouped_supports = keyed.groupBy("issue_id").agg(
         F.collect_list(F.struct(*support_cols)).alias("_supports")
@@ -380,6 +400,192 @@ def rebuild_issues_solr(
         ),
         schema=REBUILT_WITH_ERRORS_SCHEMA,
     )
+
+
+def rebuild_issues_solr_ci(
+    issues_df: DataFrame,
+    supports_df: DataFrame,
+    ts: Optional[str] = None,
+    default_language: Optional[str] = None,
+) -> DataFrame:
+    """CI-level twin of :func:`rebuild_issues_solr` — identical output,
+    assembly keyed by CONTENT ITEM instead of issue.
+
+    The issue-level plan's unit of work is one issue: a zipfian corpus
+    where one national daily's issue holds thousands of pages serializes
+    that issue's whole assembly into one task (measured tail 6x median
+    on the sf1 zipfian profile). But the assembly only ever reads, per
+    CI, the regions whose ``pOf`` names that CI on the pages in its
+    ``pp`` list — so the atomic unit is really the CI:
+
+    - region rows (the wide payload) shuffle ONCE keyed by
+      (issue_id, pOf) — each region goes to exactly one CI, zero
+      duplication, and the groupBy reuses the pinned partitioning;
+    - page presence/metadata (id, cc, stt, dur — a few narrow columns)
+      joins CI↔page pairs separately, so missing-page errors and the
+      cc consensus see exactly the pages the issue-level path sees;
+    - the Python assembly is byte-identical: each output row runs
+      :func:`rebuild_issue_cis` on a single-CI issue whose supports
+      carry only that CI's regions — the in-task ``pOf`` filter then
+      keeps everything (idempotent).
+
+    Group size becomes regions-per-CI — bounded by article length,
+    never by issue fatness — which is what makes the tail flat at any
+    corpus skew. Use this form when the alias/issue-size distribution
+    is heavy-tailed; the issue-level form remains the default for its
+    bucketed-store shuffle-free path.
+    """
+    n_parts = int(
+        issues_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    support_fields = {f.name for f in supports_df.schema.fields}
+    is_audio_store = "s" in support_fields and "r" not in support_fields
+
+    # --- one row per CI, issue header attached (narrow) ---------------
+    header = [
+        c for c in ("id", "st", "sm", "rp", "rc") if c in issues_df.columns
+    ]
+    cis = issues_df.select(
+        *[F.col(c).alias(f"_iss_{c}") for c in header],
+        F.explode("i").alias("_ci"),
+    ).withColumn("_ci_id", F.col("_ci.m.id"))
+    prefix = F.when(F.col("_iss_sm") == "audio", F.lit("r")).otherwise(
+        F.lit("p")
+    )
+    nos = F.array_sort(
+        F.array_distinct(
+            F.coalesce(F.col("_ci.m.pp"), F.col("_ci.m.rr"), F.array())
+        )
+    )
+    markers = F.transform(
+        nos,
+        lambda no: F.concat(
+            prefix, F.lpad(no.cast("string"), 4, "0")
+        ),
+    )
+    cis = cis.withColumn("_markers", markers)
+
+    # --- page/record presence + narrow metadata per (CI, marker) ------
+    meta_cols = [
+        F.col(c)
+        for c in ("id", "cc", "stt", "dur")
+        if c in support_fields
+    ]
+    page_meta = supports_df.select(
+        support_issue_id(F.col("id")).alias("_sup_issue"),
+        F.regexp_extract(F.col("id"), "([pr][0-9]{4})$", 1).alias(
+            "_sup_marker"
+        ),
+        F.struct(*meta_cols).alias("_pm"),
+    )
+    pairs = cis.select(
+        F.col("_iss_id"), F.col("_ci_id"), F.explode("_markers").alias("_mk")
+    )
+    found = (
+        pairs.join(
+            page_meta,
+            (pairs["_iss_id"] == page_meta["_sup_issue"])
+            & (pairs["_mk"] == page_meta["_sup_marker"]),
+        )
+        .groupBy("_iss_id", "_ci_id")
+        .agg(
+            F.collect_list(F.struct(F.col("_mk"), F.col("_pm"))).alias(
+                "_found"
+            )
+        )
+    )
+
+    # --- the wide payload: region (or audio-section) rows keyed by the
+    #     CI that owns them; ONE pinned exchange, reused by the groupBy
+    payload_col, pof = ("s", "s") if is_audio_store else ("r", "r")
+    regs = (
+        supports_df.select(
+            support_issue_id(F.col("id")).alias("_r_issue"),
+            F.regexp_extract(F.col("id"), "([pr][0-9]{4})$", 1).alias(
+                "_r_marker"
+            ),
+            # posexplode: region order within a page is SEMANTIC — the
+            # assembly concatenates a CI's regions in file order, and
+            # collect_list after a shuffle guarantees no order; the UDTF
+            # re-sorts by (marker, pos)
+            F.posexplode(payload_col).alias("_r_pos", "_reg"),
+        )
+        .withColumn("_r_pof", F.col("_reg.pOf"))
+        .repartition(n_parts, "_r_issue", "_r_pof")
+        .groupBy("_r_issue", "_r_pof")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("_r_marker"), F.col("_r_pos"), F.col("_reg"))
+            ).alias("_regs")
+        )
+    )
+
+    assembled = cis.join(
+        found, on=["_iss_id", "_ci_id"], how="left"
+    ).join(
+        regs,
+        (F.col("_iss_id") == F.col("_r_issue"))
+        & (F.col("_ci_id") == F.col("_r_pof")),
+        "left",
+    ).drop("_r_issue", "_r_pof", "_markers")
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return json_rebuild_input(assembled).mapInArrow(
+        _rebuild_ci_udtf(
+            ts,
+            to_arrow_schema(REBUILT_WITH_ERRORS_SCHEMA),
+            header,
+            "s" if is_audio_store else "r",
+            default_language=default_language,
+        ),
+        schema=REBUILT_WITH_ERRORS_SCHEMA,
+    )
+
+
+def _rebuild_ci_udtf(
+    ts: Optional[str],
+    arrow_schema,
+    header: list[str],
+    payload_field: str,
+    default_language: Optional[str] = None,
+):
+    """Batch UDTF over single-CI rows (see rebuild_issues_solr_ci):
+    reconstructs a one-CI issue dict + its pruned supports and delegates
+    to the SAME ``rebuild_issue_cis`` the issue-level path runs."""
+    import json
+
+    import pyarrow as pa
+
+    def fn(batches):
+        for batch in batches:
+            out: list[dict] = []
+            for js in batch.column(0).to_pylist():
+                row = json.loads(js)
+                issue = {
+                    h: row.get(f"_iss_{h}") for h in header
+                }
+                issue["i"] = [row.get("_ci") or {}]
+                by_marker: dict[str, list] = {}
+                for entry in sorted(
+                    row.get("_regs") or [],
+                    key=lambda e: (e["_r_marker"], e["_r_pos"]),
+                ):
+                    by_marker.setdefault(entry["_r_marker"], []).append(
+                        entry["_reg"]
+                    )
+                supports = []
+                for f_entry in row.get("_found") or []:
+                    pm = dict(f_entry.get("_pm") or {})
+                    pm[payload_field] = by_marker.get(f_entry["_mk"], [])
+                    supports.append(pm)
+                for ci in rebuild_issue_cis(
+                    issue, supports, ts=ts, default_language=default_language
+                ):
+                    out.append({k: ci.get(k) for k in _FIELD_NAMES})
+            yield pa.RecordBatch.from_pylist(out, schema=arrow_schema)
+
+    return fn
 
 
 def split_errors(rebuilt_df: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -73,6 +73,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from impresso_ta.plans.synthetic import synthetic_canonical_corpus
     from impresso_ta.rebuild import rebuild_issues_solr
+    from impresso_ta.rebuild.solr import rebuild_issues_solr_ci
     from tools.skewed_docs import zipfian_documents
 
     ui = spark.sparkContext.uiWebUrl
@@ -80,16 +81,18 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     docs.count()  # warm
 
+    zipf = zipfian_documents(docs, n_issues=1024)
     results = {}
-    for tag, frame in (
-        ("uniform", docs),
-        ("zipfian", zipfian_documents(docs, n_issues=1024)),
+    for tag, frame, rebuild in (
+        ("uniform", docs, rebuild_issues_solr),
+        ("zipfian", zipf, rebuild_issues_solr),
+        ("zipfian_ci_level", zipf, rebuild_issues_solr_ci),
     ):
         spark.catalog.clearCache()
         issues_df, pages_df = synthetic_canonical_corpus(frame)
         t0 = time.time()
         mark = int(time.time() * 1000)
-        rebuild_issues_solr(issues_df, pages_df).write.format("noop").mode(
+        rebuild(issues_df, pages_df).write.format("noop").mode(
             "overwrite"
         ).save()
         wall = round(time.time() - t0, 3)
