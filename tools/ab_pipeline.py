@@ -130,12 +130,15 @@ def main() -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
 
     # ---- C: sf1 documents row-group layout ----
-    alt = os.path.join(repo, "testdata", "sf1_stdrg")
+    # sf1 is generated at the standard ROW_GROUP since r4 (gen_bigsf);
+    # the ALT layout regenerates documents with the r3 1024-row groups
+    # so the comparison stays live in both directions.
+    alt = os.path.join(repo, "testdata", "sf1_rg1024")
     if not os.path.exists(os.path.join(alt, "documents.parquet")):
         os.makedirs(alt, exist_ok=True)
         import pyarrow.parquet as pq
 
-        from tools.gen_bigsf import ROW_GROUP, _clone, _max_keys
+        from tools.gen_bigsf import _clone, _max_keys
 
         maxes = _max_keys(sf01)
         t = pq.read_table(os.path.join(sf01, "documents.parquet"))
@@ -144,7 +147,7 @@ def main() -> None:
         ) as w:
             for i in range(10):
                 w.write_table(
-                    _clone("documents", t, i, maxes), row_group_size=ROW_GROUP
+                    _clone("documents", t, i, maxes), row_group_size=1024
                 )
         for name in catalog.TABLES:
             if name == "documents":
@@ -161,13 +164,13 @@ def main() -> None:
     ]
     out = {q: {} for q in cq}
     for q in cq:
-        for d, tag in ((sf1, "rg1024"), (alt, "rg128k")):
+        for d, tag in ((sf1, "rg128k"), (alt, "rg1024")):
             best = float("inf")
             for _ in range(rounds):
                 best = min(best, run_once(lambda q=q, d=d: registry[q](spark, d)))
             out[q][tag] = round(best, 3)
     out["pipeline_after_filters"] = {}
-    for d, tag in ((sf1, "rg1024"), (alt, "rg128k")):
+    for d, tag in ((sf1, "rg128k"), (alt, "rg1024")):
         best = float("inf")
         for _ in range(rounds):
             best = min(
