@@ -330,6 +330,64 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_dedup_survivors(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 24,
+    bands: int = 8,
+) -> DataFrame:
+    """Linear-OUTPUT MinHash dedup: band-bucket union-find, no pairwise
+    verification. Returns every document with its duplicate component,
+    component size, and ``is_rep`` (the min-id member a dedup pass
+    keeps).
+
+    :func:`minhash_lsh_pairs` is the precision tool — exact-Jaccard
+    verification over candidates — but its OUTPUT is inherently
+    quadratic in duplicate-clique size: a crawl corpus where one page is
+    mirrored k times contains k²/2 true near-dup pairs. Measured on a
+    synthetic 100-way-clone corpus: 49× superlinear at a 10× data step,
+    and no candidate cap can fix it because the pairs are real. Corpus
+    preparation doesn't need the pairs — it needs the SURVIVORS. Here
+    every band bucket contributes ``|bucket| - 1`` edges to its min-id
+    member (star, not clique), so edge volume is ≤ n·bands at ANY
+    duplicate distribution, and min-label propagation
+    (:func:`connected_components`, O(diameter) rounds — buckets make
+    cliques diameter ≤ 2) yields the same components the full pair set
+    would. Trade-off vs the verified form: bucket coincidence is taken
+    as duplication without an exact-Jaccard check, i.e. the standard
+    MinHash-dedup operating point (false-positive rate per dissimilar
+    pair ≈ bands·j^rows) — accepted by the large dedup pipelines this
+    mirrors (C4, SlimPajama, text-dedup) because a verify pass would
+    re-introduce the clique-quadratic cost.
+    """
+    _, _, banded = _minhash_parts(
+        docs, id_col, text_col, k, num_perm, bands
+    )
+    bucket_min = banded.groupBy("band", "bh").agg(
+        F.min("doc_id").alias("root")
+    )
+    edges = (
+        banded.join(bucket_min, ["band", "bh"])
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(
+            F.col("root").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    members = dedup_clusters(edges)
+    all_docs = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    return all_docs.join(members, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        F.coalesce(F.col("cluster_size"), F.lit(1).cast("long")).alias(
+            "cluster_size"
+        ),
+        F.coalesce(F.col("is_rep"), F.lit(True)).alias("is_rep"),
+    )
+
+
 def incremental_minhash_dedup(
     new_docs: DataFrame,
     existing_docs: DataFrame,
@@ -819,6 +877,40 @@ def semantic_dedup(
     )
 
 
+def _collapse_exact_dups(
+    assigned: DataFrame, id_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(representatives, clones): vectors with byte-identical embeddings
+    collapse to the min-id representative per cell before any pairwise
+    join. Provably output-identical to running the pairwise rule on the
+    full frame:
+
+    - every clone IS dropped by the rule (its representative is a
+      smaller-id cell-mate and cosine(v, v) rounds to 1.0 ≥ threshold);
+    - a representative's own decision is unchanged — for any duplicate
+      group g, "some member of g with smaller id collides with me" iff
+      "rep_g has smaller id and collides" (rep_g is g's minimum, and
+      identical vectors share all cells, probe cells and cosines).
+
+    Why it matters at scale: crawl corpora carry large cliques of
+    byte-identical embeddings (re-posts, boilerplate, mirrored pages).
+    Pairwise-within-cell is Σ|cell|², and a k-clique adds k² no matter
+    how the cells are sized — measured 36× superlinear on a synthetic
+    100-way-clone corpus. Collapsing first makes that term Σ|unique|²
+    + one narrow window shuffle, restoring the sizing rule's contract.
+    """
+    from pyspark.sql.window import Window
+
+    keyed = assigned.withColumn("_vk", F.md5(F.to_json(F.col(vec_col))))
+    w = Window.partitionBy("cell", "_vk").orderBy(id_col)
+    marked = keyed.withColumn("_rn", F.row_number().over(w))
+    reps = marked.filter(F.col("_rn") == 1).drop("_rn", "_vk")
+    clones = marked.filter(F.col("_rn") > 1).select(
+        F.col(id_col), F.col("cell"), F.lit(False).alias("keep")
+    )
+    return reps, clones
+
+
 def _within_cell_dedup(
     assigned: DataFrame,
     threshold: float,
@@ -828,9 +920,12 @@ def _within_cell_dedup(
 ) -> DataFrame:
     """The cell-scoped greedy-by-id drop pass shared by every SemDeDup
     cell assignment (Voronoi or LSH): self-equi-join on cell, drop any
-    vector whose smaller-id cell-mate is cosine-≥-threshold."""
+    vector whose smaller-id cell-mate is cosine-≥-threshold. Exact
+    duplicates are collapsed first (see :func:`_collapse_exact_dups` —
+    output-identical, clique-proof)."""
     from impresso_ta.operators.similarity import cosine
 
+    assigned, clones = _collapse_exact_dups(assigned, id_col, vec_col)
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
     )
@@ -856,6 +951,7 @@ def _within_cell_dedup(
             "cell",
             F.col("drop_id").isNull().alias("keep"),
         )
+        .unionByName(clones)
     )
 
 
@@ -978,6 +1074,10 @@ def semantic_dedup_lsh(
 
     from impresso_ta.operators.similarity import cosine
 
+    # identical vectors share all cells, margins and probe flips, so the
+    # exact-dup collapse proof holds verbatim under multiprobe
+    assigned, clones = _collapse_exact_dups(assigned, id_col, vec_col)
+
     # probe cells: flip the (n_probes-1) lowest-|dot| bits one at a time
     margins = F.array_sort(
         F.transform(
@@ -1017,10 +1117,12 @@ def semantic_dedup_lsh(
         .select(F.greatest("id_a", "id_b").alias("drop_id"))
         .distinct()
     )
-    return assigned.join(
-        drops, assigned[id_col] == drops["drop_id"], "left"
-    ).select(
-        F.col(id_col),
-        "cell",
-        F.col("drop_id").isNull().alias("keep"),
+    return (
+        assigned.join(drops, assigned[id_col] == drops["drop_id"], "left")
+        .select(
+            F.col(id_col),
+            "cell",
+            F.col("drop_id").isNull().alias("keep"),
+        )
+        .unionByName(clones)
     )

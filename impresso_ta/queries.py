@@ -5071,3 +5071,75 @@ def a16_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
     ).select("source", "lang", "g_source", "g_lang", "n_docs", "avg_chars")
+
+
+def _minhash_survivors_oracle() -> str:
+    """DuckDB twin of minhash_dedup_survivors: same shingles, same
+    affine permutations (constants inlined), same band md5s, bucket-min
+    star edges, recursive min-label components, singletons re-joined."""
+    m = 2147483647
+    mh = ", ".join(
+        f"min(({2 * i + 1} * h + {104729 * (i + 1) % m}) % {m}) AS mh{i}"
+        for i in range(24)
+    )
+    bands = ", ".join(
+        "md5(" + " || '-' || ".join(
+            f"mh{b * 3 + r}::VARCHAR" for r in range(3)
+        ) + f") AS bh{b}"
+        for b in range(8)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, bh{b} AS bh FROM banded"
+        for b in range(8)
+    )
+    return f"""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct([
+            array_to_string(w[i : i + 2], ' ')
+            for i in range(1, greatest(len(w) - 2, 1) + 1)
+        ])) AS shingle FROM w),
+    h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h
+          FROM sh),
+    sigs AS (SELECT doc_id, {mh} FROM h GROUP BY doc_id),
+    banded AS (SELECT doc_id, {bands} FROM sigs),
+    bt AS ({unions}),
+    roots AS (SELECT band, bh, min(doc_id) AS root FROM bt GROUP BY band, bh),
+    edges0 AS (
+        SELECT DISTINCT r.root AS a, b.doc_id AS b
+        FROM bt b JOIN roots r ON b.band = r.band AND b.bh = r.bh
+        WHERE b.doc_id <> r.root),
+    edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    sized AS (
+        SELECT node, component,
+               (count(*) OVER (PARTITION BY component))::BIGINT AS cluster_size
+        FROM comp)
+    SELECT d.doc_id,
+           coalesce(s.component, d.doc_id) AS component,
+           coalesce(s.cluster_size, 1)::BIGINT AS cluster_size,
+           coalesce(s.node = s.component, TRUE) AS is_rep
+    FROM documents d LEFT JOIN sized s ON d.doc_id = s.node
+    """
+
+
+@q(
+    "dedup_minhash_survivors",
+    _minhash_survivors_oracle(),
+    "Linear-output MinHash dedup: band-bucket star edges (<= n*bands at "
+    "ANY duplicate distribution) + min-label components — the "
+    "clique-proof survivors form; minhash_lsh_pairs stays the verified "
+    "precision tool but its pair OUTPUT is quadratic in clique size. "
+    "Oracle: DuckDB twin with identical md5-derived permutations.",
+)
+def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_dedup_survivors(
+        t(spark, sf_dir, "documents"), k=3, num_perm=24, bands=8
+    )
