@@ -98,6 +98,15 @@ def _build_parser() -> argparse.ArgumentParser:
     cor.add_argument("--no-doc-dedup", action="store_true")
     cor.add_argument("--jaccard-threshold", type=float, default=0.7)
     cor.add_argument(
+        "--doc-dedup-method",
+        choices=["jaccard", "minhash_survivors"],
+        default="jaccard",
+        help="jaccard: exact-verified near-dup pairs (precision; pair set "
+        "quadratic in duplicate-clique size). minhash_survivors: "
+        "band-bucket union-find, linear at any duplicate distribution "
+        "(the crawl-scale form).",
+    )
+    cor.add_argument(
         "--benchmark", help="parquet of benchmark docs to decontaminate against"
     )
     cor.add_argument(
@@ -321,6 +330,7 @@ def cmd_corpus(args, spark) -> int:
         line_spans=args.line_spans or None,
         doc_dedup=not args.no_doc_dedup,
         jaccard_threshold=args.jaccard_threshold,
+        doc_dedup_method=args.doc_dedup_method,
         benchmark=bench,
         temperature_alpha=args.temperature_alpha,
         temperature_target=args.temperature_target,

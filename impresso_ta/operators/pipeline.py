@@ -57,6 +57,7 @@ def prepare_corpus(
     line_spans: int | None = 10,
     doc_dedup: bool = True,
     jaccard_threshold: float = 0.7,
+    doc_dedup_method: str = "jaccard",
     benchmark: DataFrame | None = None,
     temperature_alpha: float | None = None,
     temperature_target: int = 0,
@@ -168,12 +169,39 @@ def prepare_corpus(
             cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
             cached.append(cur)
     if doc_dedup:
-        pairs = _dedup.jaccard_pairs(
-            cur, id_col=id_col, text_col=text_col, threshold=jaccard_threshold
-        )
-        cur = step(
-            "doc_dedup", cur, _dedup.dedup_survivors(cur, pairs, id_col=id_col)
-        )
+        if doc_dedup_method == "minhash_survivors":
+            # clique-proof scale form: band-bucket star edges bound the
+            # intermediate at n·bands regardless of duplicate
+            # distribution; "jaccard" (default) keeps the exact-verified
+            # thresholded semantics but its pair set is quadratic in
+            # duplicate-clique size (see minhash_dedup_survivors)
+            drops = (
+                _dedup.minhash_dedup_survivors(
+                    cur, id_col=id_col, text_col=text_col
+                )
+                .filter(~F.col("is_rep"))
+                .select(F.col("doc_id").alias(id_col))
+            )
+            cur = step(
+                "doc_dedup", cur, cur.join(drops, id_col, "left_anti")
+            )
+        elif doc_dedup_method == "jaccard":
+            pairs = _dedup.jaccard_pairs(
+                cur,
+                id_col=id_col,
+                text_col=text_col,
+                threshold=jaccard_threshold,
+            )
+            cur = step(
+                "doc_dedup",
+                cur,
+                _dedup.dedup_survivors(cur, pairs, id_col=id_col),
+            )
+        else:
+            raise ValueError(
+                f"unknown doc_dedup_method: {doc_dedup_method!r} "
+                "(expected 'jaccard' or 'minhash_survivors')"
+            )
     if benchmark is not None:
         # GPT-3-style decontamination: drop any training doc sharing a
         # k-shingle with the benchmark. The benchmark's distinct shingle

@@ -148,3 +148,34 @@ def test_collapse_reduces_pairwise_volume(spark):
     assert reps.count() == 5 * 3  # one rep per clone-group + near + far
     assert clones.count() == 5 * 5  # the other 5 clones of each group
     assert clones.filter(F.col("keep")).count() == 0
+
+
+def test_pipeline_minhash_survivors_method(spark):
+    from impresso_ta.operators.pipeline import prepare_corpus
+
+    docs = _clone_corpus(spark, n_base=4, clones=10).withColumn(
+        "lang", F.lit("fr")
+    )
+    res = prepare_corpus(
+        docs,
+        c4=False,
+        gopher=False,
+        line_spans=None,
+        doc_dedup=True,
+        doc_dedup_method="minhash_survivors",
+    )
+    kept = sorted(r["doc_id"] for r in res.docs.collect())
+    res.unpersist()
+    # one survivor (the min id) per 10-clone group
+    assert kept == [0, 10, 20, 30]
+
+
+def test_pipeline_unknown_dedup_method_raises(spark):
+    from impresso_ta.operators.pipeline import prepare_corpus
+
+    docs = _clone_corpus(spark, n_base=1, clones=2)
+    with pytest.raises(ValueError, match="doc_dedup_method"):
+        prepare_corpus(
+            docs, c4=False, gopher=False, line_spans=None,
+            doc_dedup=True, doc_dedup_method="nope",
+        )

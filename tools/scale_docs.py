@@ -67,6 +67,27 @@ def _ivf_scaled(spark, sf_dir):
     )
 
 
+def _lsh_ann_scaled(spark, sf_dir):
+    """The ANN scale path: hyperplane buckets (row-local assignment,
+    candidates/query ≈ corpus/2^bits held constant by bit sizing) with a
+    FIXED query batch. IVF-Voronoi assignment is Θ(n·nlist) — its curve
+    in this probe is the documented ~10⁷-vector ceiling, this is what
+    replaces it beyond."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from impresso_ta import queries as catalog
+    from impresso_ta.operators.similarity import lsh_bucketed_topk
+
+    e = catalog.t(spark, sf_dir, "embeddings")
+    n = e.count()
+    bits = max(2, math.ceil(math.log2(max(2, n / 512))))
+    planes = catalog._lsh_planes(n_planes=bits, dims=64)
+    qs = e.filter(F.col("vec_id") < 200)
+    return lsh_bucketed_topk(e, qs, planes, k=3)
+
+
 def generate_sf10() -> None:
     import pyarrow.parquet as pq
 
@@ -112,6 +133,7 @@ def main() -> None:
 
     builds = {q: registry[q] for q in QUERIES}
     builds["similarity_ivf_scaled"] = _ivf_scaled
+    builds["similarity_lsh_ann_scaled"] = _lsh_ann_scaled
     results: dict[str, dict[str, float]] = {q: {} for q in builds}
     for tag, d in (("1x", SF01), ("10x", SF1), ("100x", SF10)):
         spark.read.parquet(os.path.join(d, "documents.parquet")).count()
