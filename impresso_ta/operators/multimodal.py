@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -547,4 +548,200 @@ def byte_histogram_features(media_df: DataFrame, bins: int = 16) -> DataFrame:
 
     return media_df.select("media_id", "content").mapInPandas(
         fn, schema=FEATURE_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("phash", LongType(), True),
+        StructField("decoded", BooleanType(), False),
+    ]
+)
+
+
+def _png_luma_grid(content: bytes, grid_w: int, grid_h: int) -> list[float]:
+    """Decode a PNG and box-average its per-pixel luma down to a
+    grid_w × grid_h grid (row-major floats) — the downscale step every
+    perceptual hash starts from. Pure stdlib via :func:`_png_read`."""
+    w, h, color_type, channels, pix, plte = _png_read(content)
+
+    def luma_at(x: int, y: int) -> float:
+        i = (y * w + x) * channels
+        if color_type == 0 or color_type == 4:
+            return float(pix[i])
+        if color_type == 3:
+            p = pix[y * w + x]
+            return (
+                plte[3 * p] * 0.299
+                + plte[3 * p + 1] * 0.587
+                + plte[3 * p + 2] * 0.114
+            )
+        return pix[i] * 0.299 + pix[i + 1] * 0.587 + pix[i + 2] * 0.114
+
+    grid = []
+    for gy in range(grid_h):
+        y0, y1 = gy * h // grid_h, max((gy + 1) * h // grid_h, gy * h // grid_h + 1)
+        for gx in range(grid_w):
+            x0 = gx * w // grid_w
+            x1 = max((gx + 1) * w // grid_w, x0 + 1)
+            s = 0.0
+            for y in range(y0, min(y1, h)):
+                for x in range(x0, min(x1, w)):
+                    s += luma_at(x, y)
+            grid.append(s / ((min(y1, h) - y0) * (min(x1, w) - x0)))
+    return grid
+
+
+def _signed64(bits: int) -> int:
+    """Reinterpret an unsigned 64-bit pattern as the two's-complement
+    LongType value Spark stores (bit 63 set would otherwise overflow)."""
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def _dhash_from_grid(grid: list[float], hash_size: int) -> int:
+    """dHash: one bit per horizontal gradient sign over a
+    (hash_size+1) × hash_size luma grid (Krawetz's difference hash)."""
+    bits = 0
+    k = 0
+    for y in range(hash_size):
+        row = grid[y * (hash_size + 1) : (y + 1) * (hash_size + 1)]
+        for x in range(hash_size):
+            if row[x + 1] > row[x]:
+                bits |= 1 << k
+            k += 1
+    return _signed64(bits)
+
+
+def _fake_phash(content: bytes, hash_size: int) -> int:
+    """Deterministic pseudo-hash for undecodable payloads: byte-identical
+    content maps to the same hash (so EXACT duplicates still pair), and
+    distinct content is md5-scattered (so nothing else does). A real
+    deployment installs Pillow and never hits this."""
+    digest = hashlib.md5(content or b"").digest()
+    return int.from_bytes(
+        digest[: hash_size * hash_size // 8], "big", signed=True
+    )
+
+
+def image_phash(
+    media_df: DataFrame,
+    hash_size: int = 8,
+    strict: bool = False,
+) -> DataFrame:
+    """Perceptual dHash per image (media_id, phash, decoded).
+
+    Decode order per payload: Pillow when importable, the pure-stdlib
+    PNG path for PNG payloads, else the deterministic byte-hash fake
+    (``decoded=false`` marks the fakes so a pipeline can gate on real
+    decodes; ``strict=True`` raises instead — same contract as
+    :func:`decode_images`). Arrow-batched mapInPandas; embarrassingly
+    parallel, the hash is 64 bits per image regardless of image size.
+    """
+    if strict and not have_pil():
+        # the stdlib path still decodes PNGs; strict refuses the FAKE
+        # fallback for non-PNG payloads, which it can't detect up front
+        # without decoding — so match decode_images and demand PIL
+        raise NotImplementedError(
+            "strict image_phash needs a real decoder for arbitrary "
+            "formats; install Pillow or pre-filter to PNG payloads"
+        )
+    use_pil = have_pil()
+
+    def one(content: bytes) -> tuple[Optional[int], bool]:
+        if use_pil:
+            try:
+                from PIL import Image
+                import io
+
+                img = Image.open(io.BytesIO(content)).convert("L").resize(
+                    (hash_size + 1, hash_size), Image.LANCZOS
+                )
+                grid = [float(v) for v in img.getdata()]
+                return _dhash_from_grid(grid, hash_size), True
+            except Exception:
+                return _fake_phash(content, hash_size), False
+        try:
+            grid = _png_luma_grid(content, hash_size + 1, hash_size)
+            return _dhash_from_grid(grid, hash_size), True
+        except (ValueError, IndexError):
+            return _fake_phash(content, hash_size), False
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                ph, ok = one(row.content)
+                out.append(
+                    {"media_id": row.media_id, "phash": ph, "decoded": ok}
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PHASH_SCHEMA.fields]
+            )
+
+    return media_df.select("media_id", "content").mapInPandas(
+        fn, schema=PHASH_SCHEMA
+    )
+
+
+def phash_dedup_pairs(
+    hashed: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    hash_bits: int = 64,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance.
+
+    Banded equi-join, never all-pairs: the 64-bit hash splits into
+    ``bands`` substrings; by pigeonhole two hashes within
+    ``max_hamming`` Hamming distance agree on at least one band whenever
+    ``bands > max_hamming`` (the default 4 bands / distance ≤ 3 is
+    EXACT-recall), so candidates are band-bucket collisions only and
+    the verify is a codegen'd ``bit_count(a XOR b)``. Same shape as the
+    MinHash band join — linear in corpus for scattered hashes; an
+    exact-duplicate clique still yields its inherent k²/2 pairs, so for
+    survivors-only semantics feed these pairs to ``dedup.dedup_clusters``
+    (or collapse identical hashes first, as SemDeDup does for
+    embeddings).
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole recall guarantee"
+        )
+    width = hash_bits // bands
+    mask = (1 << width) - 1
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.col(hash_col)
+            .bitwiseAND(F.lit(_signed64(mask << (b * width))))
+            .alias("bv"),
+        )
+        for b in range(bands)
+    ]
+    banded = hashed.select(
+        F.col(id_col).alias("mid"),
+        F.col(hash_col).alias("ph"),
+        F.explode(F.array(*band_cols)).alias("b"),
+    ).select("mid", "ph", "b.band", "b.bv")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("a.mid") < F.col("b.mid"))
+        .select(
+            F.col("a.mid").alias("media_a"),
+            F.col("b.mid").alias("media_b"),
+            F.bit_count(
+                F.col("a.ph").bitwiseXOR(F.col("b.ph"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )

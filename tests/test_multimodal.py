@@ -427,3 +427,108 @@ def test_pil_resize_parity_dims(png_media):
             ours[k]["width"],
             ours[k]["height"],
         )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash dedup
+# ---------------------------------------------------------------------------
+
+def _grad_png(shift=0, blotch=None):
+    """A 32x32 grayscale gradient PNG; `shift` nudges every pixel
+    (phash-invariant), `blotch` flips a corner region (phash-visible)."""
+    from impresso_ta.operators.multimodal import png_encode
+
+    w = h = 32
+    pix = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = min(255, (x * 8 + shift) % 256)
+            if blotch and x < blotch and y < blotch:
+                v = 255 - v
+            pix.append(v)
+    return png_encode(w, h, 0, bytes(pix))
+
+
+def test_image_phash_near_dup_pairs(spark):
+    from impresso_ta.operators.multimodal import (
+        image_phash,
+        phash_dedup_pairs,
+    )
+
+    rows = [
+        ("a", bytearray(_grad_png())),
+        ("b", bytearray(_grad_png(shift=2))),      # near-identical
+        ("c", bytearray(_grad_png(blotch=16))),    # visibly different
+        ("d", b"\x00not-an-image"),                # fake-hash path
+        ("e", b"\x00not-an-image"),                # exact byte dup of d
+    ]
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+    hashed = image_phash(media)
+    got = {r["media_id"]: r for r in hashed.collect()}
+    assert got["a"]["decoded"] and got["b"]["decoded"] and got["c"]["decoded"]
+    assert not got["d"]["decoded"] and not got["e"]["decoded"]
+    assert got["a"]["phash"] == got["b"]["phash"]  # gradient shift invisible
+    assert got["a"]["phash"] != got["c"]["phash"]
+    assert got["d"]["phash"] == got["e"]["phash"]  # byte-identical fake
+
+    pairs = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in phash_dedup_pairs(hashed).collect()
+    }
+    assert pairs.get(("a", "b")) == 0
+    assert ("d", "e") in pairs and pairs[("d", "e")] == 0
+    assert not any({p[0], p[1]} == {"a", "c"} for p in pairs)
+
+
+def test_phash_pigeonhole_recall(spark):
+    """Any pair within max_hamming MUST collide in >=1 band: flip up to
+    3 scattered bits of a base hash and assert the banded join finds it."""
+    from impresso_ta.operators.multimodal import phash_dedup_pairs
+
+    from impresso_ta.operators.multimodal import _signed64
+
+    base = 0x0123456789ABCDEF
+    rows = [(f"m{i}", _signed64(base ^ sum(1 << b for b in bits)))
+            for i, bits in enumerate([[], [0], [5, 21], [1, 30, 63]])]
+    hashed = spark.createDataFrame(rows, "media_id string, phash long")
+    pairs = phash_dedup_pairs(hashed, max_hamming=3, bands=4)
+    found = {(r["media_a"], r["media_b"]) for r in pairs.collect()}
+    # every variant pairs with the base (hamming 0..3)
+    assert {("m0", p) for p in ("m1", "m2", "m3")} <= found
+
+
+def test_phash_bands_must_exceed_hamming(spark):
+    from impresso_ta.operators.multimodal import phash_dedup_pairs
+
+    hashed = spark.createDataFrame(
+        [("x", 1)], "media_id string, phash long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        phash_dedup_pairs(hashed, max_hamming=4, bands=4)
+
+
+def test_phash_pil_parity_when_available(spark):
+    """When Pillow exists, the PIL path and the stdlib-PNG path must
+    agree on a constant image (both grids constant -> hash 0)."""
+    from impresso_ta.operators.multimodal import (
+        _dhash_from_grid,
+        _png_luma_grid,
+        have_pil,
+        png_encode,
+    )
+
+    flat = png_encode(16, 16, 0, bytes([128] * 256))
+    grid = _png_luma_grid(flat, 9, 8)
+    assert _dhash_from_grid(grid, 8) == 0
+    if not have_pil():
+        import pytest as _pytest
+
+        _pytest.skip("Pillow absent: PIL-vs-stdlib phash parity not run")
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(flat)).convert("L").resize((9, 8))
+    assert _dhash_from_grid([float(v) for v in img.getdata()], 8) == 0
