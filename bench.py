@@ -96,6 +96,8 @@ EXTENDED_QUERIES = [
     "dedup_incremental_lsh",
     "embedding_quantize_error",
     "layout_zorder_key",
+    # r4: the clique-proof linear-output dedup form (see PLANS §8)
+    "dedup_minhash_survivors",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]
