@@ -234,8 +234,13 @@ def _gram_array(words: Column, n: int) -> Column:
     """Non-distinct n-gram array (every occurrence, reading order).
 
     Same zip_with construction as dedup.word_shingles (which is the
-    distinct variant) — shifted copies concatenated pairwise keep the
-    whole expression inside whole-stage codegen.
+    distinct variant). Precision on the cost model: higher-order
+    functions (zip_with/aggregate/transform) evaluate their lambdas
+    INTERPRETED per element, not codegen'd — the zip_with form's win
+    over transform(sequence(...)) (measured 4×) is avoiding the
+    materialized index array, not codegen. Stage-level the expression
+    still lives inside a WholeStageCodegen project and never leaves the
+    row, which is the property the scale claims rest on.
     """
     size = F.size(words)
     acc = words
@@ -525,9 +530,10 @@ def repetition_signals(
     sort the gram array and fold it once (``array_sort`` + ``aggregate``),
     tracking run lengths — a run of length r ≥ 2 contributes r duplicate
     occurrences, and the longest 1-gram run is the top-word count.
-    Everything stays inside whole-stage codegen; at 100 TB this is
-    embarrassingly parallel, versus the naive plan that shuffles 3× the
-    token volume twice.
+    Everything stays row-local inside one codegen'd stage (the fold
+    lambdas themselves run interpreted per element — see `_gram_array`);
+    at 100 TB this is embarrassingly parallel, versus the naive plan
+    that shuffles 3× the token volume twice.
 
     This sits on the WIN side of the HOF-fold decision rule (see
     ``hashed_doc_vectors``): per-element state is O(1) — compare to the
