@@ -226,3 +226,112 @@ def stream_rebuild_solr(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_media_phash_gate(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    available_now: bool = True,
+    max_files_per_trigger: int = 32,
+):
+    """Continuous IMAGE dedup: each micro-batch of media payloads is
+    perceptual-hashed (:func:`impresso_ta.operators.multimodal.
+    image_phash`), near-dup-deduped within the batch by banded Hamming
+    distance, then gated against every previously-accepted image — the
+    multimodal twin of :func:`stream_incremental_dedup`, sharing its
+    exactly-once layout (``batch=N`` overwrite partitions; the gate
+    reads only ``batch < N``) and its state design: the accepted store
+    IS the state, carrying media_id + phash so the cross-batch probe
+    joins 8-byte hashes and never re-decodes stored images.
+
+    Crawl semantics this buys at scale: a re-hosted/recompressed image
+    whose pixels survive (dHash within ``max_hamming``) is dropped on
+    arrival; candidate volume is the banded equi-join's, never
+    all-pairs, and per batch the probe touches ~batch×bands bucket rows.
+    """
+    from impresso_ta.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_phash,
+        phash_dedup_pairs,
+    )
+
+    def _gate(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sess = batch.sparkSession
+        hashed = image_phash(batch).join(
+            batch.select("media_id", "content"), "media_id"
+        )
+        # within-batch: keep the min-id member of every near-dup pair
+        pairs = phash_dedup_pairs(
+            hashed, max_hamming=max_hamming, bands=bands
+        )
+        drops = pairs.select(F.col("media_b").alias("media_id")).distinct()
+        survivors = hashed.join(drops, "media_id", "left_anti")
+        try:
+            seen = (
+                sess.read.parquet(out_path)
+                .filter(F.col("batch") < batch_id)
+                .select("media_id", "phash", "decoded")
+            )
+            has_seen = bool(seen.take(1))
+        except Exception:  # first batch: no store yet
+            has_seen = False
+        if has_seen:
+            # cross-batch probe on hashes only: any accepted image
+            # within max_hamming kills the incoming one
+            both = survivors.select("media_id", "phash", "decoded").unionByName(
+                seen
+            )
+            cross = phash_dedup_pairs(
+                both, max_hamming=max_hamming, bands=bands
+            )
+            new_ids = survivors.select("media_id")
+            hit = (
+                cross.join(
+                    seen.select(F.col("media_id").alias("media_a")),
+                    "media_a",
+                    "left_semi",
+                )
+                .join(
+                    new_ids.withColumnRenamed("media_id", "media_b"),
+                    "media_b",
+                    "left_semi",
+                )
+                .select(F.col("media_b").alias("media_id"))
+                .union(
+                    cross.join(
+                        seen.select(F.col("media_id").alias("media_b")),
+                        "media_b",
+                        "left_semi",
+                    )
+                    .join(
+                        new_ids.withColumnRenamed("media_id", "media_a"),
+                        "media_a",
+                        "left_semi",
+                    )
+                    .select(F.col("media_a").alias("media_id"))
+                )
+                .distinct()
+            )
+            survivors = survivors.join(hit, "media_id", "left_anti")
+        survivors.write.mode("overwrite").parquet(
+            f"{out_path}/batch={batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -251,3 +251,73 @@ def test_stream_incremental_dedup_within_and_across_batches(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 3
+
+
+def test_stream_media_phash_gate(spark, tmp_path):
+    """Continuous image dedup: a near-identical image is dropped within
+    its batch, a re-crawled (near-)duplicate of an accepted image is
+    gated out cross-batch, and visually different images all survive."""
+    import time as _time
+
+    from impresso_ta.operators.multimodal import png_encode
+    from impresso_ta.streaming.ingest import stream_media_phash_gate
+
+    def grad_png(shift=0, blotch=None):
+        w = h = 32
+        pix = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = min(255, (x * 8 + shift) % 256)
+                if blotch and x < blotch and y < blotch:
+                    v = 255 - v
+                pix.append(v)
+        return bytearray(png_encode(w, h, 0, bytes(pix)))
+
+    def media_row(mid, content):
+        import hashlib as _hl
+
+        return (mid, "image/png", len(content), _hl.sha1(bytes(content)).hexdigest(), content)
+
+    drop = tmp_path / "media"
+    drop.mkdir()
+    out = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "media_id string, mime string, n_bytes long, sha1 string, "
+        "content binary"
+    )
+    # batch 1: a gradient, its near-twin (pixel shift), a distinct blotch
+    spark.createDataFrame(
+        [
+            media_row("a", grad_png()),
+            media_row("a2", grad_png(shift=2)),   # within-batch near-dup
+            media_row("c", grad_png(blotch=16)),  # distinct
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(drop / "f1"))
+    _time.sleep(1.1)
+    # batch 2: re-crawl of the gradient + a genuinely new image
+    spark.createDataFrame(
+        [
+            media_row("a3", grad_png(shift=1)),   # cross-batch near-dup
+            media_row("d", grad_png(blotch=24)),  # new
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(drop / "f2"))
+
+    q = stream_media_phash_gate(
+        spark, str(drop) + "/*", out, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(240)
+    assert q.exception() is None
+    accepted = sorted(
+        r["media_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert accepted == ["a", "c", "d"]
+
+    # checkpointed re-run: idempotent
+    q = stream_media_phash_gate(
+        spark, str(drop) + "/*", out, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 3
