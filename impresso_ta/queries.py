@@ -5143,3 +5143,41 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_survivors(
         t(spark, sf_dir, "documents"), k=3, num_perm=24, bands=8
     )
+
+
+@q(
+    "dedup_phash_hamming",
+    """
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(text), 1, 15))::BIGINT AS ph
+        FROM documents)
+    SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+           bit_count(xor(a.ph, b.ph))::INT AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ph, b.ph)) <= 18
+    """,
+    "Banded Hamming-distance self-join (the perceptual-hash dedup's "
+    "join plumbing, here over md5-derived 64-bit fingerprints so DuckDB "
+    "can replicate): bands > max_hamming makes band-bucket candidate "
+    "recall EXACT by pigeonhole — oracled against DuckDB's brute-force "
+    "all-pairs bit_count scan, which the banded equi-join must match "
+    "pair-for-pair.",
+)
+def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.multimodal import phash_dedup_pairs
+
+    # 60-bit (15 hex chars) fingerprints: always positive, identical
+    # parse on both engines. Threshold 18 on random 60-bit hashes gives
+    # a few hundred true pairs at sf0.01 (E[pairs] = C(500,2)*P(B(60,.5)
+    # <= 18) ~ 170), so the oracle actually exercises the recall claim;
+    # bands=30 x 2-bit width, 30 > 18 pigeonhole
+    hashed = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("phash"),
+    )
+    return phash_dedup_pairs(
+        hashed, max_hamming=18, bands=30, hash_bits=60
+    ).withColumn("hamming", F.col("hamming").cast("int"))
