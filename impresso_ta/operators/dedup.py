@@ -271,6 +271,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     cache_shingles: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard.
 
@@ -279,10 +280,31 @@ def minhash_lsh_pairs(
     in corpus size for a typical similarity distribution while recall at
     the 0.8 threshold is effectively exact. Verification re-computes true
     Jaccard on the candidates only.
+
+    ``max_bucket_size`` (off by default — the oracle pins the uncapped
+    semantics) drops band buckets larger than the bound before pairing:
+    the standard guard against pathological buckets (a boilerplate
+    band-hash shared by 10⁵ docs would alone contribute 10¹⁰ candidate
+    pairs). Pairs inside an over-bound bucket are usually still found
+    through their other 7 bands; a document set that agrees on EVERY
+    band is an exact-duplicate clique, which belongs to
+    :func:`exact_dedup_groups` / :func:`minhash_dedup_survivors` — the
+    pairs-form's output is inherently quadratic in clique size (see the
+    survivors docstring), so the cap bounds the candidate join, not the
+    true-pair count.
     """
     sh, sigs, banded = _minhash_parts(
         docs, id_col, text_col, k, num_perm, bands, cache_shingles
     )
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        bw = Window.partitionBy("band", "bh")
+        banded = (
+            banded.withColumn("_bn", F.count("*").over(bw))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
 
     a = banded.alias("a")
     b = banded.alias("b")

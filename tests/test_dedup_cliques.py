@@ -179,3 +179,26 @@ def test_pipeline_unknown_dedup_method_raises(spark):
             docs, c4=False, gopher=False, line_spans=None,
             doc_dedup=True, doc_dedup_method="nope",
         )
+
+
+def test_minhash_pairs_bucket_cap(spark):
+    """max_bucket_size bounds the candidate join: a clique bigger than
+    the cap vanishes from the pair set (its dups belong to the
+    survivors/exact forms), while pairs in small buckets are untouched."""
+    # two 3-cliques of byte-identical texts: identical signatures, so
+    # every band bucket holds a whole clique
+    rows = [
+        (b * 3 + c, " ".join(f"w{b}x{i}" for i in range(60)))
+        for b in range(2)
+        for c in range(3)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    n_un = uncapped.count()
+    assert n_un == 2 * 3  # each identical-clique: all 3 pairs, j=1.0
+    # every bucket holds a full 3-clique > cap → no candidates at all
+    capped = dedup.minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=2)
+    assert capped.count() == 0
+    # cap above the clique size: identical to uncapped (same md5 hashes)
+    wide = dedup.minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=16)
+    assert wide.count() == n_un
