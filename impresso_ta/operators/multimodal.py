@@ -745,3 +745,124 @@ def phash_dedup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting (the dHash analogue for WAV payloads)
+# ---------------------------------------------------------------------------
+
+
+def _wav_samples(content: bytes):
+    """RIFF/WAVE → (sample_rate, mono float64 numpy array in [-1, 1]).
+    Stdlib ``wave`` + numpy frombuffer; 8/16/32-bit PCM; channels are
+    averaged to mono. Raises on non-WAV bytes."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content)) as w:
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:  # unsigned 8-bit
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return rate, x
+
+
+def _audio_fingerprint_bits(
+    samples, n_windows: int = 16, n_bands: int = 4
+) -> int:
+    """Haitsma–Kalker-style robust hash: split the signal into
+    ``n_windows`` equal windows, take per-window log-spaced band
+    energies (numpy rfft), and emit one bit per (window, band) — the
+    sign of the energy DIFFERENCE versus the previous window's band
+    (first window compares against the band's mean), which is what
+    makes the bits invariant to volume scaling and mild re-encoding.
+    16×4 = 64 bits → the same banded-Hamming dedup machinery as images.
+    """
+    import numpy as np
+
+    n = len(samples)
+    if n < n_windows * 2:
+        samples = np.pad(samples, (0, n_windows * 2 - n))
+        n = len(samples)
+    win = n // n_windows
+    energies = np.empty((n_windows, n_bands))
+    for wdx in range(n_windows):
+        seg = samples[wdx * win : (wdx + 1) * win]
+        spec = np.abs(np.fft.rfft(seg)) ** 2
+        # log-spaced band edges over the positive spectrum
+        edges = np.unique(
+            np.geomspace(1, len(spec), n_bands + 1).astype(int)
+        )
+        while len(edges) < n_bands + 1:  # tiny windows: pad edges
+            edges = np.append(edges, edges[-1] + 1)
+        for bdx in range(n_bands):
+            lo, hi = edges[bdx], max(edges[bdx + 1], edges[bdx] + 1)
+            energies[wdx, bdx] = spec[lo:hi].sum()
+    ref = energies.mean(axis=0)
+    bits = 0
+    k = 0
+    for wdx in range(n_windows):
+        prev = energies[wdx - 1] if wdx else ref
+        for bdx in range(n_bands):
+            if energies[wdx, bdx] > prev[bdx]:
+                bits |= 1 << k
+            k += 1
+    return _signed64(bits)
+
+
+def audio_fingerprint(
+    media_df: DataFrame,
+    n_windows: int = 16,
+    n_bands: int = 4,
+    strict: bool = False,
+) -> DataFrame:
+    """Robust audio hash per payload (media_id, phash, decoded) — the
+    audio twin of :func:`image_phash`, sharing its output schema so
+    :func:`phash_dedup_pairs` and the streaming gate work unchanged.
+    WAV payloads get the REAL spectral hash; other codecs fall back to
+    the deterministic byte-hash fake flagged ``decoded=false``
+    (``strict=True`` raises — mp3/ogg need an external decoder)."""
+    if strict:
+        raise NotImplementedError(
+            "strict audio_fingerprint needs an external codec for "
+            "non-WAV formats; pre-filter to RIFF/WAVE payloads or use "
+            "the flagged fake"
+        )
+
+    def one(content: bytes) -> tuple[Optional[int], bool]:
+        try:
+            _rate, x = _wav_samples(content)
+            return (
+                _audio_fingerprint_bits(x, n_windows, n_bands),
+                True,
+            )
+        except Exception:
+            return _fake_phash(content, 8), False
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                ph, ok = one(row.content)
+                out.append(
+                    {"media_id": row.media_id, "phash": ph, "decoded": ok}
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PHASH_SCHEMA.fields]
+            )
+
+    return media_df.select("media_id", "content").mapInPandas(
+        fn, schema=PHASH_SCHEMA
+    )

@@ -532,3 +532,89 @@ def test_phash_pil_parity_when_available(spark):
 
     img = Image.open(io.BytesIO(flat)).convert("L").resize((9, 8))
     assert _dhash_from_grid([float(v) for v in img.getdata()], 8) == 0
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting
+# ---------------------------------------------------------------------------
+
+def _tone_wav(freqs, seconds=0.5, rate=8000, amp=0.6, width=2):
+    """Synthesize a mono PCM WAV of summed sine tones (stdlib only)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(seconds * rate)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        frames = bytearray()
+        for i in range(n):
+            v = sum(math.sin(2 * math.pi * f * i / rate) for f in freqs)
+            v = amp * v / max(len(freqs), 1)
+            frames += struct.pack("<h", int(v * 32767))
+        w.writeframes(bytes(frames))
+    return bytearray(buf.getvalue())
+
+
+def test_audio_fingerprint_dedup(spark):
+    from impresso_ta.operators.multimodal import (
+        audio_fingerprint,
+        phash_dedup_pairs,
+    )
+
+    rows = [
+        ("t1", _tone_wav([440, 1200])),
+        ("t2", _tone_wav([440, 1200], amp=0.3)),  # same content, quieter
+        ("t3", _tone_wav([3000, 300])),           # different spectrum
+        ("x1", b"RIFFnot-really-wav"),            # fake path
+        ("x2", b"RIFFnot-really-wav"),            # byte-identical fake
+    ]
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+    hashed = audio_fingerprint(media)
+    got = {r["media_id"]: r for r in hashed.collect()}
+    assert got["t1"]["decoded"] and got["t3"]["decoded"]
+    assert not got["x1"]["decoded"]
+    # volume scaling flips no energy-difference signs
+    assert got["t1"]["phash"] == got["t2"]["phash"]
+    assert got["t1"]["phash"] != got["t3"]["phash"]
+    pairs = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in phash_dedup_pairs(hashed).collect()
+    }
+    assert pairs.get(("t1", "t2")) == 0
+    assert ("x1", "x2") in pairs
+    assert not any({p[0], p[1]} == {"t1", "t3"} for p in pairs)
+
+
+def test_audio_fingerprint_stereo_and_widths(spark):
+    """Stereo + 8-bit payloads decode through the same path."""
+    import io
+    import wave
+
+    from impresso_ta.operators.multimodal import audio_fingerprint
+
+    mono = _tone_wav([600])
+    # stereo twin: duplicate each 16-bit frame into L/R
+    with wave.open(io.BytesIO(bytes(mono))) as w:
+        rate, frames = w.getframerate(), w.readframes(w.getnframes())
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        out = bytearray()
+        for i in range(0, len(frames), 2):
+            out += frames[i : i + 2] * 2
+        w.writeframes(bytes(out))
+    media = spark.createDataFrame(
+        [("m", bytearray(mono)), ("s", bytearray(buf.getvalue()))],
+        "media_id string, content binary",
+    )
+    got = {r["media_id"]: r for r in audio_fingerprint(media).collect()}
+    assert got["m"]["decoded"] and got["s"]["decoded"]
+    # averaging identical channels reproduces the mono signal exactly
+    assert got["m"]["phash"] == got["s"]["phash"]
