@@ -920,10 +920,24 @@ def _collapse_exact_dups(
     how the cells are sized — measured 36× superlinear on a synthetic
     100-way-clone corpus. Collapsing first makes that term Σ|unique|²
     + one narrow window shuffle, restoring the sizing rule's contract.
+
+    Degenerate vectors are EXEMPT from the collapse: for a NULL or
+    all-zero embedding cosine(v, v) is NULL (0/0), so the pairwise rule
+    never drops its clones — each such row gets a unique collapse key
+    (its own id) and rides the pairwise join as its own representative,
+    where the NULL-cosine comparisons keep it, exactly as before.
     """
     from pyspark.sql.window import Window
 
-    keyed = assigned.withColumn("_vk", F.md5(F.to_json(F.col(vec_col))))
+    identical_dup_droppable = F.col(vec_col).isNotNull() & F.exists(
+        F.col(vec_col), lambda x: x != 0
+    )
+    keyed = assigned.withColumn(
+        "_vk",
+        F.when(
+            identical_dup_droppable, F.md5(F.to_json(F.col(vec_col)))
+        ).otherwise(F.concat(F.lit("row-"), F.col(id_col).cast("string"))),
+    )
     w = Window.partitionBy("cell", "_vk").orderBy(id_col)
     marked = keyed.withColumn("_rn", F.row_number().over(w))
     reps = marked.filter(F.col("_rn") == 1).drop("_rn", "_vk")

@@ -628,6 +628,29 @@ def _fake_phash(content: bytes, hash_size: int) -> int:
     )
 
 
+def _phash_udtf(media_df: DataFrame, one) -> DataFrame:
+    """Shared Arrow-batched wrapper for the per-payload hash functions
+    (``one(content) -> (phash, decoded)``) — image and audio emit the
+    same PHASH_SCHEMA so the Hamming join and the streaming gate treat
+    them uniformly."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                ph, ok = one(row.content)
+                out.append(
+                    {"media_id": row.media_id, "phash": ph, "decoded": ok}
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PHASH_SCHEMA.fields]
+            )
+
+    return media_df.select("media_id", "content").mapInPandas(
+        fn, schema=PHASH_SCHEMA
+    )
+
+
 def image_phash(
     media_df: DataFrame,
     hash_size: int = 8,
@@ -639,9 +662,16 @@ def image_phash(
     PNG path for PNG payloads, else the deterministic byte-hash fake
     (``decoded=false`` marks the fakes so a pipeline can gate on real
     decodes; ``strict=True`` raises instead — same contract as
-    :func:`decode_images`). Arrow-batched mapInPandas; embarrassingly
-    parallel, the hash is 64 bits per image regardless of image size.
+    :func:`decode_images`, including on per-payload decode failures in
+    the PIL path). Arrow-batched mapInPandas; embarrassingly parallel,
+    the hash is ``hash_size²`` ≤ 64 bits per image regardless of image
+    size (LongType storage bounds hash_size at 8).
     """
+    if not 2 <= hash_size <= 8:
+        raise ValueError(
+            f"hash_size must be in [2, 8] (hash_size² bits must fit the "
+            f"64-bit LongType phash column), got {hash_size}"
+        )
     if strict and not have_pil():
         # the stdlib path still decodes PNGs; strict refuses the FAKE
         # fallback for non-PNG payloads, which it can't detect up front
@@ -664,28 +694,20 @@ def image_phash(
                 grid = [float(v) for v in img.getdata()]
                 return _dhash_from_grid(grid, hash_size), True
             except Exception:
+                if strict:
+                    raise
                 return _fake_phash(content, hash_size), False
         try:
             grid = _png_luma_grid(content, hash_size + 1, hash_size)
             return _dhash_from_grid(grid, hash_size), True
-        except (ValueError, IndexError):
+        except Exception:
+            # _png_read raises ValueError on malformed structure but
+            # zlib.error / struct.error / ZeroDivisionError on corrupt
+            # payloads — ANY decode failure must fall back (one bad
+            # image must not kill the batch job or streaming query)
             return _fake_phash(content, hash_size), False
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                ph, ok = one(row.content)
-                out.append(
-                    {"media_id": row.media_id, "phash": ph, "decoded": ok}
-                )
-            yield pd.DataFrame(
-                out, columns=[f.name for f in PHASH_SCHEMA.fields]
-            )
-
-    return media_df.select("media_id", "content").mapInPandas(
-        fn, schema=PHASH_SCHEMA
-    )
+    return _phash_udtf(media_df, one)
 
 
 def phash_dedup_pairs(
@@ -742,8 +764,11 @@ def phash_dedup_pairs(
                 F.col("a.ph").bitwiseXOR(F.col("b.ph"))
             ).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: hamming is deterministic per pair, so
+        # the result is identical but the dedup exchange carries only
+        # true near-dups, not every band-bucket coincidence
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -851,18 +876,4 @@ def audio_fingerprint(
         except Exception:
             return _fake_phash(content, 8), False
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                ph, ok = one(row.content)
-                out.append(
-                    {"media_id": row.media_id, "phash": ph, "decoded": ok}
-                )
-            yield pd.DataFrame(
-                out, columns=[f.name for f in PHASH_SCHEMA.fields]
-            )
-
-    return media_df.select("media_id", "content").mapInPandas(
-        fn, schema=PHASH_SCHEMA
-    )
+    return _phash_udtf(media_df, one)

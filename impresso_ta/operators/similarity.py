@@ -45,7 +45,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL (not an ANSI DIVIDE_BY_ZERO error) when
+    either vector has zero norm — a degenerate embedding then simply
+    never crosses any similarity threshold (comparisons with NULL are
+    never true), instead of killing the job."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(

@@ -248,10 +248,18 @@ def stream_media_phash_gate(
     IS the state, carrying media_id + phash so the cross-batch probe
     joins 8-byte hashes and never re-decodes stored images.
 
-    Crawl semantics this buys at scale: a re-hosted/recompressed image
-    whose pixels survive (dHash within ``max_hamming``) is dropped on
-    arrival; candidate volume is the banded equi-join's, never
-    all-pairs, and per batch the probe touches ~batch×bands bucket rows.
+    Crawl semantics this buys at scale: a re-delivered media_id is
+    dropped by an exact-id anti-join first (the F3 incremental skip —
+    the Hamming pair join's ``id_a < id_b`` cannot see a self-pair), and
+    a re-hosted/recompressed image whose pixels survive (dHash within
+    ``max_hamming``) is dropped by the cross probe. Candidate volume is
+    the banded equi-join's, never all-pairs. Cost honesty: this demo
+    re-reads and re-bands the accepted store every micro-batch —
+    O(|accepted|·bands) per trigger — which is fine for the moderate
+    stores the tests and local crawls exercise; a production deployment
+    stores the BAND table once, bucketed by (band, bv), and probes it
+    incrementally, exactly as ``incremental_minhash_dedup``'s docstring
+    prescribes for the text gate.
     """
     from impresso_ta.operators.multimodal import (
         MEDIA_SCHEMA,
@@ -282,6 +290,11 @@ def stream_media_phash_gate(
         except Exception:  # first batch: no store yet
             has_seen = False
         if has_seen:
+            # exact-id skip first: the pair join's id_a < id_b cannot
+            # pair a re-delivered media_id with its stored self
+            survivors = survivors.join(
+                seen.select("media_id"), "media_id", "left_anti"
+            )
             # cross-batch probe on hashes only: any accepted image
             # within max_hamming kills the incoming one
             both = survivors.select("media_id", "phash", "decoded").unionByName(

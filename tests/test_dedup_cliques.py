@@ -202,3 +202,24 @@ def test_minhash_pairs_bucket_cap(spark):
     # cap above the clique size: identical to uncapped (same md5 hashes)
     wide = dedup.minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=16)
     assert wide.count() == n_un
+
+
+def test_collapse_exempts_degenerate_vectors(spark):
+    """NULL-cosine semantics: clones of all-zero embeddings are NEVER
+    dropped by the pairwise rule (cosine(0,0)=0/0=NULL), so the exact-dup
+    collapse must not drop them either."""
+    rows = [
+        (0, [0.0] * 8),
+        (1, [0.0] * 8),   # zero-vector clone: must stay kept
+        (2, [1.0] + [0.0] * 7),
+        (3, [1.0] + [0.0] * 7),  # real clone: min id survives
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["keep"]
+        for r in dedup.semantic_dedup_lsh(
+            df, n_bits=1, dims=8, threshold=0.9
+        ).collect()
+    }
+    assert got[0] is True and got[1] is True  # degenerate: both kept
+    assert got[2] is True and got[3] is False  # real clone collapsed

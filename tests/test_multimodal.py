@@ -618,3 +618,53 @@ def test_audio_fingerprint_stereo_and_widths(spark):
     assert got["m"]["decoded"] and got["s"]["decoded"]
     # averaging identical channels reproduces the mono signal exactly
     assert got["m"]["phash"] == got["s"]["phash"]
+
+
+def test_image_phash_corrupt_png_falls_back(spark):
+    """A payload with valid PNG magic but corrupt internals (zlib/struct
+    errors, zero dimensions) must fall back to the fake hash, not kill
+    the task."""
+    from impresso_ta.operators.multimodal import PNG_MAGIC, image_phash
+
+    import struct as _struct
+    import zlib as _zlib
+
+    def chunk(tag, data):
+        return (
+            _struct.pack(">I", len(data)) + tag + data
+            + _struct.pack(">I", _zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    corrupt_idat = (
+        PNG_MAGIC
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", b"this is not zlib data")
+        + chunk(b"IEND", b"")
+    )
+    short_ihdr = PNG_MAGIC + chunk(b"IHDR", b"\x00\x01")
+    zero_dim = (
+        PNG_MAGIC
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 0, 0, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(b""))
+        + chunk(b"IEND", b"")
+    )
+    media = spark.createDataFrame(
+        [("c1", bytearray(corrupt_idat)), ("c2", bytearray(short_ihdr)),
+         ("c3", bytearray(zero_dim))],
+        "media_id string, content binary",
+    )
+    got = {r["media_id"]: r for r in image_phash(media).collect()}
+    assert len(got) == 3
+    assert all(not r["decoded"] for r in got.values())
+
+
+def test_image_phash_hash_size_validated(spark):
+    from impresso_ta.operators.multimodal import image_phash
+
+    media = spark.createDataFrame(
+        [("x", b"\x00")], "media_id string, content binary"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash_size"):
+        image_phash(media, hash_size=16)

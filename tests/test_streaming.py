@@ -321,3 +321,37 @@ def test_stream_media_phash_gate(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 3
+
+
+def test_stream_media_phash_gate_same_id_redelivery(spark, tmp_path):
+    """A re-delivered media_id (same bytes, new file) must be gated by
+    the exact-id skip — the Hamming pair join alone cannot pair a row
+    with its stored self."""
+    import time as _time
+
+    from impresso_ta.operators.multimodal import png_encode
+    from impresso_ta.streaming.ingest import stream_media_phash_gate
+
+    png = bytearray(png_encode(8, 8, 0, bytes(range(64))))
+    drop = tmp_path / "media"
+    drop.mkdir()
+    out = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "media_id string, mime string, n_bytes long, sha1 string, "
+        "content binary"
+    )
+    spark.createDataFrame(
+        [("same", "image/png", len(png), "h", png)], schema
+    ).coalesce(1).write.parquet(str(drop / "f1"))
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [("same", "image/png", len(png), "h", png)], schema
+    ).coalesce(1).write.parquet(str(drop / "f2"))
+
+    q = stream_media_phash_gate(
+        spark, str(drop) + "/*", out, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(240)
+    assert q.exception() is None
+    assert spark.read.parquet(out).count() == 1
