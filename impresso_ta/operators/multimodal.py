@@ -731,11 +731,29 @@ def phash_dedup_pairs(
     survivors-only semantics feed these pairs to ``dedup.dedup_clusters``
     (or collapse identical hashes first, as SemDeDup does for
     embeddings).
+
+    ``hash_bits`` must match the PRODUCER's populated bit width —
+    ``image_phash(hash_size=s)`` populates exactly s² bits, so pass
+    ``hash_bits=s*s`` (the default 64 matches the default hash_size=8).
+    Leaving hash_bits at 64 over narrower hashes is still exact-recall
+    but the bands above the populated range all mask to zero, every row
+    collides in them, and the join degenerates toward all-pairs.
+    ``bands`` must divide hash_bits: a truncating split would leave the
+    top ``hash_bits % bands`` bits covered by no band, silently voiding
+    the pigeonhole guarantee.
     """
     if bands <= max_hamming:
         raise ValueError(
             f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
             "for the pigeonhole recall guarantee"
+        )
+    if not 0 < hash_bits <= 64:
+        raise ValueError(f"hash_bits must be in [1, 64], got {hash_bits}")
+    if hash_bits % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide hash_bits ({hash_bits}): a "
+            "truncated band split leaves the top bits unbanded and "
+            "breaks the pigeonhole recall guarantee"
         )
     width = hash_bits // bands
     mask = (1 << width) - 1

@@ -449,13 +449,26 @@ def rebuild_issues_solr_ci(
         *[F.col(c).alias(f"_iss_{c}") for c in header],
         F.explode("i").alias("_ci"),
     ).withColumn("_ci_id", F.col("_ci.m.id"))
-    prefix = F.when(F.col("_iss_sm") == "audio", F.lit("r")).otherwise(
-        F.lit("p")
-    )
-    nos = F.array_sort(
-        F.array_distinct(
-            F.coalesce(F.col("_ci.m.pp"), F.col("_ci.m.rr"), F.array())
+    # sm / pp / rr are optional in the canonical schema (the issue-level
+    # twin reads them as dict keys that may be absent) — guard on
+    # column/field presence so a print-only store without `sm`, or a CI
+    # struct carrying only one of pp/rr, still plans (mirrors the
+    # `if c in issues_df.columns` header guard above).
+    if "sm" in issues_df.columns:
+        prefix = F.when(F.col("_iss_sm") == "audio", F.lit("r")).otherwise(
+            F.lit("p")
         )
+    else:
+        prefix = F.lit("p")
+    ci_m_fields = {
+        f.name
+        for f in issues_df.schema["i"].dataType.elementType["m"].dataType.fields
+    }
+    no_sources = [
+        F.col(f"_ci.m.{c}") for c in ("pp", "rr") if c in ci_m_fields
+    ]
+    nos = F.array_sort(
+        F.array_distinct(F.coalesce(*no_sources, F.array()))
     )
     markers = F.transform(
         nos,

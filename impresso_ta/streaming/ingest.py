@@ -20,6 +20,26 @@ from pyspark.sql import functions as F
 from impresso_ta.schemas import ISSUE_SCHEMA
 
 
+def _read_store_before(sess: SparkSession, path: str, batch_id: int):
+    """Read a ``batch=N``-partitioned store, restricted to batches
+    before ``batch_id``; returns None when the store doesn't exist yet
+    (first batch — PATH_NOT_FOUND / empty-dir schema inference).
+
+    ONLY the path-missing AnalysisException is swallowed: any other
+    read failure (FS hiccup, corrupt footer, permissions) must
+    propagate so the micro-batch fails and the checkpoint retries it —
+    silently treating a transient error as "first batch" would bypass
+    the cross-batch gate and admit duplicates.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = sess.read.parquet(path)
+    except AnalysisException:
+        return None
+    return df.filter(F.col("batch") < batch_id)
+
+
 def stream_canonical_issues(
     spark: SparkSession,
     in_path: str,
@@ -135,16 +155,10 @@ def stream_incremental_dedup(
         sess = batch.sparkSession
         pairs = minhash_lsh_pairs(batch, threshold=threshold)
         survivors = dedup_survivors(batch, pairs)
-        try:
-            seen = (
-                sess.read.parquet(out_path)
-                .filter(F.col("batch") < batch_id)
-                .drop("batch")
-            )
-            has_seen = bool(seen.take(1))
-        except Exception:  # first batch: no store yet
-            has_seen = False
+        seen = _read_store_before(sess, out_path, batch_id)
+        has_seen = seen is not None and bool(seen.take(1))
         if has_seen:
+            seen = seen.drop("batch")
             survivors = incremental_minhash_dedup(
                 survivors, seen, threshold=threshold
             )
@@ -280,16 +294,10 @@ def stream_media_phash_gate(
         )
         drops = pairs.select(F.col("media_b").alias("media_id")).distinct()
         survivors = hashed.join(drops, "media_id", "left_anti")
-        try:
-            seen = (
-                sess.read.parquet(out_path)
-                .filter(F.col("batch") < batch_id)
-                .select("media_id", "phash", "decoded")
-            )
-            has_seen = bool(seen.take(1))
-        except Exception:  # first batch: no store yet
-            has_seen = False
+        seen = _read_store_before(sess, out_path, batch_id)
+        has_seen = seen is not None and bool(seen.take(1))
         if has_seen:
+            seen = seen.select("media_id", "phash", "decoded")
             # exact-id skip first: the pair join's id_a < id_b cannot
             # pair a re-delivered media_id with its stored self
             survivors = survivors.join(

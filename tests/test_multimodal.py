@@ -509,6 +509,32 @@ def test_phash_bands_must_exceed_hamming(spark):
         phash_dedup_pairs(hashed, max_hamming=4, bands=4)
 
 
+def test_phash_hash_bits_validation(spark):
+    """bands must divide hash_bits (a truncated split leaves top bits
+    unbanded), and hash_bits must fit the 64-bit LongType column."""
+    from impresso_ta.operators.multimodal import phash_dedup_pairs
+
+    hashed = spark.createDataFrame(
+        [("x", 1)], "media_id string, phash long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divide"):
+        phash_dedup_pairs(hashed, max_hamming=3, bands=6, hash_bits=64)
+    with _pytest.raises(ValueError, match="64"):
+        phash_dedup_pairs(hashed, max_hamming=3, bands=5, hash_bits=65)
+    # narrow-hash contract: hash_size=4 -> 16 populated bits, caller
+    # passes hash_bits=16 and the banded join still finds exact pairs
+    rows = [("a", 0x5A5A), ("b", 0x5A5B)]
+    narrow = spark.createDataFrame(rows, "media_id string, phash long")
+    got = phash_dedup_pairs(
+        narrow, max_hamming=3, bands=4, hash_bits=16
+    ).collect()
+    assert [(r["media_a"], r["media_b"], r["hamming"]) for r in got] == [
+        ("a", "b", 1)
+    ]
+
+
 def test_phash_pil_parity_when_available(spark):
     """When Pillow exists, the PIL path and the stdlib-PNG path must
     agree on a constant image (both grids constant -> hash 0)."""

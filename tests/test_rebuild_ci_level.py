@@ -49,6 +49,27 @@ def test_parity_simple_fixture(spark):
     assert rows["GDL-1900-01-02-a-i0004"]["has_problem"] is True
 
 
+def test_parity_without_sm_and_rr(spark):
+    """sm / rr are optional in the canonical schema: a print-only store
+    lacking the `sm` column and whose CI structs carry only `pp` must
+    still plan and rebuild identically on both twins (the issue-level
+    form reads them as optional dict keys; the CI-level form guards on
+    column/field presence)."""
+    from pyspark.sql import functions as F
+
+    iss, pages = simple_issue_and_pages()
+    issues_df = spark.createDataFrame([iss], ISSUE_SCHEMA)
+    reduced = issues_df.drop("sm").withColumn(
+        "i",
+        F.transform(
+            "i", lambda ci: ci.withField("m", ci["m"].dropFields("rr"))
+        ),
+    )
+    pages_df = spark.createDataFrame(pages, PAGE_SCHEMA)
+    rows = _assert_parity(reduced, pages_df, ts="2024-01-01T00:00:00Z")
+    assert rows["GDL-1900-01-02-a-i0001"]["ft"].startswith("Bonjour")
+
+
 def test_parity_audio(spark):
     iss, recs = audio_issue_and_record()
     issues_df = spark.createDataFrame([iss], ISSUE_SCHEMA)
