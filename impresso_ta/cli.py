@@ -99,12 +99,14 @@ def _build_parser() -> argparse.ArgumentParser:
     cor.add_argument("--jaccard-threshold", type=float, default=0.7)
     cor.add_argument(
         "--doc-dedup-method",
-        choices=["jaccard", "minhash_survivors"],
-        default="jaccard",
-        help="jaccard: exact-verified near-dup pairs (precision; pair set "
-        "quadratic in duplicate-clique size). minhash_survivors: "
-        "band-bucket union-find, linear at any duplicate distribution "
-        "(the crawl-scale form).",
+        choices=["auto", "jaccard", "minhash_survivors"],
+        default="auto",
+        help="auto (default): jaccard below 1M filtered docs, "
+        "minhash_survivors at or above. jaccard: exact-verified "
+        "near-dup pairs (precision; pair set quadratic in "
+        "duplicate-clique size). minhash_survivors: band-bucket "
+        "union-find, linear at any duplicate distribution (the "
+        "crawl-scale form).",
     )
     cor.add_argument(
         "--benchmark", help="parquet of benchmark docs to decontaminate against"

@@ -57,7 +57,8 @@ def prepare_corpus(
     line_spans: int | None = 10,
     doc_dedup: bool = True,
     jaccard_threshold: float = 0.7,
-    doc_dedup_method: str = "jaccard",
+    doc_dedup_method: str = "auto",
+    doc_dedup_auto_threshold: int = 1_000_000,
     benchmark: DataFrame | None = None,
     temperature_alpha: float | None = None,
     temperature_target: int = 0,
@@ -68,6 +69,12 @@ def prepare_corpus(
     """Run the corpus-preparation pipeline; returns the surviving
     documents (text rewritten by line dedup) plus optional per-stage
     counts.
+
+    ``doc_dedup_method``: "auto" (default) sizes the filtered corpus
+    and routes to the exact-verified pairwise "jaccard" form below
+    ``doc_dedup_auto_threshold`` documents and to the clique-proof
+    "minhash_survivors" form at or above it; either name forces that
+    form at any scale.
 
     ``collect_stats`` gathers per-stage (in, out) counts via
     ``Observation`` (CollectMetrics) nodes inserted at every stage
@@ -169,6 +176,24 @@ def prepare_corpus(
             cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
             cached.append(cur)
     if doc_dedup:
+        if doc_dedup_method == "auto":
+            # Route by corpus size: the pairwise jaccard form's OUTPUT
+            # is quadratic in duplicate-clique size — on a clone-heavy
+            # crawl corpus it GC-thrashes/OOMs no matter how buckets
+            # are sized (measured, PLANS §8) — so beyond the threshold
+            # the clique-proof survivors form (star edges ≤ n·bands at
+            # ANY duplicate distribution) is the only safe default;
+            # below it the exact-verified jaccard semantics are
+            # affordable and more precise. The count() materializes the
+            # persist the downstream branches reuse anyway, so the
+            # sizing action costs one pass the pipeline's first real
+            # action would otherwise pay.
+            n_docs = cur.count()
+            doc_dedup_method = (
+                "minhash_survivors"
+                if n_docs >= doc_dedup_auto_threshold
+                else "jaccard"
+            )
         if doc_dedup_method == "minhash_survivors":
             # clique-proof scale form: band-bucket star edges bound the
             # intermediate at n·bands regardless of duplicate
@@ -200,7 +225,7 @@ def prepare_corpus(
         else:
             raise ValueError(
                 f"unknown doc_dedup_method: {doc_dedup_method!r} "
-                "(expected 'jaccard' or 'minhash_survivors')"
+                "(expected 'auto', 'jaccard' or 'minhash_survivors')"
             )
     if benchmark is not None:
         # GPT-3-style decontamination: drop any training doc sharing a

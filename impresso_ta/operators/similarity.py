@@ -515,6 +515,114 @@ def multiprobe_lsh_topk(
     )
 
 
+# The measured Voronoi-assignment ceiling (tools/scale_docs_results.json:
+# Θ(n·nlist) cell assignment went 34-43× superlinear at the 10×→100× step
+# with corpus-sized nlist) — beyond this many vectors the auto router
+# switches from IVF to hyperplane-LSH, whose bucket assignment is
+# row-local in n·bits·dims.
+IVF_MAX_VECTORS = 10_000_000
+
+
+def deterministic_plane_sets(
+    n_tables: int, n_planes: int, dims: int
+) -> list[list[list[float]]]:
+    """Seed-free hyperplane tables (Weyl-sequence coefficients): table
+    t, plane i, component j = ((t·n_planes+i)·dims+j)·2654435761 mod
+    1000, mapped to [-1, 1). Deterministic and engine-portable — the
+    DuckDB oracle twins inline the identical constants, and two corpora
+    hashed through the same (table, plane) grid are join-compatible."""
+    sets = []
+    for tidx in range(n_tables):
+        planes = []
+        for i in range(n_planes):
+            gi = tidx * n_planes + i
+            planes.append(
+                [
+                    round(((gi * dims + j) * 2654435761 % 1000) / 500.0 - 1.0, 6)
+                    for j in range(dims)
+                ]
+            )
+        sets.append(planes)
+    return sets
+
+
+def ann_topk_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    strategy: str = "auto",
+    n: int | None = None,
+    dims: int | None = None,
+    brute_max: int = 100_000,
+    ivf_max: int = IVF_MAX_VECTORS,
+    target_cell_size: int = 512,
+    nprobe: int = 2,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Top-k cosine neighbors with the index tier picked from corpus
+    size — the similarity-search twin of ``dedup.semantic_dedup_auto``'s
+    three-tier routing, generalizing the reference's staged
+    candidate-filter search (SURVEY X11, ref: fedgaz/classes.py:242-345)
+    to "exact when affordable, cheapest index that still recalls when
+    not":
+
+    - ``brute`` (n ≤ ``brute_max``): exact ``cosine_topk`` — one corpus
+      scan, broadcast queries, no index error.
+    - ``ivf`` (n ≤ ``ivf_max``): ``ivf_topk`` with nlist sized so cells
+      hold ~``target_cell_size`` vectors (the documented IVF contract —
+      fixed nlist goes quadratic as the corpus outgrows it); candidate
+      volume ~n·nprobe/nlist. Bounded by the measured Θ(n·nlist)
+      Voronoi-assignment ceiling (``IVF_MAX_VECTORS``).
+    - ``lsh`` beyond: ``multiprobe_lsh_topk`` over ``n_tables``
+      deterministic hyperplane tables with bits sized so buckets hold
+      ~``target_cell_size`` vectors — assignment is row-local
+      (n·bits·dims), the 100 TB path.
+
+    ``n`` / ``dims`` are optional sizing hints: pass them for uncached
+    corpus-scale inputs to skip the count()/first() driver actions the
+    router otherwise runs (same contract as ``semantic_dedup_auto``).
+    ``strategy`` forces a tier ("brute" | "ivf" | "lsh"); every tier
+    returns the same (query_id, neighbor_id, cosine, rank) schema with
+    identical scoring expressions, so forced-tier results are
+    bit-comparable to the direct operator calls (parity-tested).
+    """
+    import math
+
+    if strategy not in ("auto", "brute", "ivf", "lsh"):
+        raise ValueError(f"unknown ann strategy: {strategy!r}")
+    if strategy == "auto" or (strategy in ("ivf", "lsh") and n is None):
+        if n is None:
+            n = corpus.count()
+    if strategy == "auto":
+        strategy = "brute" if n <= brute_max else (
+            "ivf" if n <= ivf_max else "lsh"
+        )
+    if strategy == "brute":
+        return cosine_topk(corpus, queries, k, id_col, vec_col, round_to)
+    if strategy == "ivf":
+        return ivf_topk(
+            corpus,
+            queries,
+            nlist=max(8, n // target_cell_size),
+            nprobe=nprobe,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_to=round_to,
+        )
+    if dims is None:
+        first = queries.select(vec_col).first()
+        dims = len(first[0]) if first is not None else 64
+    bits = max(2, math.ceil(math.log2(max(2.0, n / target_cell_size))))
+    plane_sets = deterministic_plane_sets(n_tables, bits, dims)
+    return multiprobe_lsh_topk(
+        corpus, queries, plane_sets, k, id_col, vec_col, round_to
+    )
+
+
 def knn_classify(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1742,20 +1742,10 @@ def _lsh_plane_sets(
     n_tables: int = 3, n_planes: int = 4, dims: int = 64
 ) -> list[list[list[float]]]:
     """Deterministic per-table hyperplane sets (Weyl-sequence
-    coefficients continuing ``_lsh_planes`` — table 0 IS _lsh_planes())."""
-    sets = []
-    for tidx in range(n_tables):
-        planes = []
-        for i in range(n_planes):
-            gi = tidx * n_planes + i
-            planes.append(
-                [
-                    round(((gi * dims + j) * 2654435761 % 1000) / 500.0 - 1.0, 6)
-                    for j in range(dims)
-                ]
-            )
-        sets.append(planes)
-    return sets
+    coefficients continuing ``_lsh_planes`` — table 0 IS _lsh_planes()).
+    Delegates to the operator's own generator so the oracle SQL and the
+    engine can never drift apart."""
+    return similarity.deterministic_plane_sets(n_tables, n_planes, dims)
 
 
 def _lsh_recall_sql() -> str:
@@ -5181,3 +5171,125 @@ def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_dedup_pairs(
         hashed, max_hamming=18, bands=30, hash_bits=60
     ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
+# =====================================================================
+# Round 5: prepare_corpus auto-routed doc dedup under the oracle gate
+# =====================================================================
+
+_PREPARE_DEDUP_AUTO_ORACLE = (
+    """
+    WITH RECURSIVE pairs AS ("""
+    + _JACCARD_ORACLE.format(thr=0.7)
+    + """),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    drops AS (SELECT node AS doc_id FROM comp WHERE node <> component)
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+    """
+)
+
+
+@q(
+    "corpus_prepare_dedup_auto",
+    _PREPARE_DEDUP_AUTO_ORACLE,
+    "prepare_corpus doc-dedup through the AUTO route (the code/CLI "
+    "default since round 5): below doc_dedup_auto_threshold the router "
+    "picks the exact-verified pairwise jaccard form — this oracle pins "
+    "that routing end-to-end (survivors = corpus minus non-min cluster "
+    "members at jaccard >= 0.7); at crawl scale the same default routes "
+    "to the clique-proof minhash_survivors form instead (next query).",
+)
+def corpus_prepare_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.pipeline import prepare_corpus
+
+    res = prepare_corpus(
+        t(spark, sf_dir, "documents"),
+        c4=False,
+        gopher=False,
+        line_spans=None,
+        doc_dedup=True,
+        doc_dedup_method="auto",
+        temperature_alpha=None,
+    )
+    return res.docs.select("doc_id", "lang", "n_chars")
+
+
+@q(
+    "corpus_prepare_dedup_survivors",
+    f"""
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN ({_minhash_survivors_oracle()}) s
+      ON d.doc_id = s.doc_id
+    WHERE s.is_rep
+    """,
+    "prepare_corpus doc-dedup with the minhash_survivors form FORCED — "
+    "the branch the auto router takes at or above the corpus threshold, "
+    "oracled at small sf so both routes of the default path carry a "
+    "per-round hash gate (survivors = band-bucket star-edge component "
+    "representatives, DuckDB twin with identical permutation constants).",
+)
+def corpus_prepare_dedup_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from impresso_ta.operators.pipeline import prepare_corpus
+
+    res = prepare_corpus(
+        t(spark, sf_dir, "documents"),
+        c4=False,
+        gopher=False,
+        line_spans=None,
+        doc_dedup=True,
+        doc_dedup_method="minhash_survivors",
+        temperature_alpha=None,
+    )
+    return res.docs.select("doc_id", "lang", "n_chars")
+
+
+@q(
+    "similarity_ann_auto",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(
+                   list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                       x -> x[1]::DOUBLE * x[2]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(q.embedding, v -> v::DOUBLE * v::DOUBLE)))
+                    * sqrt(list_sum(list_transform(c.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+               4) AS cosine
+        FROM q, c
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    "ANN with the index tier auto-picked from corpus size (the "
+    "similarity twin of semantic_dedup_auto's router): brute-force "
+    "below 100k vectors, IVF with corpus-sized nlist to the measured "
+    "~1e7 Voronoi ceiling, multiprobe hyperplane LSH beyond. At oracle "
+    "sf the router picks brute — the forced ivf/lsh tiers are "
+    "parity-tested against the direct operators in pytest.",
+)
+def similarity_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_auto(
+        corpus=emb.filter(F.col("vec_id") >= 5),
+        queries=emb.filter(F.col("vec_id") < 5),
+        k=3,
+    )

@@ -32,6 +32,30 @@ def test_pipeline_stages_shrink_monotonically(spark):
     assert set(d.columns) == set(out.columns)
 
 
+def test_auto_dedup_routes_by_corpus_size(spark):
+    """The default doc_dedup_method='auto' picks the exact-verified
+    jaccard form below the threshold and the clique-proof survivors
+    form at/above it — each route's output must equal the forced form."""
+    d = _docs(spark)
+    kw = dict(c4=False, gopher=False, line_spans=None, doc_dedup=True)
+
+    def ids(res):
+        out = sorted(r["doc_id"] for r in res.docs.select("doc_id").collect())
+        res.unpersist()
+        return out
+
+    # small corpus: auto == forced jaccard
+    assert ids(prepare_corpus(d, doc_dedup_method="auto", **kw)) == ids(
+        prepare_corpus(d, doc_dedup_method="jaccard", **kw)
+    )
+    # threshold forced to 1: auto == forced survivors
+    assert ids(
+        prepare_corpus(
+            d, doc_dedup_method="auto", doc_dedup_auto_threshold=1, **kw
+        )
+    ) == ids(prepare_corpus(d, doc_dedup_method="minhash_survivors", **kw))
+
+
 def test_pipeline_line_dedup_rewrites_text(spark):
     d = _docs(spark)
     res = prepare_corpus(d, c4=False, gopher=False, doc_dedup=False)
