@@ -98,6 +98,12 @@ EXTENDED_QUERIES = [
     "layout_zorder_key",
     # r4: the clique-proof linear-output dedup form (see PLANS §8)
     "dedup_minhash_survivors",
+    # r5: the auto-routed defaults (doc dedup through the size router;
+    # ANN through the tier router — brute at this sf) and the ETL core
+    # digest over the reference's fixed 726-CI canonical corpus
+    "corpus_prepare_dedup_auto",
+    "similarity_ann_auto",
+    "rebuild_reference_canonical",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]

@@ -428,11 +428,14 @@ def incremental_minhash_dedup(
     Scale shape: candidates are new-band ⋈ existing-band on
     (band, band-hash) — work proportional to the BATCH, not the corpus.
     Both sides ride :func:`_minhash_parts` with identical hash
-    parameters, so in production the existing side's signature/band
-    tables are computed once, stored bucketed by (band, bh), and each
-    increment probes them without touching existing TEXT except for the
-    candidate verify (join-pruned to colliding pairs). Extends the
-    reference's incremental import anti-join (F3/J1, ref
+    parameters, so the existing side's band/size tables can be computed
+    once and persisted; the production form that does exactly that is
+    :func:`minhash_band_state` + :func:`incremental_minhash_dedup_banded`
+    (identical output, no per-trigger re-banding of the store — the
+    streaming gates use it). This self-contained form re-derives the ex
+    side from text each call: use it for one-shot batch-vs-corpus
+    checks where no state store exists. Extends the reference's
+    incremental import anti-join (F3/J1, ref
     generic_importer.py:240-249) from exact-id skip to near-dup skip.
     """
     sh_n, sigs_n, band_n = _minhash_parts(
@@ -468,6 +471,115 @@ def incremental_minhash_dedup(
         )
         .join(
             sigs_e.select(
+                F.col("doc_id").alias("ex_id"),
+                F.col("n_shingles").alias("n_e"),
+            ),
+            "ex_id",
+        )
+        .filter(
+            F.round(
+                F.col("n_common")
+                / (F.col("n_n") + F.col("n_e") - F.col("n_common")),
+                4,
+            )
+            >= threshold
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(dups, id_col, "left_anti")
+
+
+def minhash_band_state(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 24,
+    bands: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable dedup state of a document set: its band table
+    (doc_id, band, bh) and shingle-size table (doc_id, n_shingles).
+
+    A continuous-ingest deployment writes these once per accepted batch
+    and probes them on every later trigger via
+    :func:`incremental_minhash_dedup_banded` — the store's TEXT is never
+    re-shingled or re-banded. Hash parameters are a pure function of the
+    permutation index (:func:`_minhash_parts`), so state written by any
+    batch is join-compatible with bands computed by any other.
+    """
+    _, sigs, banded = _minhash_parts(docs, id_col, text_col, k, num_perm, bands)
+    return banded, sigs.select("doc_id", "n_shingles")
+
+
+def incremental_minhash_dedup_banded(
+    new_docs: DataFrame,
+    state_bands: DataFrame,
+    state_sizes: DataFrame,
+    existing_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 24,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """:func:`incremental_minhash_dedup` probing PERSISTED state instead
+    of re-deriving the ex side from text — identical output
+    (parity-tested), batch-proportional per-trigger cost:
+
+    - the accepted store contributes a narrow columnar scan of its band
+      table (doc_id, band, bh) — no shingle explode, no md5 re-banding
+      of the corpus on any trigger;
+    - the batch's band table is broadcast into the candidate join, so
+      the state side is never shuffled by key;
+    - accepted TEXT is consulted only for the exact-Jaccard verify,
+      left-semi-pruned to the colliding candidate docs.
+
+    ``state_bands`` / ``state_sizes`` come from
+    :func:`minhash_band_state` runs over previously accepted batches
+    (must share k/num_perm/bands with this call).
+    """
+    sh_n, sigs_n, band_n = _minhash_parts(
+        new_docs, id_col, text_col, k, num_perm, bands
+    )
+    candidates = (
+        state_bands.select(F.col("doc_id").alias("ex_id"), "band", "bh")
+        .join(
+            F.broadcast(
+                band_n.select(F.col("doc_id").alias("new_id"), "band", "bh")
+            ),
+            ["band", "bh"],
+        )
+        .select("new_id", "ex_id")
+        .distinct()
+    )
+    # verify shingles only for colliding ex docs: the text store is
+    # scanned once, pruned by a (small) semi-join before the explode
+    ex_hit = existing_docs.join(
+        candidates.select(F.col("ex_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    sh_e = _explode_shingle_hashes(ex_hit, id_col, text_col, k)
+    common = (
+        candidates.join(
+            sh_n.select(F.col("doc_id").alias("new_id"), "h"), "new_id"
+        )
+        .join(sh_e.select(F.col("doc_id").alias("ex_id"), "h"), ["ex_id", "h"])
+        .groupBy("new_id", "ex_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    dups = (
+        common.join(
+            sigs_n.select(
+                F.col("doc_id").alias("new_id"),
+                F.col("n_shingles").alias("n_n"),
+            ),
+            "new_id",
+        )
+        .join(
+            state_sizes.select(
                 F.col("doc_id").alias("ex_id"),
                 F.col("n_shingles").alias("n_e"),
             ),
@@ -776,6 +888,8 @@ def semantic_dedup_auto(
     strategy: str = "auto",
     n_probes: int = 1,
     broadcast_budget_bytes: int = 256 * 1024 * 1024,
+    n: int | None = None,
+    dims: int | None = None,
 ) -> DataFrame:
     """:func:`semantic_dedup` with nlist sized from the corpus: the
     documented scale contract ("pick nlist so cells fit a task") made
@@ -812,9 +926,13 @@ def semantic_dedup_auto(
 
     from impresso_ta.operators.similarity import LITERAL_MAX_NLIST
 
-    n = embeddings.count()
+    # n/dims hints skip the two sizing actions (count + first) — on an
+    # uncached 100 TB input those are full-scan jobs; pass them when the
+    # caller already knows the corpus shape (parity-tested).
+    if n is None:
+        n = embeddings.count()
     nlist = max(1, math.ceil(n / target_cell_size))
-    if strategy in ("auto", "lsh"):
+    if dims is None and strategy in ("auto", "lsh"):
         first = embeddings.select(vec_col).first()
         dims = len(first[0]) if first is not None else 64  # empty corpus
     if strategy == "auto":

@@ -5293,3 +5293,84 @@ def similarity_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries=emb.filter(F.col("vec_id") < 5),
         k=3,
     )
+
+
+# The reference's own shipped canonical sample (12 issues / 726 CIs
+# across BNL/BNF/SWA-family titles, data/out/canonical_out) rebuilt
+# end-to-end and reduced to a per-title digest. The oracle is the
+# committed golden VALUES — any byte change in any rebuilt fulltext
+# changes a title's corpus_digest, so the importer/rebuild ETL core
+# carries the same per-round hash gate as the DataFrame operators
+# (round-5 task; ref rebuilders/paper_rebuilders.py:177-230).
+_REFERENCE_CANONICAL_BASE = (
+    "/root/reference/text_preparation/data/out/canonical_out"
+)
+
+_REFERENCE_CANONICAL_GOLDEN = [
+    ("BLB", 2, 2, 30782, "06a9179b551d82e14be9995798348875"),
+    ("EZR", 13, 12, 34665, "a99b2765dadfd129ac35f8cbe11ec3e2"),
+    ("FAL", 4, 0, 0, "83f9d2365850c584718a1de60ea866af"),
+    ("FAM", 15, 0, 0, "7980e513544ba36bb665d734ff9dd4e6"),
+    ("FZG", 102, 92, 172676, "8cff9f3b833966f86a091db81bbc0834"),
+    ("LLE", 105, 104, 141703, "7d9f2c455f84ad90cce7dae43b53ae45"),
+    ("arbeitgeber", 8, 8, 51480, "eee4f1c5060fffcfc5a0aa9e235ad0b7"),
+    ("excelsior", 161, 133, 156709, "74981b6cc4e380ab7839f04285f37481"),
+    ("handelsztg", 5, 5, 26479, "bc108fc5a088bf8a47bf9111d855814a"),
+    ("lafronde", 54, 53, 108509, "c945c914a77e99e3a3b2ebae812816b0"),
+    ("marieclaire", 198, 106, 153199, "695caa9f101842910ab1d4bd3b750f2a"),
+    ("oeuvre", 59, 59, 76428, "1c76deaa560a3af15323eddac3ebef3b"),
+]
+
+
+def _reference_canonical_oracle() -> str:
+    rows = ",\n        ".join(
+        f"('{a}', CAST({n} AS BIGINT), CAST({nt} AS BIGINT), "
+        f"CAST({tc} AS BIGINT), '{d}')"
+        for a, n, nt, tc, d in _REFERENCE_CANONICAL_GOLDEN
+    )
+    return (
+        "SELECT * FROM (VALUES\n        "
+        + rows
+        + "\n    ) AS t(alias, n_cis, n_with_text, total_chars, corpus_digest)"
+    )
+
+
+@q(
+    "rebuild_reference_canonical",
+    _reference_canonical_oracle(),
+    "The importer/rebuild ETL core under the oracle gate: rebuild the "
+    "reference's own shipped canonical corpus (12 issues, 726 CIs, "
+    "incl. the legacy-BNF line-nesting repair and the FAL/FAM "
+    "pOf-mismatch parity quirk) and digest it per title — CI counts, "
+    "fulltext coverage, total chars, and an order-insensitive md5 over "
+    "every CI's fulltext md5. Oracle = committed golden VALUES, so any "
+    "byte drift in any rebuilt text fails the hash gate.",
+)
+def rebuild_reference_canonical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from impresso_ta.rebuild import rebuild_issues_solr
+    from impresso_ta.rebuild.solr import split_errors
+    from impresso_ta.sources.readers import read_issues, read_pages
+
+    base = _REFERENCE_CANONICAL_BASE
+    issues = read_issues(spark, f"{base}/*-issues.jsonl.bz2")
+    pages = read_pages(spark, f"{base}/pages/*-pages.jsonl.bz2")
+    ok, _errors = split_errors(rebuild_issues_solr(issues, pages))
+    return (
+        ok.withColumn(
+            "alias", F.regexp_extract("id", r"^(.+)-\d{4}-\d{2}-\d{2}", 1)
+        )
+        .withColumn("ft_md5", F.md5(F.coalesce(F.col("ft"), F.lit(""))))
+        .groupBy("alias")
+        .agg(
+            F.count("*").cast("long").alias("n_cis"),
+            F.sum((F.length("ft") > 0).cast("long")).alias("n_with_text"),
+            F.sum(F.coalesce(F.length("ft"), F.lit(0)))
+            .cast("long")
+            .alias("total_chars"),
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list("ft_md5")))
+            ).alias("corpus_digest"),
+        )
+    )

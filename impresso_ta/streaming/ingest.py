@@ -123,31 +123,44 @@ def stream_incremental_dedup(
     threshold: float = 0.8,
     available_now: bool = True,
     max_files_per_trigger: int = 32,
+    state_path: str | None = None,
 ):
     """Continuous crawl dedup: every micro-batch of documents is
     (1) near-dup-deduped WITHIN the batch (MinHash-LSH + survivor
-    pass), then (2) gated against EVERYTHING previously accepted via
-    :func:`impresso_ta.operators.dedup.incremental_minhash_dedup` —
-    the accepted store doubles as the band-table state, so state never
-    diverges from output.
+    pass), then (2) gated against EVERYTHING previously accepted.
 
-    Exactly-once across crashes: survivors land in a ``batch=N``
-    partition written with mode=overwrite, so a replayed micro-batch
-    rewrites its own partition idempotently; the gate reads only
-    ``batch < N`` partitions, so a half-written own-partition from a
-    crashed attempt can never make the batch's docs look like dups of
-    themselves. The streaming composition of F3/J1 incremental skip
-    (exact ids) with near-dup semantics.
+    The cross-batch gate probes PERSISTED banded state: each accepted
+    batch's band table (doc_id, band, bh) and shingle sizes are written
+    once to ``state_path`` (default ``out_path + "_state"``), and later
+    triggers probe them via :func:`impresso_ta.operators.dedup.
+    incremental_minhash_dedup_banded` — per-trigger work is
+    batch-proportional (narrow columnar scan of the band state, the
+    batch side broadcast into the candidate join, accepted TEXT read
+    only for the exact-Jaccard verify of colliding candidates). The
+    store is never re-shingled or re-banded, so per-trigger COMPUTE
+    stays flat as the corpus grows.
+
+    Exactly-once across crashes: survivors AND their state land in
+    ``batch=N`` partitions written with mode=overwrite, so a replayed
+    micro-batch rewrites its own partitions idempotently; the gate
+    reads only ``batch < N`` partitions, so a half-written
+    own-partition from a crashed attempt can never make the batch's
+    docs look like dups of themselves (the state commit happens after
+    the output commit — both are replay-overwritten together). The
+    streaming composition of F3/J1 incremental skip (exact ids) with
+    near-dup semantics.
     """
     from impresso_ta.operators.dedup import (
         dedup_survivors,
-        incremental_minhash_dedup,
+        incremental_minhash_dedup_banded,
+        minhash_band_state,
         minhash_lsh_pairs,
     )
 
     doc_schema = (
         "doc_id long, text string, lang string, source string, n_chars long"
     )
+    state = state_path if state_path is not None else out_path + "_state"
 
     def _gate(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -155,15 +168,27 @@ def stream_incremental_dedup(
         sess = batch.sparkSession
         pairs = minhash_lsh_pairs(batch, threshold=threshold)
         survivors = dedup_survivors(batch, pairs)
-        seen = _read_store_before(sess, out_path, batch_id)
-        has_seen = seen is not None and bool(seen.take(1))
+        st_bands = _read_store_before(sess, f"{state}/bands", batch_id)
+        has_seen = st_bands is not None and bool(st_bands.take(1))
         if has_seen:
-            seen = seen.drop("batch")
-            survivors = incremental_minhash_dedup(
-                survivors, seen, threshold=threshold
+            st_sizes = _read_store_before(sess, f"{state}/sizes", batch_id)
+            seen_text = _read_store_before(sess, out_path, batch_id)
+            survivors = incremental_minhash_dedup_banded(
+                survivors,
+                st_bands.drop("batch"),
+                st_sizes.drop("batch"),
+                seen_text.drop("batch"),
+                threshold=threshold,
             )
         survivors.write.mode("overwrite").parquet(
             f"{out_path}/batch={batch_id}"
+        )
+        acc_bands, acc_sizes = minhash_band_state(survivors)
+        acc_bands.write.mode("overwrite").parquet(
+            f"{state}/bands/batch={batch_id}"
+        )
+        acc_sizes.write.mode("overwrite").parquet(
+            f"{state}/sizes/batch={batch_id}"
         )
 
     stream = (
@@ -251,6 +276,7 @@ def stream_media_phash_gate(
     bands: int = 4,
     available_now: bool = True,
     max_files_per_trigger: int = 32,
+    state_path: str | None = None,
 ):
     """Continuous IMAGE dedup: each micro-batch of media payloads is
     perceptual-hashed (:func:`impresso_ta.operators.multimodal.
@@ -258,28 +284,33 @@ def stream_media_phash_gate(
     distance, then gated against every previously-accepted image — the
     multimodal twin of :func:`stream_incremental_dedup`, sharing its
     exactly-once layout (``batch=N`` overwrite partitions; the gate
-    reads only ``batch < N``) and its state design: the accepted store
-    IS the state, carrying media_id + phash so the cross-batch probe
-    joins 8-byte hashes and never re-decodes stored images.
+    reads only ``batch < N``) and its banded-state design: each
+    accepted batch's band table (mid, ph, band, bv —
+    :func:`impresso_ta.operators.multimodal.phash_bands`) is written
+    once to ``state_path`` (default ``out_path + "_state"``) and later
+    triggers probe it via :func:`impresso_ta.operators.multimodal.
+    phash_probe_pairs`. The accepted store itself is never read by the
+    gate at all: the band state carries the 8-byte hash alongside each
+    band value, so the cross probe joins hashes without re-decoding or
+    re-banding anything — per-trigger compute is batch-proportional at
+    any store size.
 
     Crawl semantics this buys at scale: a re-delivered media_id is
-    dropped by an exact-id anti-join first (the F3 incremental skip —
-    the Hamming pair join's ``id_a < id_b`` cannot see a self-pair), and
-    a re-hosted/recompressed image whose pixels survive (dHash within
-    ``max_hamming``) is dropped by the cross probe. Candidate volume is
-    the banded equi-join's, never all-pairs. Cost honesty: this demo
-    re-reads and re-bands the accepted store every micro-batch —
-    O(|accepted|·bands) per trigger — which is fine for the moderate
-    stores the tests and local crawls exercise; a production deployment
-    stores the BAND table once, bucketed by (band, bv), and probes it
-    incrementally, exactly as ``incremental_minhash_dedup``'s docstring
-    prescribes for the text gate.
+    dropped by an exact-id anti-join against the state's id column (the
+    F3 incremental skip), and a re-hosted/recompressed image whose
+    pixels survive (dHash within ``max_hamming``) is dropped by the
+    banded cross probe. Candidate volume is the banded equi-join's,
+    never all-pairs.
     """
     from impresso_ta.operators.multimodal import (
         MEDIA_SCHEMA,
         image_phash,
+        phash_bands,
         phash_dedup_pairs,
+        phash_probe_pairs,
     )
+
+    state = state_path if state_path is not None else out_path + "_state"
 
     def _gate(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -294,55 +325,37 @@ def stream_media_phash_gate(
         )
         drops = pairs.select(F.col("media_b").alias("media_id")).distinct()
         survivors = hashed.join(drops, "media_id", "left_anti")
-        seen = _read_store_before(sess, out_path, batch_id)
-        has_seen = seen is not None and bool(seen.take(1))
+        st_bands = _read_store_before(sess, f"{state}/bands", batch_id)
+        has_seen = st_bands is not None and bool(st_bands.take(1))
         if has_seen:
-            seen = seen.select("media_id", "phash", "decoded")
-            # exact-id skip first: the pair join's id_a < id_b cannot
-            # pair a re-delivered media_id with its stored self
+            st_bands = st_bands.drop("batch")
+            # exact-id skip first: a re-delivered media_id is dropped
+            # regardless of hash distance (left_anti ignores the band
+            # fan-out duplication of the state rows)
             survivors = survivors.join(
-                seen.select("media_id"), "media_id", "left_anti"
+                st_bands.select(F.col("mid").alias("media_id")),
+                "media_id",
+                "left_anti",
             )
             # cross-batch probe on hashes only: any accepted image
             # within max_hamming kills the incoming one
-            both = survivors.select("media_id", "phash", "decoded").unionByName(
-                seen
-            )
-            cross = phash_dedup_pairs(
-                both, max_hamming=max_hamming, bands=bands
-            )
-            new_ids = survivors.select("media_id")
             hit = (
-                cross.join(
-                    seen.select(F.col("media_id").alias("media_a")),
-                    "media_a",
-                    "left_semi",
+                phash_probe_pairs(
+                    survivors.select("media_id", "phash"),
+                    st_bands,
+                    max_hamming=max_hamming,
+                    bands=bands,
                 )
-                .join(
-                    new_ids.withColumnRenamed("media_id", "media_b"),
-                    "media_b",
-                    "left_semi",
-                )
-                .select(F.col("media_b").alias("media_id"))
-                .union(
-                    cross.join(
-                        seen.select(F.col("media_id").alias("media_b")),
-                        "media_b",
-                        "left_semi",
-                    )
-                    .join(
-                        new_ids.withColumnRenamed("media_id", "media_a"),
-                        "media_a",
-                        "left_semi",
-                    )
-                    .select(F.col("media_a").alias("media_id"))
-                )
+                .select(F.col("media_new").alias("media_id"))
                 .distinct()
             )
             survivors = survivors.join(hit, "media_id", "left_anti")
         survivors.write.mode("overwrite").parquet(
             f"{out_path}/batch={batch_id}"
         )
+        phash_bands(
+            survivors.select("media_id", "phash"), bands=bands
+        ).write.mode("overwrite").parquet(f"{state}/bands/batch={batch_id}")
 
     stream = (
         spark.readStream.schema(MEDIA_SCHEMA)

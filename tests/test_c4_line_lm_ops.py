@@ -248,6 +248,29 @@ def test_semantic_dedup_auto_distributed_matches_collect(spark):
     assert auto == want
 
 
+def test_semantic_dedup_auto_hints_skip_sizing_actions(spark, monkeypatch):
+    """n/dims hints must suppress the router's count()/first() driver
+    actions (full scans on an uncached 100TB input) and produce the
+    identical result."""
+    from impresso_ta.operators.dedup import semantic_dedup_auto
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    kw = dict(target_cell_size=10, threshold=0.99)
+    want = sorted(tuple(r) for r in semantic_dedup_auto(emb, **kw).collect())
+
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("sizing action ran despite n/dims hints")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    monkeypatch.setattr(DataFrame, "first", _boom)
+    hinted = semantic_dedup_auto(emb, n=n, dims=64, **kw)
+    monkeypatch.undo()
+    assert sorted(tuple(r) for r in hinted.collect()) == want
+
+
 def test_semantic_dedup_lsh_twins_always_caught(spark):
     """Identical vectors produce identical sign bits at ANY n_bits, so
     exact twins can never be split across LSH cells — the higher id is

@@ -56,3 +56,34 @@ def test_png_palette_roundtrip(wh, rnd):
         for i in idx
     ) / (w * h) / 255.0
     assert abs(meta["mean_luma"] - expect) < 1e-5
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.tuples(st.integers(1, 40), st.integers(1, 40)),
+    st.sampled_from([0, 2, 3, 4, 6]),
+    st.randoms(use_true_random=False),
+)
+def test_numpy_luma_grid_bit_exact_vs_scalar(wh, color_type, rnd):
+    """The vectorized luma grid must be BIT-identical to the retained
+    scalar reference on every color type and dimension — same per-pixel
+    three-term luma expression, cumsum = the scalar loop's sequential
+    float adds — so dHash values cannot shift with the speedup."""
+    from impresso_ta.operators.multimodal import (
+        _png_luma_grid,
+        _png_luma_grid_scalar,
+    )
+
+    w, h = wh
+    if color_type == 3:
+        plte = bytes(rnd.randrange(256) for _ in range(48))
+        pixels = bytes(rnd.randrange(16) for _ in range(w * h))
+        png = png_encode(w, h, 3, pixels, plte)
+    else:
+        n = w * h * _PNG_CHANNELS[color_type]
+        pixels = bytes(rnd.randrange(256) for _ in range(n))
+        png = png_encode(w, h, color_type, pixels)
+    for gw, gh in ((9, 8), (3, 3), (1, 1)):
+        assert _png_luma_grid(png, gw, gh) == _png_luma_grid_scalar(
+            png, gw, gh
+        )

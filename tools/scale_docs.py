@@ -88,6 +88,24 @@ def _lsh_ann_scaled(spark, sf_dir):
     return lsh_bucketed_topk(e, qs, planes, k=3)
 
 
+def _pipeline_auto_dedup(spark, sf_dir):
+    """prepare_corpus with doc dedup ON through the default auto route —
+    the round-5 closure of the r4 probe's one scale-killer. The probe
+    corpora are clone-heavy by construction (sf10docs = 100 clones of
+    every sf0.1 doc → 100-way duplicate cliques): at 1x/10x the router
+    stays on the exact-verified jaccard form (< 1M filtered docs); at
+    100x (5M docs) it routes to minhash_survivors, which completes where
+    the pairwise form GC-thrashes on its k²/2 true pairs (see
+    dedup_minhash_lsh's null 100x cell)."""
+    from impresso_ta import queries as catalog
+    from impresso_ta.operators.pipeline import prepare_corpus
+
+    d = catalog.t(spark, sf_dir, "documents")
+    return prepare_corpus(
+        d, line_spans=None, doc_dedup=True, doc_dedup_method="auto"
+    ).docs
+
+
 def generate_sf10() -> None:
     import pyarrow.parquet as pq
 
@@ -134,6 +152,12 @@ def main() -> None:
     builds = {q: registry[q] for q in QUERIES}
     builds["similarity_ivf_scaled"] = _ivf_scaled
     builds["similarity_lsh_ann_scaled"] = _lsh_ann_scaled
+    builds["corpus_prepare_auto_dedup"] = _pipeline_auto_dedup
+    # subset mode: `python tools/scale_docs.py q1 q2` re-measures only
+    # those entries and merges them into the committed results file
+    only = set(sys.argv[1:])
+    if only:
+        builds = {q: fn for q, fn in builds.items() if q in only}
     results: dict[str, dict[str, float]] = {q: {} for q in builds}
     for tag, d in (("1x", SF01), ("10x", SF1), ("100x", SF10)):
         spark.read.parquet(os.path.join(d, "documents.parquet")).count()
@@ -150,7 +174,13 @@ def main() -> None:
         step = f"{t100 / t10:8.1f}x" if t10 and t100 else "     n/a"
         fmt = lambda v: f"{v:7.2f}" if v is not None else "    err"
         print(f"{q:32s} {fmt(t1)} {fmt(t10)} {fmt(t100)} {step}")
-    with open(os.path.join(REPO, "tools", "scale_docs_results.json"), "w") as f:
+    out_path = os.path.join(REPO, "tools", "scale_docs_results.json")
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     spark.stop()
 
