@@ -101,7 +101,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "--doc-dedup-method",
         choices=["auto", "jaccard", "minhash_survivors"],
         default="auto",
-        help="auto (default): jaccard below 1M filtered docs, "
+        help="auto (default): jaccard below 100k filtered docs, "
         "minhash_survivors at or above. jaccard: exact-verified "
         "near-dup pairs (precision; pair set quadratic in "
         "duplicate-clique size). minhash_survivors: band-bucket "

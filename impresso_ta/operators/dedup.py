@@ -58,6 +58,48 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
+def shingle_preserving_fingerprint(text: Column) -> Column:
+    """md5 of whitespace-normalized, case-SENSITIVE text — the collapse
+    key under which two documents are guaranteed to have IDENTICAL
+    shingle sets (``word_shingles`` splits on \\s+ of trim(text), so
+    whitespace runs never affect shingles, but case does — which is why
+    this is NOT :func:`text_fingerprint`, whose lowercasing would merge
+    docs with different shingle sets and break the output-identity
+    proof of :func:`collapse_exact_reps`)."""
+    return F.md5(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def collapse_exact_reps(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The subset of ``docs`` keeping only the min-id representative of
+    every exact-duplicate (shingle-preserving-fingerprint) group — the
+    pre-pass that makes pairwise Jaccard dedup clique-safe, with the
+    same output-identity argument as SemDeDup's ``_collapse_exact_dups``:
+
+    equal normalized text ⇒ identical shingle sets ⇒ Jaccard 1.0 to
+    each other (≥ any threshold ≤ 1, so an exact group is always one
+    dedup component) and IDENTICAL Jaccard to every other document (so
+    collapsing the group to one member changes no other component).
+    Hence components over the collapsed reps, with each group's min id
+    as its rep, have exactly the min-id survivors the full pairwise
+    pass would produce — while the pairwise join never sees the k²/2
+    true pairs an exact clique contributes (the measured GC-thrash/
+    ENOSPC mode on clone-heavy crawl corpora; PLANS §9).
+
+    Two uniform-key shuffles (fingerprint groupBy + id semi-join);
+    never the text.
+    """
+    fp = shingle_preserving_fingerprint(F.col(text_col))
+    rep_ids = (
+        docs.select(F.col(id_col), fp.alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return docs.join(rep_ids, id_col, "left_semi")
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of a document (portable: split on \\s+).
 
@@ -272,8 +314,15 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     cache_shingles: bool = False,
     max_bucket_size: int | None = None,
+    parts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard.
+
+    ``parts`` optionally supplies a precomputed
+    :func:`_minhash_parts` triple for ``docs`` so a caller composing
+    several minhash consumers over the same frame (the streaming gate:
+    within-batch pairs + cross-batch probe + band-state write) runs the
+    shingle/signature pass ONCE per batch instead of once per consumer.
 
     bands=8 × rows=3 over 24 permutations: P(candidate | j) = 1-(1-j³)⁸ —
     ≥ 0.999 at j=0.85, ~0.02 at j=0.15, so candidate volume stays linear
@@ -293,7 +342,7 @@ def minhash_lsh_pairs(
     survivors docstring), so the cap bounds the candidate join, not the
     true-pair count.
     """
-    sh, sigs, banded = _minhash_parts(
+    sh, sigs, banded = parts if parts is not None else _minhash_parts(
         docs, id_col, text_col, k, num_perm, bands, cache_shingles
     )
     if max_bucket_size is not None:
@@ -523,6 +572,7 @@ def incremental_minhash_dedup_banded(
     num_perm: int = 24,
     bands: int = 8,
     threshold: float = 0.8,
+    parts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """:func:`incremental_minhash_dedup` probing PERSISTED state instead
     of re-deriving the ex side from text — identical output
@@ -538,9 +588,11 @@ def incremental_minhash_dedup_banded(
 
     ``state_bands`` / ``state_sizes`` come from
     :func:`minhash_band_state` runs over previously accepted batches
-    (must share k/num_perm/bands with this call).
+    (must share k/num_perm/bands with this call). ``parts`` optionally
+    supplies the NEW side's precomputed :func:`_minhash_parts` triple
+    (see :func:`minhash_lsh_pairs`).
     """
-    sh_n, sigs_n, band_n = _minhash_parts(
+    sh_n, sigs_n, band_n = parts if parts is not None else _minhash_parts(
         new_docs, id_col, text_col, k, num_perm, bands
     )
     candidates = (

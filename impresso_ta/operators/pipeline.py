@@ -58,7 +58,7 @@ def prepare_corpus(
     doc_dedup: bool = True,
     jaccard_threshold: float = 0.7,
     doc_dedup_method: str = "auto",
-    doc_dedup_auto_threshold: int = 1_000_000,
+    doc_dedup_auto_threshold: int = 100_000,
     benchmark: DataFrame | None = None,
     temperature_alpha: float | None = None,
     temperature_target: int = 0,
@@ -177,17 +177,27 @@ def prepare_corpus(
             cached.append(cur)
     if doc_dedup:
         if doc_dedup_method == "auto":
-            # Route by corpus size: the pairwise jaccard form's OUTPUT
-            # is quadratic in duplicate-clique size — on a clone-heavy
-            # crawl corpus it GC-thrashes/OOMs no matter how buckets
-            # are sized (measured, PLANS §8) — so beyond the threshold
-            # the clique-proof survivors form (star edges ≤ n·bands at
-            # ANY duplicate distribution) is the only safe default;
-            # below it the exact-verified jaccard semantics are
-            # affordable and more precise. The count() materializes the
-            # persist the downstream branches reuse anyway, so the
-            # sizing action costs one pass the pipeline's first real
-            # action would otherwise pay.
+            # Route by corpus size. EXACT-duplicate cliques are already
+            # neutralized inside the jaccard branch (collapse_exact_reps
+            # pre-pass, output-identical — the 100x clone-corpus probe's
+            # killer, PLANS §9); what the threshold guards is what the
+            # collapse cannot: NEAR-dup cliques of byte-distinct
+            # variants (mirrors, recompressions, boilerplate families),
+            # whose k²/2 true pairs reappear in the pairwise form at
+            # crawl scale — beyond the threshold the survivors form
+            # (star edges ≤ n·bands at ANY duplicate distribution) is
+            # the safe default; below it the exact-verified jaccard
+            # semantics are affordable and more precise. The default
+            # threshold is deliberately LOW (100k): the risk is
+            # asymmetric — survivors on a small corpus costs seconds of
+            # extra work, while pairwise on a near-dup-clique corpus is
+            # output-quadratic (the 100x probe's 500k-doc 100-way-clone
+            # profile burned >60 GB of shuffle through the pairwise
+            # route and completes in ~40 s through survivors). The
+            # count()
+            # materializes the persist the downstream branches reuse
+            # anyway, so the sizing action costs one pass the
+            # pipeline's first real action would otherwise pay.
             n_docs = cur.count()
             doc_dedup_method = (
                 "minhash_survivors"
@@ -211,8 +221,17 @@ def prepare_corpus(
                 "doc_dedup", cur, cur.join(drops, id_col, "left_anti")
             )
         elif doc_dedup_method == "jaccard":
+            # Collapse byte-identical (whitespace-normalized,
+            # case-sensitive) docs to their min-id rep BEFORE the
+            # pairwise join: exact cliques contribute k²/2 TRUE pairs
+            # that no candidate machinery can absorb — the measured
+            # failure mode on clone-heavy corpora — and the collapse is
+            # provably output-identical (see collapse_exact_reps).
+            reps = _dedup.collapse_exact_reps(
+                cur, id_col=id_col, text_col=text_col
+            )
             pairs = _dedup.jaccard_pairs(
-                cur,
+                reps,
                 id_col=id_col,
                 text_col=text_col,
                 threshold=jaccard_threshold,
@@ -220,7 +239,7 @@ def prepare_corpus(
             cur = step(
                 "doc_dedup",
                 cur,
-                _dedup.dedup_survivors(cur, pairs, id_col=id_col),
+                _dedup.dedup_survivors(reps, pairs, id_col=id_col),
             )
         else:
             raise ValueError(

@@ -151,9 +151,9 @@ def stream_incremental_dedup(
     near-dup semantics.
     """
     from impresso_ta.operators.dedup import (
+        _minhash_parts,
         dedup_survivors,
         incremental_minhash_dedup_banded,
-        minhash_band_state,
         minhash_lsh_pairs,
     )
 
@@ -166,30 +166,48 @@ def stream_incremental_dedup(
         if batch.isEmpty():
             return
         sess = batch.sparkSession
-        pairs = minhash_lsh_pairs(batch, threshold=threshold)
+        # ONE shingle/signature pass per trigger, shared by all three
+        # minhash consumers (within-batch pairs, cross-batch probe,
+        # band-state write) via the `parts` hook
+        sh, sigs, banded = _minhash_parts(
+            batch, "doc_id", "text", 3, 24, 8
+        )
+        pairs = minhash_lsh_pairs(
+            batch, threshold=threshold, parts=(sh, sigs, banded)
+        )
         survivors = dedup_survivors(batch, pairs)
         st_bands = _read_store_before(sess, f"{state}/bands", batch_id)
         has_seen = st_bands is not None and bool(st_bands.take(1))
         if has_seen:
             st_sizes = _read_store_before(sess, f"{state}/sizes", batch_id)
             seen_text = _read_store_before(sess, out_path, batch_id)
+            surv_banded = banded.join(
+                survivors.select("doc_id"), "doc_id", "left_semi"
+            )
             survivors = incremental_minhash_dedup_banded(
                 survivors,
                 st_bands.drop("batch"),
                 st_sizes.drop("batch"),
                 seen_text.drop("batch"),
                 threshold=threshold,
+                parts=(sh, sigs, surv_banded),
             )
         survivors.write.mode("overwrite").parquet(
             f"{out_path}/batch={batch_id}"
         )
-        acc_bands, acc_sizes = minhash_band_state(survivors)
-        acc_bands.write.mode("overwrite").parquet(
-            f"{state}/bands/batch={batch_id}"
-        )
-        acc_sizes.write.mode("overwrite").parquet(
-            f"{state}/sizes/batch={batch_id}"
-        )
+        # band/size state of the FINAL accepted set, sliced from the
+        # shared parts instead of re-minhashing the survivors
+        final_ids = survivors.select("doc_id")
+        banded.join(final_ids, "doc_id", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(f"{state}/bands/batch={batch_id}")
+        sigs.select("doc_id", "n_shingles").join(
+            final_ids, "doc_id", "left_semi"
+        ).write.mode("overwrite").parquet(f"{state}/sizes/batch={batch_id}")
+        # _minhash_parts persists the signature frame for its in-trigger
+        # consumers; release it so a long-running stream doesn't
+        # accumulate one cached frame per micro-batch
+        sigs.unpersist()
 
     stream = (
         spark.readStream.schema(doc_schema)

@@ -56,6 +56,46 @@ def test_auto_dedup_routes_by_corpus_size(spark):
     ) == ids(prepare_corpus(d, doc_dedup_method="minhash_survivors", **kw))
 
 
+def test_jaccard_collapse_output_identical(spark):
+    """The exact-collapse pre-pass must not change the jaccard dedup's
+    survivors — including the case-sensitivity subtlety: docs equal
+    only after LOWERCASING have different shingle sets and must NOT be
+    collapsed (shingle_preserving_fingerprint keeps case)."""
+    from impresso_ta.operators.dedup import (
+        collapse_exact_reps,
+        dedup_survivors,
+        jaccard_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (5, "alpha beta gamma delta epsilon zeta"),        # exact dup of 1
+        (7, "alpha  beta gamma   delta epsilon zeta "),    # ws-variant of 1
+        (9, "ALPHA BETA GAMMA DELTA EPSILON ZETA"),        # case-only: NOT a dup
+        (11, "alpha beta gamma delta epsilon eta"),        # near-dup of 1
+        (13, "totally different words here entirely now"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    # ground truth: full pairwise form over ALL docs
+    want = sorted(
+        r["doc_id"]
+        for r in dedup_survivors(
+            d, jaccard_pairs(d, threshold=0.7)
+        ).collect()
+    )
+    reps = collapse_exact_reps(d)
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_survivors(
+            reps, jaccard_pairs(reps, threshold=0.7)
+        ).collect()
+    )
+    assert got == want
+    # the collapse dropped the exact/ws twins but kept the case variant
+    rep_ids = sorted(r["doc_id"] for r in reps.select("doc_id").collect())
+    assert rep_ids == [1, 9, 11, 13]
+
+
 def test_pipeline_line_dedup_rewrites_text(spark):
     d = _docs(spark)
     res = prepare_corpus(d, c4=False, gopher=False, doc_dedup=False)

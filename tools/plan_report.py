@@ -28,6 +28,10 @@ QUERIES = [
     ("layout_zorder_key", "Morton key in whole-stage codegen, zero shuffle"),
     ("corpus_contamination", "broadcast bloom probe, row-local"),
     ("events_funnel_conversion", "staged min-aggs; no cartesian of event frames"),
+    ("similarity_ann_auto", "tier router: brute tier at this sf — corpus "
+     "scanned once, query side broadcast, no index build"),
+    ("corpus_prepare_dedup_auto", "auto doc-dedup route: filters fused on "
+     "the scan, pairwise verify join-pruned to band collisions"),
 ]
 
 

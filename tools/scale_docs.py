@@ -134,7 +134,15 @@ def main() -> None:
         shuffle_partitions=32,
         extra_confs={
             "spark.ui.showConsoleProgress": "false",
-            "spark.driver.memory": "8g",
+            # local-mode: ONE JVM holds the driver and all 32 executor
+            # threads, so composed entries that persist the working
+            # corpus (corpus_prepare_auto_dedup holds the filtered 100x
+            # corpus at its reuse boundary) need real heap at the 100x
+            # cell — overridable; single-operator entries measure the
+            # same at 8g (spill-backed persists, bounded aggregates)
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "8g"
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
