@@ -262,6 +262,12 @@ def stream_rebuild_solr(
     pages side stays a static table the join probes per batch. Replaces
     the reference's re-run-everything + anti-join incremental mode
     (ref: generic_importer.py:240-249) with arrival-driven processing.
+
+    Exactly-once across crashes: rebuilt rows land in a ``batch=N``
+    partition written with mode=overwrite (the same layout as the dedup
+    gates), so a micro-batch replayed after a crash between the sink
+    write and the checkpoint commit REWRITES its own partition instead
+    of appending a duplicate copy of every rebuilt CI.
     """
     from impresso_ta.rebuild import rebuild_issues_solr
     from impresso_ta.schemas import ISSUE_SCHEMA
@@ -269,7 +275,9 @@ def stream_rebuild_solr(
     def _rebuild_batch(issues_batch: DataFrame, batch_id: int) -> None:
         if not issues_batch.isEmpty():
             rebuilt = rebuild_issues_solr(issues_batch, pages_df)
-            rebuilt.write.mode("append").parquet(out_path)
+            rebuilt.write.mode("overwrite").parquet(
+                f"{out_path}/batch={batch_id}"
+            )
 
     stream = (
         spark.readStream.schema(ISSUE_SCHEMA)

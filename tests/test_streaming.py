@@ -86,6 +86,44 @@ def test_stream_rebuild_solr_incremental(spark, tmp_path):
     assert {r["id"] for r in after.select("id").collect()} == ids
 
 
+def test_stream_rebuild_solr_replay_overwrites_partial_batch(
+    spark, tmp_path
+):
+    """Crash-replay idempotency: a half-written batch=N partition from a
+    crashed attempt (sink write succeeded, checkpoint commit didn't) is
+    REWRITTEN by the replay, never appended to — emulated by pre-seeding
+    batch=0 with garbage rows before the first run."""
+    from impresso_ta.schemas import PAGE_SCHEMA
+    from impresso_ta.streaming.ingest import stream_rebuild_solr
+    from tests.fixtures import simple_issue_and_pages
+
+    drop = tmp_path / "issues"
+    drop.mkdir()
+    out = str(tmp_path / "rebuilt")
+    ckpt = str(tmp_path / "ckpt")
+    issue, pages = simple_issue_and_pages()
+    pages_df = spark.createDataFrame(pages, PAGE_SCHEMA)
+    with open(drop / "a.jsonl", "w") as f:
+        f.write(json.dumps(issue) + "\n")
+
+    # the "crashed attempt": leftover rows in the partition batch 0
+    # will claim; an append-mode sink would retain them as duplicates
+    from pyspark.sql import functions as F
+
+    garbage = spark.range(3).select(
+        F.concat(F.lit("stale-"), F.col("id").cast("string")).alias("id")
+    )
+    garbage.write.parquet(f"{out}/batch=0")
+
+    q = stream_rebuild_solr(spark, str(drop), pages_df, out, ckpt)
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = spark.read.option("mergeSchema", "true").parquet(out)
+    ids = {r["id"] for r in got.select("id").collect()}
+    assert not any(i.startswith("stale-") for i in ids)
+    assert all(i.startswith(issue["id"]) for i in ids)
+
+
 def test_stream_corpus_quality_gate_kill_resume_exactly_once(spark, tmp_path):
     """Crash-recovery guarantee (VERDICT r2 item 8): stop the gate mid-
     backlog, restart from the same checkpoint, and the sink holds every
