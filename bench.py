@@ -104,6 +104,7 @@ EXTENDED_QUERIES = [
     "corpus_prepare_dedup_auto",
     "similarity_ann_auto",
     "rebuild_reference_canonical",
+    "dedup_exact_substring",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]

@@ -95,6 +95,15 @@ def _build_parser() -> argparse.ArgumentParser:
         default=10,
         help="line-dedup span width in words; 0 disables",
     )
+    cor.add_argument(
+        "--substring-dedup",
+        type=int,
+        default=0,
+        metavar="K",
+        help="corpus-wide exact-substring dedup window (tokens); 0 "
+        "disables (default). Repeated K-token windows are removed "
+        "everywhere but their globally-first occurrence (ExactSubstr).",
+    )
     cor.add_argument("--no-doc-dedup", action="store_true")
     cor.add_argument("--jaccard-threshold", type=float, default=0.7)
     cor.add_argument(
@@ -330,6 +339,7 @@ def cmd_corpus(args, spark) -> int:
         c4=not args.no_c4,
         gopher=not args.no_gopher,
         line_spans=args.line_spans or None,
+        substring_dedup=args.substring_dedup or None,
         doc_dedup=not args.no_doc_dedup,
         jaccard_threshold=args.jaccard_threshold,
         doc_dedup_method=args.doc_dedup_method,

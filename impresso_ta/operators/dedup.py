@@ -845,6 +845,90 @@ def dedup_survivors(
     return docs.join(drops, on=id_col, how="left_anti")
 
 
+def exact_substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Corpus-wide exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every ``k``-token
+    window that occurs more than once ANYWHERE in the corpus — across
+    documents or within one — is removed except at its globally first
+    occurrence (min (doc_id, position)); a document's surviving text is
+    its tokens not covered by any removed window. The cross-document
+    complement of :func:`line_dedup` (which dedups fixed spans by
+    content only within the keep-first-span rule) and the token-level
+    complement of doc-level dedup: boilerplate shared by otherwise
+    distinct documents is stripped while each document survives.
+
+    Returns (doc_id, n_tokens, n_removed, kept_text).
+
+    Scale shape (replaces the paper's monolithic suffix array, which
+    needs the corpus on one machine): one tokenize pass explodes
+    Σ n_tokens window rows keyed by a UNIFORM md5 window hash; the
+    first-occurrence resolution is ONE groupBy(h) with map-side
+    combine (min-struct + count); duplicate marking is an equi-join
+    that reuses the groupBy's hash partitioning; the rewrite is a
+    row-local indexed filter after one groupBy(doc) of the (tiny)
+    removal-position lists. Linear in corpus tokens, no skewed key (a
+    boilerplate window repeated 10⁶ times is one aggregate row and an
+    AQE-handled join bucket, never a window function partition).
+    """
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens.alias("_w"),
+    )
+    # (doc_id, p, h) for every k-token window, 1-based positions
+    win = base.filter(F.size("_w") >= k).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - (k - 1)),
+                lambda p: F.struct(
+                    p.alias("p"),
+                    F.md5(
+                        F.array_join(F.slice(F.col("_w"), p, k), " ")
+                    ).alias("h"),
+                ),
+            )
+        ).alias("_s"),
+    ).select("doc_id", "_s.p", "_s.h")
+    firsts = win.groupBy("h").agg(
+        F.min(F.struct("doc_id", "p")).alias("first"),
+        F.count("*").alias("cnt"),
+    )
+    marked = (
+        win.join(firsts, "h")
+        .filter(
+            (F.col("cnt") > 1)
+            & ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("p") == F.col("first.p"))
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list("p").alias("_ps"))
+    )
+    covered = lambda i: F.exists(  # noqa: E731 - 1-based token index i
+        F.col("_ps"), lambda p: (p <= i) & (i <= p + (k - 1))
+    )
+    kept = F.filter(
+        F.col("_w"), lambda x, i: ~covered(i + F.lit(1))
+    )
+    return (
+        base.join(marked, "doc_id", "left")
+        .withColumn("_ps", F.coalesce(F.col("_ps"), F.array()))
+        .select(
+            "doc_id",
+            F.size("_w").cast("long").alias("n_tokens"),
+            (F.size("_w") - F.size(kept)).cast("long").alias("n_removed"),
+            F.array_join(kept, " ").alias("kept_text"),
+        )
+    )
+
+
 def word_spans(text: Column, span_words: int = 10) -> Column:
     """Consecutive non-overlapping ``span_words``-word segments of a
     document — the "line" unit for corpora whose text carries no newline

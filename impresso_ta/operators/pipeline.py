@@ -13,6 +13,8 @@ row-local filters first, corpus-wide joins later):
     1. C4 heuristic filters         (zero shuffle)
     2. Gopher repetition filters    (two uniformly-keyed shuffles)
     3. corpus-wide line dedup       (rewrites text, drops emptied docs)
+    3b. exact-substring dedup       (optional, off by default — Lee et
+        al. 2022 ExactSubstr window removal, rewrites text)
     4. exact + MinHash-LSH doc dedup (keep cluster representative)
     5. benchmark decontamination    (broadcast bloom / shingle semi-join)
     6. temperature-based domain mix (zero shuffle)
@@ -55,6 +57,7 @@ def prepare_corpus(
     c4: bool = True,
     gopher: bool = True,
     line_spans: int | None = 10,
+    substring_dedup: int | None = None,
     doc_dedup: bool = True,
     jaccard_threshold: float = 0.7,
     doc_dedup_method: str = "auto",
@@ -171,8 +174,30 @@ def prepare_corpus(
             )
         )
         cur = step("line_dedup", cur, replaced)
-        if doc_dedup or benchmark is not None:
+        if doc_dedup or benchmark is not None or substring_dedup:
             # the rewritten corpus is again consumed by ≥2 branches
+            cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(cur)
+    if substring_dedup:
+        # Lee et al. 2022 ExactSubstr: strip every k-token window that
+        # repeats anywhere in the corpus except its globally-first
+        # occurrence, drop docs whose text is fully consumed. Runs
+        # AFTER line dedup (spans are a coarser unit) and BEFORE doc
+        # dedup (boilerplate stripped here can no longer glue
+        # otherwise-distinct docs into near-dup pairs).
+        rewritten = _dedup.exact_substring_dedup(
+            cur, id_col=id_col, text_col=text_col, k=substring_dedup
+        )
+        replaced = cur.drop(text_col).join(
+            rewritten.filter(F.col("n_removed") < F.col("n_tokens")).select(
+                F.col("doc_id").alias(id_col),
+                F.col("kept_text").alias(text_col),
+            ),
+            id_col,
+        )
+        cur = step("substring_dedup", cur, replaced)
+        if doc_dedup or benchmark is not None:
+            # again multi-consumed downstream
             cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
             cached.append(cur)
     if doc_dedup:

@@ -5336,6 +5336,49 @@ def _reference_canonical_oracle() -> str:
 
 
 @q(
+    "dedup_exact_substring",
+    """
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+    win AS (
+        SELECT doc_id, i AS p, md5(array_to_string(w[i : i + 7], ' ')) AS h
+        FROM tok, unnest(range(1, greatest(len(w) - 7, 0) + 1)) AS t(i)
+        WHERE len(w) >= 8),
+    occ AS (
+        SELECT doc_id, p,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn,
+               count(*) OVER (PARTITION BY h) AS cnt
+        FROM win),
+    rem AS (SELECT doc_id, list(p) AS ps FROM occ
+            WHERE cnt > 1 AND rn > 1 GROUP BY doc_id),
+    cov AS (SELECT doc_id, flatten([range(p, p + 8) for p in ps]) AS cv
+            FROM rem),
+    kept AS (
+        SELECT t.doc_id, t.w,
+               [t.w[i] for i in range(1, len(t.w) + 1)
+                if NOT list_contains(coalesce(f.cv, []), i)] AS kw
+        FROM tok t LEFT JOIN cov f ON t.doc_id = f.doc_id)
+    SELECT doc_id, len(w)::BIGINT AS n_tokens,
+           (len(w) - len(kw))::BIGINT AS n_removed,
+           coalesce(array_to_string(kw, ' '), '') AS kept_text
+    FROM kept
+    """,
+    "Corpus-wide EXACT-substring dedup (Lee et al. 2022 ExactSubstr): "
+    "every 8-token window occurring more than once anywhere in the "
+    "corpus is removed except at its globally-first (doc_id, pos) "
+    "occurrence; documents are rewritten to their uncovered tokens. "
+    "Suffix-array-free Spark shape: uniform md5 window keys, ONE "
+    "map-side-combined groupBy for first-occurrence resolution, "
+    "row-local indexed rewrite — linear in corpus tokens.",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_substring_dedup(
+        t(spark, sf_dir, "documents"), k=8
+    )
+
+
+@q(
     "rebuild_reference_canonical",
     _reference_canonical_oracle(),
     "The importer/rebuild ETL core under the oracle gate: rebuild the "

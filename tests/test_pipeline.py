@@ -56,6 +56,28 @@ def test_auto_dedup_routes_by_corpus_size(spark):
     ) == ids(prepare_corpus(d, doc_dedup_method="minhash_survivors", **kw))
 
 
+def test_substring_dedup_stage_strips_cross_doc_boilerplate(spark):
+    """The optional 3b stage removes repeated k-token windows (keeping
+    the globally-first occurrence), rewrites text, and drops docs whose
+    text is fully consumed — between line dedup and doc dedup."""
+    boiler = "subscribe to our newsletter for updates"
+    rows = [
+        (1, f"real article content number one {boiler}"),
+        (2, f"{boiler} second article body text"),
+        (3, boiler),  # nothing but the boilerplate -> dropped
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    res = prepare_corpus(
+        d, c4=False, gopher=False, line_spans=None, doc_dedup=False,
+        substring_dedup=6,
+    )
+    got = {r["doc_id"]: r["text"] for r in res.docs.collect()}
+    res.unpersist()
+    assert got[1] == f"real article content number one {boiler}"
+    assert got[2] == "second article body text"
+    assert 3 not in got
+
+
 def test_jaccard_collapse_output_identical(spark):
     """The exact-collapse pre-pass must not change the jaccard dedup's
     survivors — including the case-sensitivity subtlety: docs equal

@@ -43,6 +43,7 @@ QUERIES = [
     "similarity_topk_cosine",
     "similarity_ivf_topk",
     "dedup_minhash_survivors",
+    "dedup_exact_substring",
 ]
 
 # The catalog's similarity_ivf_topk is the ORACLE demo: fixed nlist=8
