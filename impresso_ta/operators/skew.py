@@ -73,6 +73,56 @@ def salted_agg(
     )
 
 
+def topn_per_key_salted(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    n: int,
+    n_salts: int = 16,
+    ascending: bool = True,
+) -> DataFrame:
+    """Exact top-``n`` rows per key without a single-task window over a
+    skewable key — the per-domain document cap of RefinedWeb-style
+    pipelines (``key=registered domain, order=doc_id, n=cap``), where a
+    hot domain holding 10⁸ crawl records would otherwise serialize into
+    ONE ``row_number`` window partition.
+
+    Stage 1 windows over (keys + salt): the hot key's rows spread over
+    ``n_salts`` tasks, and each salt keeps its local top-n — a superset
+    filter (every global top-n row is necessarily in its own salt's
+    top-n). Stage 2 re-windows the ≤ n·n_salts survivors per key for
+    the exact global rank. Output = the winning input rows plus an
+    exact 1-based ``rank``; identical to a direct single window
+    (parity-tested), with the hot-key partition bounded by
+    ~(rows_of_key/n_salts) in stage 1 and n·n_salts in stage 2.
+
+    ``order_col`` must be unique within a key (e.g. a row id) so ranks
+    are deterministic; it also seeds the salt, so placement is
+    replayable on task retry.
+    """
+    from pyspark.sql.window import Window
+
+    def ordv():
+        c = F.col(order_col)
+        return c.asc() if ascending else c.desc()
+
+    salted = df.withColumn(
+        "_salt", salt_column(F.col(order_col), n_salts)
+    )
+    w1 = Window.partitionBy(*key_cols, "_salt").orderBy(ordv())
+    stage1 = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= n)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(ordv())
+    return (
+        stage1.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= n)
+        .drop("_salt")
+    )
+
+
 def replicated_skew_join(
     big: DataFrame,
     small: DataFrame,

@@ -5417,3 +5417,32 @@ def rebuild_reference_canonical(
             ).alias("corpus_digest"),
         )
     )
+
+
+@q(
+    "per_domain_cap",
+    """
+    SELECT source, doc_id, CAST(rnk AS INT) AS rnk FROM (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY doc_id
+               ) AS rnk
+        FROM documents
+    ) WHERE rnk <= 30
+    """,
+    "RefinedWeb-style per-domain document cap as an EXACT salted top-n "
+    "per key: stage-1 window over (key, salt) spreads a hot domain over "
+    "16 tasks (each salt's local top-n is a superset of its share of "
+    "the global top-n), stage-2 re-ranks the <= n*salts survivors — "
+    "identical output to the single-partition-per-key window the "
+    "oracle runs, without its hot-key task.",
+)
+def per_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.skew import topn_per_key_salted
+
+    return topn_per_key_salted(
+        t(spark, sf_dir, "documents").select("source", "doc_id"),
+        key_cols=["source"],
+        order_col="doc_id",
+        n=30,
+    ).withColumn("rnk", F.col("rank").cast("int")).drop("rank")

@@ -95,3 +95,58 @@ def test_replicated_skew_join_matches_plain_join(spark):
         ).collect()
     )
     assert skewed == plain
+
+
+def test_topn_per_key_salted_matches_plain_window(spark):
+    """Exact parity with the single-window form on a skewed key
+    distribution (one hot key holding most rows), any n/salts."""
+    from pyspark.sql.window import Window
+
+    from impresso_ta.operators.skew import topn_per_key_salted
+
+    rows = [("hot", i) for i in range(500)] + [
+        (f"k{i % 7}", 1000 + i) for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "domain string, doc_id long")
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    plain = sorted(
+        (r["domain"], r["doc_id"], r["rank"])
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    )
+    for n_salts in (1, 4, 16):
+        got = sorted(
+            (r["domain"], r["doc_id"], r["rank"])
+            for r in topn_per_key_salted(
+                df, ["domain"], "doc_id", n=5, n_salts=n_salts
+            ).collect()
+        )
+        assert got == plain
+    # descending order too
+    got_desc = {
+        (r["domain"], r["rank"]): r["doc_id"]
+        for r in topn_per_key_salted(
+            df, ["domain"], "doc_id", n=1, ascending=False
+        ).collect()
+    }
+    assert got_desc[("hot", 1)] == 499
+
+
+def test_topn_per_key_salted_plan_spreads_hot_key(spark):
+    """Stage 1's window must partition by (key, salt) — the plan proof
+    that a hot key never lands on one task before the n*salts-bounded
+    final window."""
+    from impresso_ta.operators.skew import topn_per_key_salted
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)], "domain string, doc_id long"
+    )
+    plan = (
+        topn_per_key_salted(df, ["domain"], "doc_id", n=3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Window") == 2
+    assert "_salt" in plan.split("Window")[1]  # first window salt-keyed
