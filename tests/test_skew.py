@@ -136,7 +136,14 @@ def test_topn_per_key_salted_matches_plain_window(spark):
 def test_topn_per_key_salted_plan_spreads_hot_key(spark):
     """Stage 1's window must partition by (key, salt) — the plan proof
     that a hot key never lands on one task before the n*salts-bounded
-    final window."""
+    final window.
+
+    Counts Window NODES (``"Window ["``), not the substring ``Window``:
+    Spark's rank-limit pushdown inserts a ``WindowGroupLimit`` node under
+    each window (a per-partition pre-limit — desirable, and orthogonal to
+    the salting), which a bare substring count would miscount."""
+    import re
+
     from impresso_ta.operators.skew import topn_per_key_salted
 
     df = spark.createDataFrame(
@@ -148,5 +155,10 @@ def test_topn_per_key_salted_plan_spreads_hot_key(spark):
         .optimizedPlan()
         .toString()
     )
-    assert plan.count("Window") == 2
-    assert "_salt" in plan.split("Window")[1]  # first window salt-keyed
+    # partition specs of the Window nodes, outermost first:
+    # Window [<exprs>], [<partition spec>], [<order spec>]
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\], \[", plan)
+    assert len(specs) == 2, plan
+    outer, inner = specs
+    assert "_salt" in inner and "domain" in inner  # stage 1: (key, salt)
+    assert "_salt" not in outer and "domain" in outer  # stage 2: key only
