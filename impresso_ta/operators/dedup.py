@@ -870,14 +870,23 @@ def exact_substring_dedup(
     first-occurrence resolution is ONE groupBy(h) with map-side
     combine (min-struct + count); duplicate marking is an equi-join
     that reuses the groupBy's hash partitioning; the rewrite is a
-    row-local indexed filter after one groupBy(doc) of the (tiny)
-    removal-position lists. Linear in corpus tokens, no skewed key (a
-    boilerplate window repeated 10⁶ times is one aggregate row and an
-    AQE-handled join bucket, never a window function partition).
+    row-local GAP SWEEP over the sorted removal starts (see below) —
+    O(n_tokens + n_removals) per document, so even a pathological
+    fully-duplicated 10⁵-token document costs one linear pass, not
+    the n_tokens × n_removals of a per-token membership scan. Linear
+    in corpus tokens, no skewed key (a boilerplate window repeated
+    10⁶ times is one aggregate row and an AQE-handled join bucket,
+    never a window function partition).
+
+    First occurrence is resolved by min(struct(id, p)) under the id
+    column's NATIVE ordering — ids pass through untouched (numeric or
+    string; a string id corpus gets lexicographic tie-breaks, equally
+    deterministic), so no document is ever silently dropped by a
+    failed numeric cast.
     """
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
     base = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),
         tokens.alias("_w"),
     )
     # (doc_id, p, h) for every k-token window, 1-based positions
@@ -911,15 +920,31 @@ def exact_substring_dedup(
         .groupBy("doc_id")
         .agg(F.collect_list("p").alias("_ps"))
     )
-    covered = lambda i: F.exists(  # noqa: E731 - 1-based token index i
-        F.col("_ps"), lambda p: (p <= i) & (i <= p + (k - 1))
+    # Gap sweep: every removal window has the SAME length k, so sorting
+    # the starts also sorts the ends — no interval merge is needed. The
+    # kept (uncovered) 1-based token indices are exactly the union of
+    # the gaps [1, p₁−1], [pⱼ+k, pⱼ₊₁−1], [pₘ+k, n]; an overlapping or
+    # adjacent pair of windows simply yields an empty gap (end < start).
+    # One zip_with + flatten builds them all: O(tokens + removals).
+    ps = F.array_sort(F.col("_ps"))
+    n = F.size("_w")
+    gap_starts = F.concat(
+        F.array(F.lit(1)), F.transform(ps, lambda p: p + k)
     )
-    kept = F.filter(
-        F.col("_w"), lambda x, i: ~covered(i + F.lit(1))
+    gap_ends = F.concat(F.transform(ps, lambda p: p - 1), F.array(n))
+    kept_idx = F.flatten(
+        F.zip_with(
+            gap_starts,
+            gap_ends,
+            lambda s, e: F.when(e >= s, F.sequence(s, e)).otherwise(
+                F.array().cast("array<int>")
+            ),
+        )
     )
+    kept = F.transform(kept_idx, lambda i: F.element_at(F.col("_w"), i))
     return (
         base.join(marked, "doc_id", "left")
-        .withColumn("_ps", F.coalesce(F.col("_ps"), F.array()))
+        .withColumn("_ps", F.coalesce(F.col("_ps"), F.array().cast("array<int>")))
         .select(
             "doc_id",
             F.size("_w").cast("long").alias("n_tokens"),

@@ -73,3 +73,41 @@ def test_deterministic(spark):
     a = _run(spark, rows, k=4)
     b = _run(spark, rows, k=4)
     assert a == b
+
+
+def test_string_ids_survive_untouched(spark):
+    """Non-numeric doc ids must pass through — a failed numeric cast
+    silently dropping documents was the round-5 hazard. First
+    occurrence uses the id column's native (lexicographic) order."""
+    boiler = "all rights reserved contact us"
+    d = spark.createDataFrame(
+        [("art-b", f"{boiler} later body text"),
+         ("art-a", f"lead in {boiler}")],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_removed"], r["kept_text"])
+        for r in exact_substring_dedup(d, k=5).collect()
+    }
+    assert set(got) == {"art-a", "art-b"}  # nothing dropped
+    assert got["art-a"] == (0, f"lead in {boiler}")  # 'art-a' < 'art-b'
+    assert got["art-b"] == (5, "later body text")
+
+
+def test_pathological_fully_duplicated_long_doc(spark):
+    """A long document that is one phrase repeated end-to-end marks
+    nearly every window for removal (n_removals ~ n_tokens). The gap
+    sweep must stay linear: the old per-token exists() scan was
+    O(n_tokens x n_removals) here. Expected survivors: the first k
+    tokens (the globally-first window) plus the tokens after the last
+    complete duplicate window's coverage."""
+    reps = 2500  # 10k tokens, ~9.99k removal windows
+    text = " ".join("alpha beta gamma delta" for _ in range(reps))
+    got = _run(spark, [(1, text)], k=4)
+    n_tokens, n_removed, kept = got[1]
+    assert n_tokens == 4 * reps
+    # only 4 distinct window contents exist (the 4 rotations of the
+    # phrase), first occurring at positions 1-4; every window starting
+    # at 5..n-3 repeats one of them -> tokens 5..n covered, 1-4 kept.
+    assert kept == "alpha beta gamma delta"
+    assert n_removed == n_tokens - 4

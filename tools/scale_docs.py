@@ -107,6 +107,23 @@ def _pipeline_auto_dedup(spark, sf_dir):
     ).docs
 
 
+def _pathological_substring(spark, sf_dir):
+    """Worst-case ExactSubstr document: ONE doc that is a single phrase
+    repeated end-to-end, so n_removal_windows ~ n_tokens. Doc length
+    scales with the corpus tier (2 tokens per corpus doc: 10k / 100k /
+    1M tokens at 1x/10x/100x). The gap-sweep rewrite is O(tokens +
+    removals) row-local; the pre-round-6 per-token exists() scan was
+    O(tokens x removals) — ~10^12 comparisons at the 100x cell."""
+    from impresso_ta import queries as catalog
+    from impresso_ta.operators.dedup import exact_substring_dedup
+
+    n_docs = catalog.t(spark, sf_dir, "documents").count()
+    reps = max(1, (2 * n_docs) // 4)
+    text = " ".join("alpha beta gamma delta" for _ in range(reps))
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return exact_substring_dedup(d, k=8)
+
+
 def generate_sf10() -> None:
     import pyarrow.parquet as pq
 
@@ -162,6 +179,7 @@ def main() -> None:
     builds["similarity_ivf_scaled"] = _ivf_scaled
     builds["similarity_lsh_ann_scaled"] = _lsh_ann_scaled
     builds["corpus_prepare_auto_dedup"] = _pipeline_auto_dedup
+    builds["pathological_substring_doc"] = _pathological_substring
     # subset mode: `python tools/scale_docs.py q1 q2` re-measures only
     # those entries and merges them into the committed results file
     only = set(sys.argv[1:])
