@@ -105,17 +105,40 @@ def _build_parser() -> argparse.ArgumentParser:
         "everywhere but their globally-first occurrence (ExactSubstr).",
     )
     cor.add_argument("--no-doc-dedup", action="store_true")
-    cor.add_argument("--jaccard-threshold", type=float, default=0.7)
+    cor.add_argument(
+        "--jaccard-threshold",
+        type=float,
+        default=None,
+        help="near-dup Jaccard threshold for the 'jaccard' doc-dedup "
+        "form (default 0.7). IGNORED when dedup runs through "
+        "'minhash_survivors' — including when 'auto' routes there at "
+        ">=25k docs (a warning is emitted); force --doc-dedup-method "
+        "jaccard to keep thresholded semantics at any scale.",
+    )
     cor.add_argument(
         "--doc-dedup-method",
         choices=["auto", "jaccard", "minhash_survivors"],
         default="auto",
-        help="auto (default): jaccard below 100k filtered docs, "
+        help="auto (default): jaccard below 25k filtered docs, "
         "minhash_survivors at or above. jaccard: exact-verified "
         "near-dup pairs (precision; pair set quadratic in "
         "duplicate-clique size). minhash_survivors: band-bucket "
         "union-find, linear at any duplicate distribution (the "
-        "crawl-scale form).",
+        "crawl-scale form; threshold-free).",
+    )
+    cor.add_argument(
+        "--domain-cap",
+        type=int,
+        default=0,
+        metavar="N",
+        help="keep at most N docs per --domain-col value (RefinedWeb "
+        "per-domain cap; salted two-stage window, hot-domain-proof); "
+        "0 disables (default)",
+    )
+    cor.add_argument(
+        "--domain-cap-order",
+        help="column ranking docs within a capped domain (ascending; "
+        "default: --id-col)",
     )
     cor.add_argument(
         "--benchmark", help="parquet of benchmark docs to decontaminate against"
@@ -328,7 +351,11 @@ def cmd_corpus(args, spark) -> int:
             existing,
             id_col=args.id_col,
             text_col=args.text_col,
-            threshold=args.jaccard_threshold,
+            threshold=(
+                0.7
+                if args.jaccard_threshold is None
+                else args.jaccard_threshold
+            ),
         )
         print(f"incremental_dedup: {before} -> {docs.count()}")
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
@@ -344,6 +371,8 @@ def cmd_corpus(args, spark) -> int:
         jaccard_threshold=args.jaccard_threshold,
         doc_dedup_method=args.doc_dedup_method,
         benchmark=bench,
+        domain_cap=args.domain_cap or None,
+        domain_cap_order=args.domain_cap_order,
         temperature_alpha=args.temperature_alpha,
         temperature_target=args.temperature_target,
         domain_col=args.domain_col,

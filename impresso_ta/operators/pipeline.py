@@ -17,6 +17,8 @@ row-local filters first, corpus-wide joins later):
         al. 2022 ExactSubstr window removal, rewrites text)
     4. exact + MinHash-LSH doc dedup (keep cluster representative)
     5. benchmark decontamination    (broadcast bloom / shingle semi-join)
+    5b. per-domain cap              (optional — salted two-stage window,
+        RefinedWeb's max-N-docs-per-domain rule, hot-domain-proof)
     6. temperature-based domain mix (zero shuffle)
 
 Generalizes the reference's single-corpus cleanup steps (title
@@ -59,10 +61,12 @@ def prepare_corpus(
     line_spans: int | None = 10,
     substring_dedup: int | None = None,
     doc_dedup: bool = True,
-    jaccard_threshold: float = 0.7,
+    jaccard_threshold: float | None = None,
     doc_dedup_method: str = "auto",
-    doc_dedup_auto_threshold: int = 100_000,
+    doc_dedup_auto_threshold: int = 25_000,
     benchmark: DataFrame | None = None,
+    domain_cap: int | None = None,
+    domain_cap_order: str | None = None,
     temperature_alpha: float | None = None,
     temperature_target: int = 0,
     domain_col: str = "lang",
@@ -77,7 +81,18 @@ def prepare_corpus(
     and routes to the exact-verified pairwise "jaccard" form below
     ``doc_dedup_auto_threshold`` documents and to the clique-proof
     "minhash_survivors" form at or above it; either name forces that
-    form at any scale.
+    form at any scale. ``jaccard_threshold`` only applies to the
+    jaccard form (default 0.7); the survivors form is threshold-free
+    (band-bucket coincidence, unverified), so supplying an explicit
+    threshold while auto routes to survivors emits a warning — pass
+    ``doc_dedup_method="jaccard"`` to force thresholded semantics.
+
+    ``domain_cap``: keep at most N documents per ``domain_col`` value
+    (the RefinedWeb-style per-registered-domain cap), ranked by
+    ``domain_cap_order`` (default: the id column) ascending. Runs
+    after dedup/decontamination, before temperature mixing, via the
+    salted two-stage window (``topn_per_key_salted``) so a hot domain
+    holding 10⁸ crawl records never serializes into one task.
 
     ``collect_stats`` gathers per-stage (in, out) counts via
     ``Observation`` (CollectMetrics) nodes inserted at every stage
@@ -116,6 +131,7 @@ def prepare_corpus(
         or benchmark is not None
         or temperature_alpha is not None
     )
+    # (domain_cap is window-shaped — single consumption, no persist needed)
 
     # ``spread`` placement (A/B'd in one session, tools/ab_pipeline.py,
     # results in PLANS.md §7): "input" repartitions the raw scan before
@@ -213,22 +229,48 @@ def prepare_corpus(
             # (star edges ≤ n·bands at ANY duplicate distribution) is
             # the safe default; below it the exact-verified jaccard
             # semantics are affordable and more precise. The default
-            # threshold is deliberately LOW (100k): the risk is
-            # asymmetric — survivors on a small corpus costs seconds of
-            # extra work, while pairwise on a near-dup-clique corpus is
+            # threshold is deliberately LOW (25k, lowered from 100k
+            # after the r5 probe: a 50k-doc corpus of 10-way near-dup
+            # cliques sat just under 100k and took the pairwise worst
+            # case at ~6x the survivors time): the risk is asymmetric —
+            # survivors on a small corpus costs seconds of extra work,
+            # while pairwise on a near-dup-clique corpus is
             # output-quadratic (the 100x probe's 500k-doc 100-way-clone
             # profile burned >60 GB of shuffle through the pairwise
-            # route and completes in ~40 s through survivors). The
-            # count()
-            # materializes the persist the downstream branches reuse
-            # anyway, so the sizing action costs one pass the
-            # pipeline's first real action would otherwise pay.
+            # route and completes in ~40 s through survivors).
+            if not (
+                cur.storageLevel.useMemory or cur.storageLevel.useDisk
+            ):
+                # belt-and-braces: every current flag combination has
+                # already persisted cur here, but the sizing count must
+                # never silently become a full extra pass over the
+                # filter chain if a future path reaches it unpersisted
+                cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+                cached.append(cur)
+            # the count() materializes the persist the downstream
+            # branches reuse anyway, so the sizing action costs one
+            # pass the pipeline's first real action would otherwise pay
             n_docs = cur.count()
             doc_dedup_method = (
                 "minhash_survivors"
                 if n_docs >= doc_dedup_auto_threshold
                 else "jaccard"
             )
+            if (
+                doc_dedup_method == "minhash_survivors"
+                and jaccard_threshold is not None
+            ):
+                import warnings
+
+                warnings.warn(
+                    f"doc_dedup_method='auto' routed {n_docs} docs to "
+                    "minhash_survivors, which is threshold-free (band-"
+                    f"bucket coincidence): jaccard_threshold="
+                    f"{jaccard_threshold} is IGNORED. Pass "
+                    "doc_dedup_method='jaccard' to force exact-verified "
+                    "thresholded dedup at this scale.",
+                    stacklevel=2,
+                )
         if doc_dedup_method == "minhash_survivors":
             # clique-proof scale form: band-bucket star edges bound the
             # intermediate at n·bands regardless of duplicate
@@ -259,7 +301,9 @@ def prepare_corpus(
                 reps,
                 id_col=id_col,
                 text_col=text_col,
-                threshold=jaccard_threshold,
+                threshold=(
+                    0.7 if jaccard_threshold is None else jaccard_threshold
+                ),
             )
             cur = step(
                 "doc_dedup",
@@ -295,6 +339,22 @@ def prepare_corpus(
         cur = step(
             "decontamination", cur, cur.join(hit_ids, id_col, "left_anti")
         )
+    if domain_cap is not None:
+        # RefinedWeb-style per-domain cap: at most ``domain_cap`` docs
+        # per domain value, deterministic rank by ``domain_cap_order``
+        # ascending. The salted two-stage window spreads a hot domain
+        # over n_salts tasks in stage 1 and bounds the exact final
+        # window at cap·n_salts rows per domain — never one task per
+        # domain (see operators/skew.py topn_per_key_salted).
+        from impresso_ta.operators.skew import topn_per_key_salted
+
+        capped = topn_per_key_salted(
+            cur,
+            [domain_col],
+            domain_cap_order or id_col,
+            n=domain_cap,
+        ).drop("rank")
+        cur = step("domain_cap", cur, capped)
     if temperature_alpha is not None:
         if temperature_target <= 0:
             raise ValueError(

@@ -5446,3 +5446,46 @@ def per_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="doc_id",
         n=30,
     ).withColumn("rnk", F.col("rank").cast("int")).drop("rank")
+
+
+@q(
+    "corpus_prepare_domain_cap",
+    f"""
+    WITH base AS (SELECT doc_id, text, source,
+                         regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents),
+    c4 AS (
+        SELECT doc_id, source FROM base
+        WHERE {_C4_KEEP_SQL}
+          AND NOT (contains(lower(text), 'lorem ipsum')
+                   OR contains(lower(text), 'javascript')
+                   OR contains(lower(text), 'cookie policy')
+                   OR contains(lower(text), '{{'))
+    )
+    SELECT source, doc_id FROM (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY doc_id
+               ) AS rn
+        FROM c4
+    ) WHERE rn <= 20
+    """,
+    "The per-domain cap exercised THROUGH the corpus pipeline "
+    "(prepare_corpus domain_cap stage, the RefinedWeb max-N-docs-per-"
+    "domain slot): C4 filters then at most 20 docs per source, ranked "
+    "by doc_id, via the salted two-stage window — same answer as the "
+    "oracle's single window per source, without its hot-domain task.",
+)
+def corpus_prepare_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.pipeline import prepare_corpus
+
+    res = prepare_corpus(
+        t(spark, sf_dir, "documents"),
+        c4=True,
+        gopher=False,
+        line_spans=None,
+        doc_dedup=False,
+        domain_cap=20,
+        domain_col="source",
+    )
+    return res.docs.select("source", "doc_id")

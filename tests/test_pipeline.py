@@ -78,6 +78,55 @@ def test_substring_dedup_stage_strips_cross_doc_boilerplate(spark):
     assert 3 not in got
 
 
+def test_domain_cap_stage_caps_each_domain(spark):
+    """domain_cap keeps at most N docs per domain, ranked by the order
+    column ascending, with the original schema (no rank leak) — and is
+    exact on a skewed distribution (one hot domain)."""
+    rows = [("hot.example", i, f"text {i}") for i in range(40)] + [
+        (f"site{i}.example", 100 + i, f"other {i}") for i in range(5)
+    ]
+    d = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    res = prepare_corpus(
+        d, c4=False, gopher=False, line_spans=None, doc_dedup=False,
+        domain_cap=3, domain_col="source", collect_stats=True,
+    )
+    got = sorted(
+        (r["source"], r["doc_id"]) for r in res.docs.collect()
+    )
+    assert set(res.docs.columns) == {"source", "doc_id", "text"}
+    assert got == sorted(
+        [("hot.example", i) for i in range(3)]
+        + [(f"site{i}.example", 100 + i) for i in range(5)]
+    )
+    assert res.stats == [("domain_cap", 45, 8)]
+
+
+def test_auto_route_warns_when_jaccard_threshold_ignored(spark):
+    """An explicit jaccard_threshold must trigger a warning when 'auto'
+    routes to the threshold-free survivors form — and stay silent when
+    the jaccard form (which honors it) is selected."""
+    import warnings
+
+    d = _docs(spark)
+    kw = dict(c4=False, gopher=False, line_spans=None, doc_dedup=True)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        prepare_corpus(
+            d, doc_dedup_method="auto", doc_dedup_auto_threshold=1,
+            jaccard_threshold=0.9, **kw,
+        ).unpersist()
+    assert any("IGNORED" in str(w.message) for w in caught)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        prepare_corpus(
+            d, doc_dedup_method="auto", jaccard_threshold=0.9, **kw
+        ).unpersist()
+        prepare_corpus(
+            d, doc_dedup_method="auto", doc_dedup_auto_threshold=1, **kw
+        ).unpersist()
+    assert not [w for w in caught if "IGNORED" in str(w.message)]
+
+
 def test_jaccard_collapse_output_identical(spark):
     """The exact-collapse pre-pass must not change the jaccard dedup's
     survivors — including the case-sensitivity subtlety: docs equal
@@ -272,6 +321,7 @@ def test_cli_corpus_split_column(tmp_path, spark):
             "--output-dir", str(out),
             "--no-c4", "--no-gopher", "--line-spans", "0", "--no-doc-dedup",
             "--split", "train=0.8,val=0.1,test=0.1",
+            "--domain-cap", "10", "--domain-col", "source",
         ],
         capture_output=True, text=True, cwd="/root/repo", timeout=600,
     )
@@ -280,6 +330,9 @@ def test_cli_corpus_split_column(tmp_path, spark):
     assert "split" in prepared.columns
     splits = {row["split"] for row in prepared.select("split").distinct().collect()}
     assert splits <= {"train", "val", "test"} and "train" in splits
+    # --domain-cap bounded every source at 10 docs
+    per_source = prepared.groupBy("source").count().collect()
+    assert per_source and all(row["count"] <= 10 for row in per_source)
 
 
 def test_cli_corpus_dedup_against(tmp_path, spark):
