@@ -25,18 +25,42 @@ def _read_store_before(sess: SparkSession, path: str, batch_id: int):
     before ``batch_id``; returns None when the store doesn't exist yet
     (first batch — PATH_NOT_FOUND / empty-dir schema inference).
 
-    ONLY the path-missing AnalysisException is swallowed: any other
-    read failure (FS hiccup, corrupt footer, permissions) must
-    propagate so the micro-batch fails and the checkpoint retries it —
-    silently treating a transient error as "first batch" would bypass
-    the cross-batch gate and admit duplicates.
+    ONLY two conditions are treated as "no prior state": the path does
+    not exist (PATH_NOT_FOUND), or schema inference failed on a store
+    directory verified to contain no data files (a created-but-empty
+    store). Any other read failure (FS hiccup, corrupt footer,
+    permissions — including UNABLE_TO_INFER_SCHEMA on a directory that
+    DOES hold files) re-raises so the micro-batch fails and the
+    checkpoint retries it — silently treating a transient error as
+    "first batch" would bypass the cross-batch gate and admit
+    duplicates.
     """
     from pyspark.errors import AnalysisException
 
     try:
         df = sess.read.parquet(path)
-    except AnalysisException:
-        return None
+    except AnalysisException as e:
+        cond = (
+            e.getCondition()
+            if hasattr(e, "getCondition")
+            else e.getErrorClass()
+        ) or ""
+        if "PATH_NOT_FOUND" in cond or "PATH_NOT_FOUND" in str(e):
+            return None
+        if "UNABLE_TO_INFER_SCHEMA" in cond or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            # empty store dir (no data files anywhere below) = no prior
+            # state; files present = a real read failure, re-raise
+            jvm = sess.sparkContext._jvm
+            jsc = sess.sparkContext._jsc
+            p = jvm.org.apache.hadoop.fs.Path(path)
+            fs = p.getFileSystem(jsc.hadoopConfiguration())
+            it = fs.listFiles(p, True)
+            while it.hasNext():
+                f = it.next()
+                if not f.getPath().getName().startswith(("_", ".")):
+                    raise
+            return None
+        raise
     return df.filter(F.col("batch") < batch_id)
 
 

@@ -393,3 +393,39 @@ def test_stream_media_phash_gate_same_id_redelivery(spark, tmp_path):
     q.awaitTermination(240)
     assert q.exception() is None
     assert spark.read.parquet(out).count() == 1
+
+
+def test_read_store_before_error_discrimination(spark, tmp_path):
+    """Only 'no prior state' conditions may return None: a missing
+    path, or a store directory verified to hold no data files. A
+    directory that DOES hold (unreadable) data must re-raise so the
+    micro-batch retries instead of silently admitting duplicates past
+    the cross-batch gate."""
+    import os
+
+    import pytest
+
+    from impresso_ta.streaming.ingest import _read_store_before
+
+    # missing path -> first batch
+    assert _read_store_before(spark, str(tmp_path / "absent"), 1) is None
+    # existing but empty store dir (only marker files) -> first batch
+    empty = tmp_path / "empty_store"
+    empty.mkdir()
+    (empty / "_SUCCESS").touch()
+    assert _read_store_before(spark, str(empty), 1) is None
+    # dir with a data file that defeats schema inference -> re-raise
+    bad = tmp_path / "bad_store"
+    bad.mkdir()
+    with open(bad / "part-00000.parquet", "wb") as f:
+        f.write(b"not a parquet footer")
+    with pytest.raises(Exception):
+        _read_store_before(spark, str(bad), 1)
+    # healthy store still reads and filters
+    good = tmp_path / "good_store"
+    spark.createDataFrame(
+        [(1, 0), (2, 1)], "x long, batch long"
+    ).write.partitionBy("batch").parquet(str(good))
+    got = _read_store_before(spark, str(good), 1)
+    assert [r["x"] for r in got.collect()] == [1]
+    assert os.path.isdir(good)
