@@ -99,6 +99,16 @@ def topn_per_key_salted(
     ``order_col`` must be unique within a key (e.g. a row id) so ranks
     are deterministic; it also seeds the salt, so placement is
     replayable on task retry.
+
+    When to use (measured, tools/ab_topn.py + PLANS.md §10): Spark
+    3.5's WindowGroupLimit pushdown already group-limits the PLAIN
+    single-window form per map partition before its shuffle, bounding
+    the hot key's reducer at ~n x map_partitions rows — locally that
+    form wins every measured cell, and it is the right default. This
+    salted form wins only when n x map_partitions itself exceeds
+    single-task capacity (cluster regime: cap 1000 over a 10⁵-split
+    scan = 10⁸ rows into one reducer; n_salts divides it) — which is
+    exactly the corpus pipeline's ``domain_cap`` design point.
     """
     from pyspark.sql.window import Window
 
