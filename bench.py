@@ -266,6 +266,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # the code-frozen q1+w3 environment yardstick, embedded in the
+        # driver-captured record so round-over-round deltas can be
+        # decomposed into environment vs code from BENCH_rNN.json alone
+        "yardstick": detail["yardstick_sf0.1_pre"],
     }
 
     # Extended pass: newer corpus-text operators, reported separately so
