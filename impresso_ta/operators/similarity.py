@@ -89,6 +89,57 @@ def cosine_topk(
     )
 
 
+def semantic_decontamination(
+    train: DataFrame,
+    bench: DataFrame,
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    round_to: int = 4,
+) -> DataFrame:
+    """Drop training rows whose embedding cosine to ANY benchmark
+    vector reaches ``threshold`` — the embedding-space complement of
+    the shingle decontamination screen (``corpus.contamination``):
+    paraphrased or translated benchmark leakage shares no exact
+    n-grams but survives in embedding space (the reason modern data
+    cards report both screens).
+
+    Returns the surviving train rows, schema unchanged.
+
+    Scale shape: the benchmark collapses to ONE broadcast row of
+    (vector, norm) structs; each train row then evaluates a row-local
+    EXISTS over that array with its own norm hoisted out of the loop —
+    no shuffle, no pair materialization, train scanned exactly once at
+    |bench| dot products per row. |bench| is small by definition
+    (eval sets: 10³–10⁵ rows × 64–1024 dims fits any executor); a
+    larger screen belongs on the LSH-bucketed path
+    (:func:`lsh_bucketed_topk`) instead.
+    """
+    barr = bench.select(
+        F.collect_list(
+            F.struct(
+                F.col(vec_col).alias("v"),
+                norm(F.col(vec_col)).alias("n"),
+            )
+        ).alias("_bench")
+    )
+    hit = F.exists(
+        F.col("_bench"),
+        lambda b: F.round(
+            F.try_divide(
+                dot(F.col(vec_col), b["v"]), F.col("_tnorm") * b["n"]
+            ),
+            round_to,
+        )
+        >= threshold,
+    )
+    return (
+        train.withColumn("_tnorm", norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(barr))
+        .filter(~F.coalesce(hit, F.lit(False)))
+        .drop("_bench", "_tnorm")
+    )
+
+
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id for random-hyperplane LSH (deterministic
     planes supplied by the caller)."""

@@ -5489,3 +5489,41 @@ def corpus_prepare_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         domain_col="source",
     )
     return res.docs.select("source", "doc_id")
+
+
+@q(
+    "corpus_semantic_decontamination",
+    f"""
+    WITH bench AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 23 = 0
+    ),
+    train AS (SELECT * FROM embeddings WHERE vec_id % 23 <> 0),
+    hits AS (
+        SELECT DISTINCT t.vec_id
+        FROM train t JOIN bench b
+          ON {_cos_sql('t.embedding', 'b.embedding')} >= 0.35
+    )
+    SELECT t.vec_id, t.label FROM train t
+    LEFT JOIN hits h ON t.vec_id = h.vec_id
+    WHERE h.vec_id IS NULL
+    """,
+    "Embedding-space benchmark decontamination: drop every training "
+    "vector whose cosine to ANY benchmark vector reaches 0.35 — the "
+    "semantic complement of the shingle screen (catches paraphrased/"
+    "translated leakage with zero exact n-gram overlap). Spark shape: "
+    "benchmark collapsed to ONE broadcast row of (vector, norm) "
+    "structs, then a row-local EXISTS per train row (train-side norm "
+    "hoisted) — no shuffle, no pair materialization; the oracle "
+    "materializes the all-pairs join the operator avoids.",
+)
+def corpus_semantic_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from impresso_ta.operators.similarity import semantic_decontamination
+
+    e = t(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % 23 == 0)
+    train = e.filter(F.col("vec_id") % 23 != 0)
+    return semantic_decontamination(train, bench, threshold=0.35).select(
+        "vec_id", "label"
+    )

@@ -1,0 +1,86 @@
+"""Embedding-space benchmark decontamination: exact survivors vs a
+NumPy ground truth, degenerate-vector safety, and the broadcast
+no-shuffle plan."""
+
+import numpy as np
+
+from impresso_ta.operators.similarity import semantic_decontamination
+
+
+def _frames(spark):
+    rng = np.random.default_rng(7)
+    bench = rng.normal(size=(5, 8))
+    train = np.vstack(
+        [
+            rng.normal(size=(40, 8)),          # random: mostly clean
+            bench[0] + 0.01 * rng.normal(size=8),   # near-copy of bench 0
+            -bench[1],                          # anti-parallel: clean
+        ]
+    )
+    tdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(train)],
+        "vec_id long, embedding array<float>",
+    )
+    bdf = spark.createDataFrame(
+        [(100 + i, [float(x) for x in v]) for i, v in enumerate(bench)],
+        "vec_id long, embedding array<float>",
+    )
+    return train, bench, tdf, bdf
+
+
+def _expected_survivors(train, bench, threshold):
+    def cos(a, b):
+        return round(
+            float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)), 4
+        )
+
+    return sorted(
+        i
+        for i, tv in enumerate(train)
+        if not any(cos(tv, bv) >= threshold for bv in bench)
+    )
+
+
+def test_matches_numpy_ground_truth(spark):
+    train, bench, tdf, bdf = _frames(spark)
+    for threshold in (0.35, 0.8, 0.999):
+        got = sorted(
+            r["vec_id"]
+            for r in semantic_decontamination(
+                tdf, bdf, threshold=threshold
+            ).collect()
+        )
+        assert got == _expected_survivors(train, bench, threshold)
+    # the planted near-copy is dropped at any reasonable threshold
+    assert 40 not in set(
+        r["vec_id"]
+        for r in semantic_decontamination(tdf, bdf, threshold=0.8).collect()
+    )
+
+
+def test_schema_passthrough_and_zero_vector_safe(spark):
+    tdf = spark.createDataFrame(
+        [(1, [0.0, 0.0], "keep-me"), (2, [1.0, 0.0], "x")],
+        "vec_id long, embedding array<float>, extra string",
+    )
+    bdf = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = semantic_decontamination(tdf, bdf, threshold=0.9)
+    rows = {r["vec_id"]: r["extra"] for r in out.collect()}
+    # zero-norm train vector: cosine NULL -> never contaminated, kept
+    assert rows == {1: "keep-me"}
+    assert out.columns == ["vec_id", "embedding", "extra"]
+
+
+def test_plan_is_broadcast_no_shuffle(spark):
+    _, _, tdf, bdf = _frames(spark)
+    plan = (
+        semantic_decontamination(tdf, bdf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    # the train side reaches the filter without any hash exchange
+    assert "Exchange hashpartitioning" not in plan
