@@ -606,3 +606,140 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 256,
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al., NeurIPS 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw-pool document by how much more likely its hashed bag of
+    words is under the TARGET distribution than under the RAW pool's
+    own —
+
+        log w(x) = Σ_b count_x(b) · (log p_target(b) − log p_raw(b))
+
+    with bucket b = md5(word) % ``dim`` (the paper's hashed n-gram
+    features) and add-one smoothing on both bucket models. The raw pool
+    is the crawl; the target is a small high-quality exemplar corpus
+    (the reference's analogue is the config-driven corpus shaping of
+    its filter stages — F1/F2 select BY METADATA, this selects by
+    distributional similarity to data you point at).
+
+    Returns the raw rows unchanged plus ``dsir_logw`` (null-text docs
+    get 0.0 — no evidence either way; an empty string is ONE empty
+    token under :func:`tokens`, matching every other text operator).
+
+    Scale shape: two corpus-sized explode→groupBy(bucket) aggregates
+    (map-side combined on the uniform md5 key, each collapsing to ≤dim
+    rows), a dim-row log-ratio table broadcast into the per-doc bucket
+    counts, one doc-keyed sum. No driver collect, no all-pairs, nothing
+    quadratic — the model IS the dim-row table, so target size only
+    affects one linear aggregate over the target.
+    """
+    from impresso_ta.operators.dedup import shingle_hash48
+    from impresso_ta.operators.text_analysis import tokens
+
+    def bucket_of(col: Column) -> Column:
+        return (shingle_hash48(col) % dim).alias("bucket")
+
+    def corpus_buckets(df: DataFrame, out: str) -> DataFrame:
+        return (
+            spread_small_input(df)
+            .select(F.explode(tokens(F.col(text_col))).alias("word"))
+            .select(bucket_of(F.col("word")))
+            .groupBy("bucket")
+            .agg(F.count("*").alias(out))
+        )
+
+    raw_b = corpus_buckets(raw, "rc")
+    tgt_b = corpus_buckets(target, "tc")
+    # dim-row model join + one-row totals broadcast: the whole "model
+    # fit" is ≤dim rows on the driver-free path.
+    joined = raw_b.join(tgt_b, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce(F.col("rc"), F.lit(0)).alias("rc"),
+        F.coalesce(F.col("tc"), F.lit(0)).alias("tc"),
+    )
+    totals = joined.select(
+        F.sum("rc").alias("_R"), F.sum("tc").alias("_T")
+    )
+    ratio = joined.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("tc") + 1) / (F.col("_T") + dim))
+            - F.log((F.col("rc") + 1) / (F.col("_R") + dim)),
+            9,
+        ).alias("_lr"),
+    )
+    doc_b = (
+        spread_small_input(raw)
+        .select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+        )
+        .select(id_col, bucket_of(F.col("word")))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    weights = (
+        doc_b.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("c") * F.col("_lr")), round_to).alias("dsir_logw"))
+    )
+    return raw.join(weights, id_col, "left").withColumn(
+        "dsir_logw", F.coalesce(F.col("dsir_logw"), F.lit(0.0))
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 256,
+    salt: str = "dsir",
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR's selection step: Gumbel top-k over the importance
+    log-weights — sample ``n`` docs WITHOUT replacement with
+    P(select) ∝ w(x), as ``argtop_n(log w(x) + Gumbel noise)`` (the
+    Gumbel-max trick the paper uses). The noise is md5-uniform in the
+    doc id (no rand()), so the draw is deterministic across runs and
+    engines, and a doc's noise never changes as the corpus grows.
+
+    Returns the selected raw rows plus ``dsir_logw``; ``orderBy+limit``
+    compiles to TakeOrdered (per-partition top-n, then a driver merge of
+    n·n_partitions candidate rows — no global sort shuffle).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 48))
+    gumbel = -F.log(-F.log(u))
+    scored = dsir_log_weights(
+        raw, target, id_col=id_col, text_col=text_col, dim=dim, round_to=9
+    ).withColumn(
+        "_gkey", F.round(F.col("dsir_logw") + gumbel, round_to)
+    )
+    return (
+        scored.orderBy(F.col("_gkey").desc(), F.col(id_col))
+        .limit(n)
+        .withColumn("dsir_logw", F.round(F.col("dsir_logw"), round_to))
+        .drop("_gkey")
+    )

@@ -5527,3 +5527,87 @@ def corpus_semantic_decontamination(
     return semantic_decontamination(train, bench, threshold=0.35).select(
         "vec_id", "label"
     )
+
+
+_DSIR_COMMON = r"""
+    tgt AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
+    raw AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+    rw AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM raw),
+    tw AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM tgt),
+    rb AS (SELECT ('0x' || substr(md5(word), 1, 12))::BIGINT % 256 AS bucket,
+                  count(*) AS rc FROM rw GROUP BY 1),
+    tb AS (SELECT ('0x' || substr(md5(word), 1, 12))::BIGINT % 256 AS bucket,
+                  count(*) AS tc FROM tw GROUP BY 1),
+    m AS (SELECT coalesce(rb.bucket, tb.bucket) AS bucket,
+                 coalesce(rc, 0) AS rc, coalesce(tc, 0) AS tc
+          FROM rb FULL OUTER JOIN tb ON rb.bucket = tb.bucket),
+    tot AS (SELECT sum(rc) AS R, sum(tc) AS T FROM m),
+    ratio AS (SELECT bucket,
+                     round(ln((tc + 1) / (T + 256.0))
+                           - ln((rc + 1) / (R + 256.0)), 9) AS lr
+              FROM m, tot),
+    db AS (SELECT doc_id,
+                  ('0x' || substr(md5(word), 1, 12))::BIGINT % 256 AS bucket,
+                  count(*) AS c
+           FROM rw GROUP BY 1, 2),
+    w AS (SELECT doc_id, sum(c * lr) AS logw FROM db JOIN ratio USING (bucket) GROUP BY 1)
+"""
+
+
+@q(
+    "corpus_dsir_weights",
+    f"""
+    WITH {_DSIR_COMMON}
+    SELECT r.doc_id, r.source,
+           round(coalesce(w.logw, 0.0), 6) AS dsir_logw
+    FROM raw r LEFT JOIN w ON r.doc_id = w.doc_id
+    """,
+    "DSIR importance log-weights (Xie et al. 2023): score every "
+    "raw-pool doc by Σ_b count(b)·(log p_target(b) − log p_raw(b)) "
+    "over hashed-unigram bucket models (md5 % 256, add-one smoothing) "
+    "— selection by distributional similarity to a pointed-at target "
+    "corpus. Spark shape: two corpus-sized map-side-combined bucket "
+    "aggregates collapsing to ≤dim rows, a dim-row log-ratio broadcast "
+    "into per-doc bucket counts, one doc-keyed sum — no collect, "
+    "nothing quadratic, target size only affects one linear pass.",
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.corpus import dsir_log_weights
+
+    d = t(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        d.filter(F.col("doc_id") % 17 != 0),
+        d.filter(F.col("doc_id") % 17 == 0),
+    ).select("doc_id", "source", "dsir_logw")
+
+
+@q(
+    "corpus_dsir_selection",
+    f"""
+    WITH {_DSIR_COMMON},
+    scored AS (
+        SELECT r.doc_id, coalesce(w.logw, 0.0) AS logw,
+               round(coalesce(w.logw, 0.0)
+                     + -ln(-ln(
+                         ((('0x' || substr(md5('dsir:' || r.doc_id::VARCHAR), 1, 12))::BIGINT)::DOUBLE + 0.5)
+                         / 281474976710656.0)), 6) AS gkey
+        FROM raw r LEFT JOIN w ON r.doc_id = w.doc_id)
+    SELECT doc_id, round(round(logw, 9), 6) AS dsir_logw
+    FROM scored ORDER BY gkey DESC, doc_id LIMIT 150
+    """,
+    "DSIR selection step: Gumbel top-k over the importance weights — "
+    "sample n docs without replacement with P ∝ w(x) via "
+    "argtop_n(log w + Gumbel), noise md5-derived from the doc id so "
+    "the draw is deterministic across runs/engines and stable as the "
+    "corpus grows. orderBy+limit compiles to TakeOrdered (per-partition "
+    "top-n + driver merge), no global sort shuffle.",
+)
+def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.corpus import dsir_resample
+
+    d = t(spark, sf_dir, "documents")
+    return dsir_resample(
+        d.filter(F.col("doc_id") % 17 != 0),
+        d.filter(F.col("doc_id") % 17 == 0),
+        n=150,
+    ).select("doc_id", "dsir_logw")
