@@ -5611,3 +5611,38 @@ def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 17 == 0),
         n=150,
     ).select("doc_id", "dsir_logw")
+
+
+@q(
+    "events_attribution_join",
+    """
+    SELECT v.user_id,
+           v.event_id AS cause_id,
+           c.event_id AS effect_id,
+           v.ts AS cause_ts,
+           c.ts AS effect_ts,
+           epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+    WHERE v.event_type = 'view' AND c.event_type = 'purchase'
+    """,
+    "Event-time interval attribution join (batch twin of the "
+    "stream-stream join streaming/joins.py attribution_join — SAME "
+    "function, watermark=None): every purchase joined to the same "
+    "user's views at most 2h earlier. Equi-join on the user key with "
+    "the time bound as residual (hash/sort-merge, never a BNLJ over "
+    "time); in streaming the identical call with a watermark compiles "
+    "to StreamingSymmetricHashJoin with state bounded by "
+    "watermark+lag. Exact integer microsecond lag — no float time "
+    "arithmetic to drift across engines.",
+)
+def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.streaming.joins import attribution_join
+
+    e = t(spark, sf_dir, "events")
+    return attribution_join(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+        max_lag="2 hours",
+    )

@@ -1,0 +1,89 @@
+"""Stream-stream watermarked interval join: the streaming run drains to
+exactly the batch twin's rows (same function, watermark on), the
+physical plan is a StreamingSymmetricHashJoin with watermark state
+eviction, and the batch plan is a key-equi join (never a BNLJ)."""
+
+import datetime
+
+from impresso_ta.streaming.joins import attribution_join
+
+SCHEMA = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+T0 = datetime.datetime(2024, 1, 1, 8, 0, 0)
+
+
+def _rows():
+    m = datetime.timedelta(minutes=1)
+    return [
+        # user 1: view at 8:00 and 8:10; clicks at 8:05 (joins both
+        # windows' causes: the 8:00 view), 8:35 (joins only the 8:10
+        # view — 35min after the first) and 9:30 (joins nothing)
+        (1, T0, 1, "view"),
+        (2, T0 + 10 * m, 1, "view"),
+        (3, T0 + 5 * m, 1, "click"),
+        (4, T0 + 35 * m, 1, "click"),
+        (5, T0 + 90 * m, 1, "click"),
+        # user 2: click before any view — no match
+        (6, T0 + 1 * m, 2, "click"),
+        (7, T0 + 2 * m, 2, "view"),
+    ]
+
+
+
+
+
+def test_batch_twin_pairs_and_plan(spark):
+    events = spark.createDataFrame(_rows(), SCHEMA)
+    out = attribution_join(
+        events.filter("event_type = 'view'"),
+        events.filter("event_type = 'click'"),
+        max_lag="30 minutes",
+    )
+    pairs = {(r["cause_id"], r["effect_id"]) for r in out.collect()}
+    assert pairs == {(1, 3), (2, 4)}
+    lag = {r["effect_id"]: r["lag_us"] for r in out.collect()}
+    assert lag[3] == 5 * 60 * 1_000_000
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_streaming_drain_matches_batch_twin(spark, tmp_path):
+    events = spark.createDataFrame(_rows(), SCHEMA)
+    src = str(tmp_path / "events")
+    events.repartition(2).write.parquet(src)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    joined = attribution_join(
+        stream.filter("event_type = 'view'"),
+        stream.filter("event_type = 'click'"),
+        max_lag="30 minutes",
+        watermark="2 hours",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["cause_id"], r["effect_id"], r["lag_us"])
+        for r in spark.sql("SELECT * FROM attrib_test").collect()
+    }
+    batch = attribution_join(
+        events.filter("event_type = 'view'"),
+        events.filter("event_type = 'click'"),
+        max_lag="30 minutes",
+    )
+    want = {
+        (r["cause_id"], r["effect_id"], r["lag_us"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+    # the executed streaming plan is the symmetric hash join with
+    # watermark-driven state eviction — not a batch join in disguise
+    splan = q._jsq.explainInternal(True)
+    assert "StreamingSymmetricHashJoin" in splan
+    q.stop()
