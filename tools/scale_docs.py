@@ -124,6 +124,41 @@ def _pathological_substring(spark, sf_dir):
     return exact_substring_dedup(d, k=8)
 
 
+def _dsir_weights_scaled(spark, sf_dir):
+    """DSIR log-weights over the scaled raw pool (target scales too —
+    it only feeds one linear bucket aggregate; the model stays ≤dim
+    rows at every tier, so the curve should track the two
+    explode→groupBy passes, i.e. text_doc_vectors-shaped)."""
+    from pyspark.sql import functions as F
+
+    from impresso_ta import queries as catalog
+    from impresso_ta.operators.corpus import dsir_log_weights
+
+    d = catalog.t(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        d.filter(F.col("doc_id") % 17 != 0),
+        d.filter(F.col("doc_id") % 17 == 0),
+    ).select("doc_id", "dsir_logw")
+
+
+def _semantic_decon_scaled(spark, sf_dir):
+    """semantic_decontamination per its contract: FIXED benchmark (200
+    vectors — eval sets don't grow with the crawl), scaled train side.
+    Cost model: one train scan × |bench| row-local dot products — the
+    curve should be linear in the corpus tier."""
+    from pyspark.sql import functions as F
+
+    from impresso_ta import queries as catalog
+    from impresso_ta.operators.similarity import semantic_decontamination
+
+    e = catalog.t(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") < 200)
+    train = e.filter(F.col("vec_id") >= 200)
+    return semantic_decontamination(train, bench, threshold=0.35).select(
+        "vec_id"
+    )
+
+
 def generate_sf10() -> None:
     import pyarrow.parquet as pq
 
@@ -180,6 +215,8 @@ def main() -> None:
     builds["similarity_lsh_ann_scaled"] = _lsh_ann_scaled
     builds["corpus_prepare_auto_dedup"] = _pipeline_auto_dedup
     builds["pathological_substring_doc"] = _pathological_substring
+    builds["dsir_weights_scaled"] = _dsir_weights_scaled
+    builds["semantic_decon_scaled"] = _semantic_decon_scaled
     # subset mode: `python tools/scale_docs.py q1 q2` re-measures only
     # those entries and merges them into the committed results file
     only = set(sys.argv[1:])
