@@ -144,6 +144,20 @@ def _build_parser() -> argparse.ArgumentParser:
         "--benchmark", help="parquet of benchmark docs to decontaminate against"
     )
     cor.add_argument(
+        "--dsir-target",
+        help="parquet of target-distribution docs: DSIR importance "
+        "resampling (Xie et al. 2023) keeps the --dsir-n filtered docs "
+        "most like this corpus (deterministic Gumbel top-k)",
+    )
+    cor.add_argument(
+        "--dsir-n",
+        type=int,
+        default=0,
+        metavar="N",
+        help="number of docs DSIR selection keeps (required with "
+        "--dsir-target)",
+    )
+    cor.add_argument(
         "--dedup-against",
         help="parquet of the already-ingested corpus: drop input docs "
         "near-duplicating it (MinHash band probe + exact-Jaccard "
@@ -371,6 +385,12 @@ def cmd_corpus(args, spark) -> int:
         jaccard_threshold=args.jaccard_threshold,
         doc_dedup_method=args.doc_dedup_method,
         benchmark=bench,
+        dsir_target=(
+            spark.read.parquet(args.dsir_target)
+            if args.dsir_target
+            else None
+        ),
+        dsir_n=args.dsir_n or None,
         domain_cap=args.domain_cap or None,
         domain_cap_order=args.domain_cap_order,
         temperature_alpha=args.temperature_alpha,

@@ -65,6 +65,9 @@ def prepare_corpus(
     doc_dedup_method: str = "auto",
     doc_dedup_auto_threshold: int = 25_000,
     benchmark: DataFrame | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_n: int | None = None,
+    dsir_dim: int = 256,
     domain_cap: int | None = None,
     domain_cap_order: str | None = None,
     temperature_alpha: float | None = None,
@@ -86,6 +89,14 @@ def prepare_corpus(
     (band-bucket coincidence, unverified), so supplying an explicit
     threshold while auto routes to survivors emits a warning — pass
     ``doc_dedup_method="jaccard"`` to force thresholded semantics.
+
+    ``dsir_target`` + ``dsir_n``: DSIR importance resampling (Xie et
+    al. 2023) — select the ``dsir_n`` filtered docs most like the
+    target corpus (Gumbel top-k over hashed-bucket importance weights,
+    deterministic). Runs right after the quality filters, BEFORE the
+    dedup stages: selection shrinks the pool every later stage pays
+    for, and the paper's pipeline position is raw-pool-side. The
+    weight column is internal — the pipeline schema is unchanged.
 
     ``domain_cap``: keep at most N documents per ``domain_col`` value
     (the RefinedWeb-style per-registered-domain cap), ranked by
@@ -130,6 +141,9 @@ def prepare_corpus(
         or doc_dedup
         or benchmark is not None
         or temperature_alpha is not None
+        # dsir_log_weights consumes the filtered corpus three times
+        # (corpus bucket counts, per-doc bucket counts, the join-back)
+        or dsir_target is not None
     )
     # (domain_cap is window-shaped — single consumption, no persist needed)
 
@@ -175,6 +189,24 @@ def prepare_corpus(
         # core.py:402).
         cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
         cached.append(cur)
+    if dsir_target is not None:
+        if not dsir_n or dsir_n <= 0:
+            raise ValueError("dsir_target requires dsir_n > 0")
+        from impresso_ta.operators.corpus import dsir_resample
+
+        selected = dsir_resample(
+            cur,
+            dsir_target,
+            n=dsir_n,
+            id_col=id_col,
+            text_col=text_col,
+            dim=dsir_dim,
+        ).drop("dsir_logw")
+        cur = step("dsir_select", cur, selected)
+        if bool(line_spans) or doc_dedup or benchmark is not None:
+            # the selected corpus is again multi-consumed downstream
+            cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(cur)
     if line_spans:
         rebuilt = _dedup.line_dedup(
             cur, id_col, text_col, span_words=line_spans, with_text=True

@@ -5529,9 +5529,15 @@ def corpus_semantic_decontamination(
     )
 
 
-_DSIR_COMMON = r"""
-    tgt AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
-    raw AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+def _dsir_cte(
+    raw_sql: str = "SELECT * FROM documents WHERE doc_id % 17 <> 0",
+    tgt_sql: str = "SELECT * FROM documents WHERE doc_id % 17 = 0",
+) -> str:
+    """DuckDB CTE chain computing DSIR log-weights (`w`) over a
+    parameterizable raw pool and target corpus."""
+    return rf"""
+    tgt AS ({tgt_sql}),
+    raw AS ({raw_sql}),
     rw AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM raw),
     tw AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM tgt),
     rb AS (SELECT ('0x' || substr(md5(word), 1, 12))::BIGINT % 256 AS bucket,
@@ -5552,6 +5558,9 @@ _DSIR_COMMON = r"""
            FROM rw GROUP BY 1, 2),
     w AS (SELECT doc_id, sum(c * lr) AS logw FROM db JOIN ratio USING (bucket) GROUP BY 1)
 """
+
+
+_DSIR_COMMON = _dsir_cte()
 
 
 @q(
@@ -5646,3 +5655,51 @@ def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "purchase"),
         max_lag="2 hours",
     )
+
+
+_DSIR_PIPE_RAW = f"""SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents) WHERE {_C4_KEEP_SQL}
+          AND NOT (contains(lower(text), 'lorem ipsum')
+                   OR contains(lower(text), 'javascript')
+                   OR contains(lower(text), 'cookie policy')
+                   OR contains(lower(text), '{{'))"""
+
+
+@q(
+    "corpus_prepare_dsir",
+    f"""
+    WITH {_dsir_cte(raw_sql=_DSIR_PIPE_RAW, tgt_sql="SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0")},
+    scored AS (
+        SELECT r.doc_id, coalesce(w.logw, 0.0) AS logw,
+               round(coalesce(w.logw, 0.0)
+                     + -ln(-ln(
+                         ((('0x' || substr(md5('dsir:' || r.doc_id::VARCHAR), 1, 12))::BIGINT)::DOUBLE + 0.5)
+                         / 281474976710656.0)), 6) AS gkey
+        FROM raw r LEFT JOIN w ON r.doc_id = w.doc_id)
+    SELECT d.doc_id, d.source FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    ORDER BY s.gkey DESC, s.doc_id LIMIT 100
+    """,
+    "DSIR selection exercised THROUGH the corpus pipeline "
+    "(prepare_corpus dsir_target/dsir_n stage): C4 filters, then keep "
+    "the 100 filtered docs most like the pointed-at target corpus via "
+    "deterministic Gumbel top-k over hashed-bucket importance weights. "
+    "Selection runs BEFORE the dedup stages so it shrinks the pool "
+    "every later stage pays for; the weight column stays internal — "
+    "pipeline schema unchanged.",
+)
+def corpus_prepare_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.pipeline import prepare_corpus
+
+    d = t(spark, sf_dir, "documents")
+    res = prepare_corpus(
+        d,
+        c4=True,
+        gopher=False,
+        line_spans=None,
+        doc_dedup=False,
+        dsir_target=d.filter(F.col("doc_id") % 17 == 0),
+        dsir_n=100,
+    )
+    return res.docs.select("doc_id", "source")

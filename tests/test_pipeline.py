@@ -372,3 +372,86 @@ def test_cli_corpus_dedup_against(tmp_path, spark):
     }
     assert 99991 not in kept          # exact twin of ingested doc 0
     assert len(kept) > 0 and all(k % 2 == 1 for k in kept)
+
+
+def test_dsir_stage_selects_target_like_docs(spark):
+    """The dsir_target/dsir_n stage keeps exactly n docs, prefers
+    target-like vocabulary, keeps the schema weight-free, and reports
+    its boundary in the stats."""
+    rows = [(i, "paris museum art gallery exhibition") for i in range(10)] + [
+        (100 + i, "zebra xylophone quux blorp gnarl") for i in range(10)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(900, "paris art museum painting louvre")],
+        "doc_id long, text string",
+    )
+    res = prepare_corpus(
+        d, c4=False, gopher=False, line_spans=None, doc_dedup=False,
+        dsir_target=tgt, dsir_n=8, collect_stats=True,
+    )
+    out = res.docs.collect()
+    assert len(out) == 8
+    assert set(res.docs.columns) == {"doc_id", "text"}  # no weight leak
+    # the paris-vocabulary docs carry much higher importance weights:
+    # every selected doc is from the target-like half
+    assert all(r["doc_id"] < 100 for r in out)
+    assert res.stats == [("dsir_select", 20, 8)]
+
+
+def test_dsir_stage_requires_n(spark):
+    import pytest
+
+    d = _docs(spark)
+    with pytest.raises(ValueError, match="dsir_n"):
+        prepare_corpus(d, dsir_target=d.limit(2), dsir_n=None)
+
+
+def test_cli_dsir_flags(spark, tmp_path):
+    """--dsir-target/--dsir-n reach the pipeline through the corpus
+    subcommand: the CLI's selection equals the operator's on the same
+    frames (the Gumbel draw is deterministic in the doc ids)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    raw = pa.table(
+        {
+            "doc_id": list(range(12)),
+            "text": ["paris museum art gallery exhibition"] * 6
+            + ["zebra xylophone quux blorp gnarl"] * 6,
+        }
+    )
+    tgt = pa.table(
+        {"doc_id": [900], "text": ["paris art museum painting louvre"]}
+    )
+    raw_p, tgt_p = str(tmp_path / "raw.pq"), str(tmp_path / "tgt.pq")
+    pq.write_table(raw, raw_p)
+    pq.write_table(tgt, tgt_p)
+    out = str(tmp_path / "out")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "impresso_ta.cli", "corpus",
+            "--input", raw_p, "--output-dir", out,
+            "--no-c4", "--no-gopher", "--line-spans", "0",
+            "--no-doc-dedup", "--dsir-target", tgt_p, "--dsir-n", "4",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import duckdb
+
+    got = sorted(
+        row[0]
+        for row in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{out}/corpus/*.parquet')"
+        ).fetchall()
+    )
+    from impresso_ta.operators.corpus import dsir_resample
+
+    want = sorted(
+        row["doc_id"]
+        for row in dsir_resample(
+            spark.read.parquet(raw_p), spark.read.parquet(tgt_p), n=4
+        ).collect()
+    )
+    assert got == want and len(got) == 4

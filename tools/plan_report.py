@@ -32,6 +32,14 @@ QUERIES = [
      "scanned once, query side broadcast, no index build"),
     ("corpus_prepare_dedup_auto", "auto doc-dedup route: filters fused on "
      "the scan, pairwise verify join-pruned to band collisions"),
+    ("corpus_semantic_decontamination", "benchmark collapsed to ONE broadcast "
+     "row; train side reaches the filter with zero exchanges"),
+    ("corpus_dsir_weights", "dim-row model BroadcastHashJoin; both corpus "
+     "aggregates partial_ map-side"),
+    ("corpus_dsir_selection", "Gumbel top-k as TakeOrderedAndProject — no "
+     "global sort exchange"),
+    ("events_attribution_join", "stream-stream twin in batch: key-equi join "
+     "with time-range residual, no BNLJ"),
 ]
 
 
