@@ -1,0 +1,159 @@
+"""Distributed trainable text classifier: logistic regression over
+hashed bag-of-words features — the engine-native analogue of the
+learned quality filters modern corpus pipelines train (fastText-style
+classifiers in CCNet/RefinedWeb, FineWeb-Edu's scored filter): label a
+seed set, fit a linear model, score the whole crawl.
+
+Scale shape: features are the same (doc, bucket, count) frame the DSIR
+and doc-vector operators use (explode → map-side-combined count on the
+uniform md5 bucket key). Full-batch gradient descent, one iteration =
+two aggregates over that frame — a doc-keyed margin sum with the
+dim-row weight table BROADCAST in, and a bucket-keyed gradient sum —
+so the model never exceeds ``dim`` rows, nothing is collected to the
+driver, and per-iteration cost is linear in corpus tokens at any
+corpus size. Scoring is one broadcast join + one doc-keyed sum.
+
+Determinism: every per-doc and per-bucket quantity is rounded to 9
+decimals at each iteration boundary, so the unrolled DuckDB oracle
+reproduces the trained weights bit-for-bit at the hash-compare
+precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sigmoid(m: Column) -> Column:
+    return 1.0 / (1.0 + F.exp(-m))
+
+
+def hashed_bucket_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """(id, bucket, c) hashed-unigram counts — the shared feature frame
+    (bucket = md5(word) % dim, identical to DSIR / doc-vectors)."""
+    from impresso_ta.operators.dedup import shingle_hash48
+    from impresso_ta.operators.partitioning import spread_small_input
+    from impresso_ta.operators.text_analysis import tokens
+
+    return (
+        spread_small_input(docs)
+        .select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+        )
+        .select(id_col, (shingle_hash48(F.col("word")) % dim).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def lr_hashed_train(
+    docs: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    iters: int = 3,
+    learn_rate: float = 1.0,
+) -> DataFrame:
+    """Fit logistic-regression weights (bucket → w) predicting the
+    boolean/0-1 ``label_col`` from hashed-unigram counts, by ``iters``
+    full-batch gradient steps from w=0:
+
+        w_b ← w_b + learn_rate · Σ_docs c_db·(y_d − σ(margin_d)) / n
+
+    Returns the dim-row (bucket, w) model. The feature frame is
+    persisted once and re-scanned per iteration; the weight table rides
+    along as a broadcast — no driver collect at any step.
+    """
+    from pyspark import StorageLevel
+
+    labeled = docs.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("_y")
+    )
+    db = hashed_bucket_counts(
+        docs, id_col=id_col, text_col=text_col, dim=dim
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_row = labeled.agg(F.count("*").cast("double").alias("_n"))
+
+    weights: DataFrame | None = None
+    for _ in range(iters):
+        if weights is None:
+            # w = 0 → every margin is 0 → p = 0.5 exactly
+            resid = labeled.select(
+                id_col, F.round(F.col("_y") - 0.5, 9).alias("_r")
+            )
+        else:
+            margins = (
+                db.join(F.broadcast(weights), "bucket")
+                .groupBy(id_col)
+                .agg(F.round(F.sum(F.col("c") * F.col("w")), 9).alias("_m"))
+            )
+            resid = labeled.join(margins, id_col, "left").select(
+                id_col,
+                F.round(
+                    F.col("_y")
+                    - F.round(
+                        _sigmoid(F.coalesce(F.col("_m"), F.lit(0.0))), 9
+                    ),
+                    9,
+                ).alias("_r"),
+            )
+        grad = (
+            db.join(resid, id_col)
+            .crossJoin(F.broadcast(n_row))
+            .groupBy("bucket")
+            .agg(
+                F.round(
+                    F.sum(F.col("c") * F.col("_r") / F.col("_n"))
+                    * learn_rate,
+                    9,
+                ).alias("_g")
+            )
+        )
+        if weights is None:
+            weights = grad.select("bucket", F.col("_g").alias("w"))
+        else:
+            # every training bucket appears in every gradient (resid can
+            # be 0 but the (doc,bucket) rows never vanish), so the inner
+            # join is total
+            weights = weights.join(grad, "bucket").select(
+                "bucket",
+                F.round(F.col("w") + F.col("_g"), 9).alias("w"),
+            )
+        weights = weights.persist(StorageLevel.MEMORY_AND_DISK)
+    return weights
+
+
+def lr_hashed_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Score docs with a trained (bucket, w) model: adds ``lr_prob``
+    (σ of the hashed-feature margin; buckets unseen in training
+    contribute 0). One broadcast join + one doc-keyed sum — the
+    crawl-scale path: the corpus is scanned once, never joined to
+    itself."""
+    db = hashed_bucket_counts(docs, id_col=id_col, text_col=text_col, dim=dim)
+    margins = (
+        db.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("c") * F.col("w")), 9).alias("_m"))
+    )
+    return (
+        docs.join(margins, id_col, "left")
+        .withColumn(
+            "lr_prob",
+            F.round(_sigmoid(F.coalesce(F.col("_m"), F.lit(0.0))), round_to),
+        )
+        .drop("_m")
+    )

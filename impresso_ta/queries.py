@@ -5703,3 +5703,63 @@ def corpus_prepare_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_n=100,
     )
     return res.docs.select("doc_id", "source")
+
+
+def _lr_sql(iters: int = 3, dim: int = 64) -> str:
+    """Unrolled DuckDB twin of lr_hashed_train + lr_hashed_score:
+    train on even doc_ids (label: lang='en'), score the odd holdout."""
+    bucket = f"('0x' || substr(md5(word), 1, 12))::BIGINT % {dim}"
+    ctes = [
+        "train AS (SELECT doc_id, text, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents WHERE doc_id % 2 = 0)",
+        "holdout AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)",
+        rf"tdb AS (SELECT doc_id, {bucket} AS bucket, count(*) AS c FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM train) GROUP BY 1, 2)",
+        rf"sdb AS (SELECT doc_id, {bucket} AS bucket, count(*) AS c FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM holdout) GROUP BY 1, 2)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM train)",
+        "r1 AS (SELECT doc_id, round(y - 0.5, 9) AS r FROM train)",
+        "w1 AS (SELECT bucket, round(sum(c * r / n), 9) AS w FROM tdb JOIN r1 USING (doc_id), nn GROUP BY bucket)",
+    ]
+    for i in range(2, iters + 1):
+        p, q_ = i - 1, i
+        ctes += [
+            f"m{q_} AS (SELECT doc_id, round(sum(c * w), 9) AS m FROM tdb JOIN w{p} USING (bucket) GROUP BY 1)",
+            f"r{q_} AS (SELECT t.doc_id, round(y - round(1 / (1 + exp(-coalesce(m, 0))), 9), 9) AS r FROM train t LEFT JOIN m{q_} ON t.doc_id = m{q_}.doc_id)",
+            f"g{q_} AS (SELECT bucket, round(sum(c * r / n), 9) AS g FROM tdb JOIN r{q_} USING (doc_id), nn GROUP BY bucket)",
+            f"w{q_} AS (SELECT w{p}.bucket, round(w + g, 9) AS w FROM w{p} JOIN g{q_} ON w{p}.bucket = g{q_}.bucket)",
+        ]
+    ctes.append(
+        f"sm AS (SELECT doc_id, round(sum(c * w), 9) AS m FROM sdb JOIN w{iters} USING (bucket) GROUP BY 1)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n"
+        "    SELECT h.doc_id, round(1 / (1 + exp(-coalesce(m, 0))), 6) AS lr_prob\n"
+        "    FROM holdout h LEFT JOIN sm ON h.doc_id = sm.doc_id"
+    )
+
+
+@q(
+    "text_lr_classifier",
+    _lr_sql(),
+    "Trainable quality/language classifier: logistic regression over "
+    "hashed-unigram features (the CCNet/RefinedWeb/FineWeb-Edu learned-"
+    "filter slot) — 3 full-batch gradient iterations from w=0 on the "
+    "even-id half (label: lang='en'), holdout probabilities on the odd "
+    "half. Spark shape: per iteration two linear aggregates over the "
+    "shared (doc,bucket,c) feature frame with the dim-row weight table "
+    "broadcast in — the model never exceeds dim rows, nothing collects "
+    "to the driver; the oracle unrolls the same three iterations as "
+    "CTEs. Every iteration boundary rounds to 9 decimals so both "
+    "engines walk the identical weight trajectory.",
+)
+def text_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.classifier import (
+        lr_hashed_score,
+        lr_hashed_train,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "_label", (F.col("lang") == "en").cast("double")
+    )
+    weights = lr_hashed_train(train, "_label")
+    holdout = d.filter(F.col("doc_id") % 2 == 1)
+    return lr_hashed_score(holdout, weights).select("doc_id", "lr_prob")
