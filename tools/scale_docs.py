@@ -159,6 +159,29 @@ def _semantic_decon_scaled(spark, sf_dir):
     )
 
 
+def _lr_classifier_scaled(spark, sf_dir):
+    """Train-3-iterations + score-holdout at the corpus tier. Each
+    iteration is two linear aggregates over the (doc,bucket,c) frame
+    (persisted once), so the whole thing should track ~7 linear passes
+    regardless of tier — the model is ≤64 rows at any corpus size."""
+    from pyspark.sql import functions as F
+
+    from impresso_ta import queries as catalog
+    from impresso_ta.operators.classifier import (
+        lr_hashed_score,
+        lr_hashed_train,
+    )
+
+    d = catalog.t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "_label", (F.col("lang") == "en").cast("double")
+    )
+    weights = lr_hashed_train(train, "_label")
+    return lr_hashed_score(
+        d.filter(F.col("doc_id") % 2 == 1), weights
+    ).select("doc_id", "lr_prob")
+
+
 def generate_sf10() -> None:
     import pyarrow.parquet as pq
 
@@ -217,6 +240,7 @@ def main() -> None:
     builds["pathological_substring_doc"] = _pathological_substring
     builds["dsir_weights_scaled"] = _dsir_weights_scaled
     builds["semantic_decon_scaled"] = _semantic_decon_scaled
+    builds["lr_classifier_scaled"] = _lr_classifier_scaled
     # subset mode: `python tools/scale_docs.py q1 q2` re-measures only
     # those entries and merges them into the committed results file
     only = set(sys.argv[1:])
