@@ -69,8 +69,14 @@ def lr_hashed_train(
 
     Returns the dim-row (bucket, w) model. The feature frame is
     persisted once and re-scanned per iteration; the weight table rides
-    along as a broadcast — no driver collect at any step.
+    along as a broadcast — no driver collect at any step. One bounded
+    action (a count over the ≤dim-row model) materializes the training
+    at the end so every intermediate persist can be released before
+    returning — a long-lived session never accumulates feature-frame
+    cache from repeated training runs (the BPE train loop's pattern).
     """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     from pyspark import StorageLevel
 
     labeled = docs.select(
@@ -82,6 +88,7 @@ def lr_hashed_train(
     n_row = labeled.agg(F.count("*").cast("double").alias("_n"))
 
     weights: DataFrame | None = None
+    intermediates: list[DataFrame] = []
     for _ in range(iters):
         if weights is None:
             # w = 0 → every margin is 0 → p = 0.5 exactly
@@ -127,6 +134,11 @@ def lr_hashed_train(
                 F.round(F.col("w") + F.col("_g"), 9).alias("w"),
             )
         weights = weights.persist(StorageLevel.MEMORY_AND_DISK)
+        intermediates.append(weights)
+    weights.count()  # ≤dim rows: materialize the final model…
+    for df in intermediates[:-1]:
+        df.unpersist()  # …then drop the per-iteration tables
+    db.unpersist()  # and the corpus-sized feature frame
     return weights
 
 
