@@ -105,6 +105,12 @@ EXTENDED_QUERIES = [
     "similarity_ann_auto",
     "rebuild_reference_canonical",
     "dedup_exact_substring",
+    # r6: DSIR selection, the broadcast semantic decon screen, the
+    # trained hashed-LR filter, the stream-stream join's batch twin
+    "corpus_dsir_selection",
+    "corpus_semantic_decontamination",
+    "text_lr_classifier",
+    "events_attribution_join",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]
