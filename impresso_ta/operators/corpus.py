@@ -743,3 +743,75 @@ def dsir_resample(
         .withColumn("dsir_logw", F.round(F.col("dsir_logw"), round_to))
         .drop("_gkey")
     )
+
+
+def dsir_resample_threshold(
+    raw: DataFrame,
+    target: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 256,
+    salt: str = "dsir",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Crawl-scale DSIR selection: keep ≈``fraction`` of the raw pool
+    by thresholding the Gumbel-perturbed log-weight at its
+    (1−fraction) approximate quantile — the form that replaces
+    :func:`dsir_resample` when the kept count itself is huge.
+
+    ``dsir_resample``'s orderBy+limit compiles to TakeOrdered, which
+    merges n·n_partitions candidate rows on the driver — right for
+    eval-scale n, wrong for "keep 2B of 10B docs". Here the cutoff is
+    ONE approx-quantile aggregate (Greenwald-Khanna: fixed-size
+    mergeable rank summaries, the sketch_quantile_accuracy scale
+    argument) broadcast back as a one-row relation, then a row-local
+    filter — no global sort, nothing corpus-sized near the driver, and
+    the scored pool is persisted so the weight computation runs once
+    for both passes. The kept count is approximate within the sketch's
+    rank error (tested ≤2 % at the default accuracy); the draw stays
+    deterministic given the corpus (md5 noise, no rand()).
+
+    Returns the selected rows plus ``dsir_logw``. Callers that keep
+    the session alive should ``.unpersist()`` the result's lineage via
+    ``spark.catalog.clearCache()`` or treat it as consumed-once.
+    """
+    if not 0.0 < fraction < 1.0:
+        raise ValueError(f"fraction must be in (0, 1), got {fraction}")
+    from pyspark import StorageLevel
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 48))
+    scored = (
+        dsir_log_weights(
+            raw, target, id_col=id_col, text_col=text_col, dim=dim,
+            round_to=9,
+        )
+        .withColumn(
+            "_gkey", F.round(F.col("dsir_logw") + -F.log(-F.log(u)), 6)
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cutoff = scored.agg(
+        F.percentile_approx(
+            "_gkey", F.lit(1.0 - fraction), F.lit(accuracy)
+        ).alias("_cut")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("_gkey") >= F.col("_cut"))
+        .withColumn("dsir_logw", F.round(F.col("dsir_logw"), 6))
+        .drop("_gkey", "_cut")
+    )

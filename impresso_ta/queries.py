@@ -5763,3 +5763,40 @@ def text_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = lr_hashed_train(train, "_label")
     holdout = d.filter(F.col("doc_id") % 2 == 1)
     return lr_hashed_score(holdout, weights).select("doc_id", "lr_prob")
+
+
+@q(
+    "corpus_dsir_threshold_select",
+    """
+    WITH raw AS (SELECT * FROM documents WHERE doc_id % 17 <> 0)
+    SELECT count(*) AS n_pool, 0.3 AS frac_requested, true AS within_2pct
+    FROM raw
+    """,
+    "Crawl-scale DSIR selection accuracy eval (the sketch_hll pattern): "
+    "keep ≈30% of the pool by thresholding the Gumbel-perturbed weight "
+    "at its approximate (1−frac) quantile — ONE Greenwald-Khanna "
+    "aggregate broadcast back, then a row-local filter. Replaces "
+    "dsir_resample's TakeOrdered (n·partitions driver merge) when the "
+    "kept count itself is crawl-sized; achieved-count error ≤2% "
+    "asserted as the oracled boolean.",
+)
+def corpus_dsir_threshold_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.corpus import dsir_resample_threshold
+
+    d = t(spark, sf_dir, "documents")
+    raw = d.filter(F.col("doc_id") % 17 != 0)
+    tgt = d.filter(F.col("doc_id") % 17 == 0)
+    sel = dsir_resample_threshold(raw, tgt, fraction=0.3)
+    n_sel = sel.agg(F.count("*").alias("_n_sel"))
+    return (
+        raw.agg(F.count("*").alias("n_pool"))
+        .crossJoin(F.broadcast(n_sel))
+        .select(
+            "n_pool",
+            F.lit(0.3).alias("frac_requested"),
+            (
+                F.abs(F.col("_n_sel") - 0.3 * F.col("n_pool"))
+                <= F.greatest(0.02 * F.col("n_pool"), F.lit(1.0))
+            ).alias("within_2pct"),
+        )
+    )

@@ -123,3 +123,46 @@ def test_plan_broadcast_model_takeordered_select(spark):
     )
     # orderBy+limit compiles to TakeOrdered, not a global sort
     assert "TakeOrderedAndProject" in splan
+
+
+def test_threshold_select_matches_topk_prefix(spark):
+    """The quantile-threshold form selects exactly the top-|sel| docs
+    of the TakeOrdered form (same scores, same noise) — at test size
+    the sketch is exact, so the two selections must agree."""
+    from impresso_ta.operators.corpus import dsir_resample_threshold
+
+    rows = [
+        (i, ("paris art " if i % 3 == 0 else "zebra quux ") * (1 + i % 5))
+        for i in range(120)
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(900, "paris art museum gallery")], "doc_id long, text string"
+    )
+    sel = dsir_resample_threshold(raw, tgt, fraction=0.25)
+    got = sorted(r["doc_id"] for r in sel.collect())
+    assert abs(len(got) - 30) <= max(1, 0.02 * 120)
+    want = sorted(
+        r["doc_id"] for r in dsir_resample(raw, tgt, n=len(got)).collect()
+    )
+    assert got == want
+    assert sel.columns == ["doc_id", "text", "dsir_logw"]
+
+
+def test_threshold_select_no_global_sort(spark):
+    from impresso_ta.operators.corpus import dsir_resample_threshold
+
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    tgt = spark.createDataFrame(TARGET, "doc_id long, text string")
+    plan = (
+        dsir_resample_threshold(raw, tgt, fraction=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" not in plan
+    assert "rangepartitioning" not in plan  # no global sort exchange
+    import pytest
+
+    with pytest.raises(ValueError, match="fraction"):
+        dsir_resample_threshold(raw, tgt, fraction=1.5)
