@@ -5800,3 +5800,37 @@ def corpus_dsir_threshold_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_2pct"),
         )
     )
+
+
+@q(
+    "events_attribution_funnel",
+    """
+    SELECT v.user_id,
+           v.event_id AS cause_id,
+           c.event_id AS effect_id,
+           v.ts AS cause_ts,
+           c.ts AS effect_ts,
+           epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+    """,
+    "Funnel-loss variant of the attribution join (attribution_join "
+    "how='left_outer', SAME function as the streaming query): every "
+    "view kept, converted ones with their purchase and exact µs lag, "
+    "unconverted ones with nulls. In streaming the unmatched rows emit "
+    "on JOIN-STATE EXPIRY (watermark passes cause_ts+lag) — "
+    "recovery-tested; in batch it is one key-equi LEFT join with the "
+    "time bound residual in the ON clause.",
+)
+def events_attribution_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.streaming.joins import attribution_join
+
+    e = t(spark, sf_dir, "events")
+    return attribution_join(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+        max_lag="2 hours",
+        how="left_outer",
+    )

@@ -30,6 +30,7 @@ def attribution_join(
     id_col: str = "event_id",
     max_lag: str = "30 minutes",
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Join every effect row to the cause rows of the same ``key_col``
     with ``cause.ts < effect.ts <= cause.ts + max_lag``.
@@ -41,10 +42,23 @@ def attribution_join(
     leave it None — the plan is then a plain key-equi join with the
     range condition as residual.
 
+    ``how="left_outer"`` additionally keeps every cause row that never
+    found an effect (views that never converted — the funnel-loss
+    rows), with null effect columns. In streaming, matched rows still
+    emit immediately; an UNMATCHED cause emits only once its join
+    state EXPIRES (event-time watermark passes cause_ts + lag) — the
+    null verdict can't be issued while a matching effect could still
+    arrive, so a drained finite stream needs one later trigger whose
+    data advances the watermark before the unmatched rows flush (see
+    the recovery test).
+
     Output: key, cause_id, effect_id, both timestamps, and the exact
     integer ``lag_us`` (microseconds; exact, so results hash
-    identically across engines — no float time arithmetic).
+    identically across engines — no float time arithmetic; null for
+    unmatched outer rows).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     c = cause.select(
         F.col(key_col),
         F.col(id_col).alias("cause_id"),
@@ -74,7 +88,7 @@ def attribution_join(
         )
     )
     return (
-        c.join(e, cond)
+        c.join(e, cond, how)
         .select(
             key_col,
             "cause_id",

@@ -87,3 +87,72 @@ def test_streaming_drain_matches_batch_twin(spark, tmp_path):
     splan = q._jsq.explainInternal(True)
     assert "StreamingSymmetricHashJoin" in splan
     q.stop()
+
+
+def test_streaming_left_outer_unmatched_emit_on_state_expiry(spark, tmp_path):
+    """Outer rows are a state-expiry product: a never-matched cause may
+    only emit its null verdict once the event-time watermark passes
+    cause_ts + lag — so it appears in the trigger AFTER one whose data
+    advanced the watermark, never alongside its own batch."""
+    import json as _json
+
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write(name, rows):
+        with open(src / name, "w") as f:
+            for eid, ts, uid, et in rows:
+                f.write(
+                    _json.dumps(
+                        {"event_id": eid, "ts": ts, "user_id": uid,
+                         "event_type": et}
+                    )
+                    + "\n"
+                )
+
+    out = str(tmp_path / "out")
+
+    def _drain():
+        # file sink, not memory: outer-join emission spans restarts, and
+        # only the file sink supports checkpoint recovery
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        ).json(str(src))
+        joined = attribution_join(
+            stream.filter("event_type = 'view'"),
+            stream.filter("event_type = 'click'"),
+            max_lag="30 minutes",
+            watermark="5 minutes",
+            how="left_outer",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return spark.read.parquet(out).collect()
+
+    # batch 1: user 1 converts, user 2 never does
+    _write("a.json", [
+        (1, "2024-01-01T08:00:00", 1, "view"),
+        (2, "2024-01-01T08:05:00", 1, "click"),
+        (3, "2024-01-01T08:01:00", 2, "view"),
+    ])
+    got1 = {(r["cause_id"], r["effect_id"]) for r in _drain()}
+    # the match emits immediately; the unmatched view CANNOT yet (its
+    # state is live — a click could still arrive)
+    assert got1 == {(1, 2)}
+
+    # batch 2: a far-future event pushes the watermark past every
+    # expiry — the unmatched view now flushes with a null effect,
+    # and the checkpoint guarantees the old match isn't re-emitted
+    _write("b.json", [(99, "2024-01-01T14:00:00", 9, "view")])
+    got2 = {(r["cause_id"], r["effect_id"]) for r in _drain()}
+    assert (3, None) in got2
+    assert sum(1 for c, e in got2 if (c, e) == (1, 2)) == 1
