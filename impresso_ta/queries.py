@@ -5820,9 +5820,13 @@ def corpus_dsir_threshold_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "how='left_outer', SAME function as the streaming query): every "
     "view kept, converted ones with their purchase and exact µs lag, "
     "unconverted ones with nulls. In streaming the unmatched rows emit "
-    "on JOIN-STATE EXPIRY (watermark passes cause_ts+lag) — "
-    "recovery-tested; in batch it is one key-equi LEFT join with the "
-    "time bound residual in the ON clause.",
+    "on JOIN-STATE EXPIRY once the global watermark (MIN across both "
+    "sides' event-time columns) passes cause_ts+lag; availableNow's "
+    "final no-data batch re-runs eviction so the null rows flush within "
+    "the draining trigger (checkpoint-recovery-tested across three "
+    "availableNow restarts in tests/test_stream_join.py); in batch it "
+    "is one key-equi LEFT join with the time bound residual in the ON "
+    "clause.",
 )
 def events_attribution_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from impresso_ta.streaming.joins import attribution_join

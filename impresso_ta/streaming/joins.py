@@ -46,11 +46,13 @@ def attribution_join(
     found an effect (views that never converted — the funnel-loss
     rows), with null effect columns. In streaming, matched rows still
     emit immediately; an UNMATCHED cause emits only once its join
-    state EXPIRES (event-time watermark passes cause_ts + lag) — the
-    null verdict can't be issued while a matching effect could still
-    arrive, so a drained finite stream needs one later trigger whose
-    data advances the watermark before the unmatched rows flush (see
-    the recovery test).
+    state EXPIRES — the null verdict can't be issued while a matching
+    effect could still arrive. Expiry is driven by the GLOBAL
+    watermark, the MIN over both sides' event-time columns, so a
+    finite stream flushes its unmatched rows only after BOTH sides see
+    data past cause_ts + lag; availableNow appends a final no-data
+    batch that re-runs eviction with the advanced watermark, so the
+    flush lands within the same drain (see the recovery test).
 
     Output: key, cause_id, effect_id, both timestamps, and the exact
     integer ``lag_us`` (microseconds; exact, so results hash

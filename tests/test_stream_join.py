@@ -149,10 +149,26 @@ def test_streaming_left_outer_unmatched_emit_on_state_expiry(spark, tmp_path):
     # state is live — a click could still arrive)
     assert got1 == {(1, 2)}
 
-    # batch 2: a far-future event pushes the watermark past every
-    # expiry — the unmatched view now flushes with a null effect,
-    # and the checkpoint guarantees the old match isn't re-emitted
-    _write("b.json", [(99, "2024-01-01T14:00:00", 9, "view")])
-    got2 = {(r["cause_id"], r["effect_id"]) for r in _drain()}
+    # batch 2: far-future events on BOTH sides push the watermark past
+    # every expiry. The global watermark is the MIN across the two
+    # withWatermark columns — advancing only the view side would leave
+    # it pinned at the last click's time and view 3's state would never
+    # expire. Eviction runs against the watermark computed at the END
+    # of the previous batch, but availableNow (Spark 3.4+) appends one
+    # final no-data batch that re-runs eviction with the advanced
+    # watermark — so the null verdict flushes within this drain.
+    _write("b.json", [
+        (99, "2024-01-01T14:00:00", 9, "view"),
+        (98, "2024-01-01T14:00:00", 9, "click"),
+    ])
+    got2 = [(r["cause_id"], r["effect_id"]) for r in _drain()]
     assert (3, None) in got2
-    assert sum(1 for c, e in got2 if (c, e) == (1, 2)) == 1
+    assert sum(1 for ce in got2 if ce == (1, 2)) == 1
+
+    # batch 3 (checkpoint recovery): a further restart + data-bearing
+    # trigger must NOT re-emit either the old match or the already
+    # flushed null row.
+    _write("c.json", [(100, "2024-01-01T14:01:00", 9, "view")])
+    got3 = [(r["cause_id"], r["effect_id"]) for r in _drain()]
+    assert sum(1 for ce in got3 if ce == (1, 2)) == 1
+    assert sum(1 for ce in got3 if ce == (3, None)) == 1
