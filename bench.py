@@ -136,6 +136,23 @@ def layout_fingerprint(sf_dir: str) -> dict:
 
 
 def main() -> None:
+    # Unskippable preflight (VERDICT r6 task 3): a bench record against a
+    # drifted catalog (missing COVERAGE rows, oracle-key drift, broken
+    # imports) is evidence rot — refuse to produce one. Static-only (no
+    # Spark, seconds); queries newer than the committed CHECK snapshot
+    # are surfaced in the headline JSON so a stale snapshot is loud in
+    # the driver-captured artifact itself.
+    from tools.preflight import static_gate, unverified_queries
+
+    problems = static_gate()
+    if problems and os.environ.get("SPARK_GRAFT_SKIP_PREFLIGHT") != "1":
+        for p in problems:
+            print(f"BENCH REFUSED — preflight static gate red: {p}")
+        print("fix the gate (python tools/preflight.py --static) or set "
+              "SPARK_GRAFT_SKIP_PREFLIGHT=1 to override")
+        raise SystemExit(1)
+    _, stale = unverified_queries()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
@@ -277,6 +294,9 @@ def main() -> None:
         # decomposed into environment vs code from BENCH_rNN.json alone
         "yardstick": detail["yardstick_sf0.1_pre"],
     }
+    if stale:
+        # catalog entries with no row in the newest committed CHECK_r*.json
+        headline["unverified_queries"] = stale
 
     # Extended pass: newer corpus-text operators, reported separately so
     # the primary metric stays round-over-round comparable.

@@ -32,6 +32,46 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def static_gate() -> list[str]:
+    """The no-Spark consistency core of the fast gate (<5 s): every
+    registry query has a COVERAGE.md row, every coverage-named oracle
+    exists, and queries()/oracle_sql() cover the same keys.  Pure
+    imports + text matching — cheap enough for a pre-commit hook and
+    for bench.py to refuse to bench against a drifted catalog."""
+    problems: list[str] = []
+    try:
+        from impresso_ta.queries import REGISTRY
+
+        import __spark_entry__ as e
+    except Exception as exc:  # a broken import IS a red gate
+        return [f"import failure: {exc}"]
+    with open(os.path.join(REPO, "COVERAGE.md")) as f:
+        text = f.read()
+    unlisted = sorted(n for n in REGISTRY if n not in text)
+    if unlisted:
+        problems.append(f"queries missing from COVERAGE.md: {unlisted}")
+    named = set(re.findall(r"oracle[s]? `([a-z0-9_]+)`", text))
+    unknown = sorted(n for n in named if n not in REGISTRY)
+    if unknown:
+        problems.append(f"COVERAGE.md names unknown oracles: {unknown}")
+    qs, oracles = set(e.queries()), set(e.oracle_sql())
+    if qs != oracles:
+        problems.append(
+            f"queries()/oracle_sql() key drift: only-queries="
+            f"{sorted(qs - oracles)} only-oracles={sorted(oracles - qs)}"
+        )
+    return problems
+
+
+def unverified_queries() -> tuple[str | None, list[str]]:
+    """Registry queries NOT covered by the newest committed CHECK_r*.json
+    — the ones a snapshot commit would ship without oracle evidence."""
+    import __spark_entry__ as e
+
+    latest, verified = newest_check_snapshot()
+    return latest, [q for q in e.queries() if q not in verified]
+
+
 def newest_check_snapshot() -> tuple[str | None, set[str]]:
     """Names already verified by the latest committed CHECK_r*.json."""
     paths = glob.glob(os.path.join(REPO, "CHECK_r*.json"))
@@ -50,6 +90,35 @@ def newest_check_snapshot() -> tuple[str | None, set[str]]:
 
 def main() -> int:
     full = "--full" in sys.argv
+
+    if "--install-hook" in sys.argv:
+        import shutil
+        import stat
+
+        src = os.path.join(REPO, "tools", "hooks", "pre-commit")
+        dst = os.path.join(REPO, ".git", "hooks", "pre-commit")
+        shutil.copyfile(src, dst)
+        os.chmod(dst, os.stat(dst).st_mode | stat.S_IXUSR | stat.S_IXGRP)
+        print(f"installed {src} -> {dst}")
+        return 0
+
+    if "--static" in sys.argv:
+        # hook / bench mode: no Spark, no subprocesses, seconds not minutes
+        problems = static_gate()
+        for p in problems:
+            print(f"PREFLIGHT STATIC FAIL: {p}")
+        latest, new = unverified_queries()
+        if new:
+            print(
+                f"PREFLIGHT STATIC WARN: {len(new)} quer"
+                f"{'y' if len(new) == 1 else 'ies'} not in "
+                f"{os.path.basename(latest) if latest else '<none>'}: "
+                f"{', '.join(new)} — run tools/check.py (or "
+                f"tools/preflight.py) before the snapshot commit"
+            )
+        if not problems:
+            print("PREFLIGHT STATIC OK")
+        return 1 if problems else 0
 
     print("[preflight 1/3] consistency suite")
     r = subprocess.run(
