@@ -111,6 +111,11 @@ EXTENDED_QUERIES = [
     "corpus_semantic_decontamination",
     "text_lr_classifier",
     "events_attribution_join",
+    # r7: the LR classifier wired into prepare_corpus as the
+    # learned-quality stage, and the funnel-loss left-outer twin
+    "corpus_prepare_lr_filter",
+    "events_attribution_funnel",
+    "corpus_dsir_threshold_select",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]

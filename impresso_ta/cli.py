@@ -158,6 +158,35 @@ def _build_parser() -> argparse.ArgumentParser:
         "--dsir-target)",
     )
     cor.add_argument(
+        "--quality-model",
+        help="parquet of trained (bucket, w) LR weights "
+        "(lr_hashed_train): learned quality filter — drop docs whose "
+        "hashed-feature probability falls below --quality-threshold, "
+        "right after the heuristic filters",
+    )
+    cor.add_argument(
+        "--quality-threshold",
+        type=float,
+        default=0.5,
+        metavar="P",
+        help="minimum lr_prob a doc must score to survive "
+        "--quality-model (default 0.5)",
+    )
+    cor.add_argument(
+        "--quality-dim",
+        type=int,
+        default=64,
+        metavar="D",
+        help="hashed feature dimension the --quality-model was trained "
+        "with (must match lr_hashed_train's dim; default 64)",
+    )
+    cor.add_argument(
+        "--quality-raw-counts",
+        action="store_true",
+        help="score with raw hashed counts instead of term frequencies "
+        "(only if the model was trained with tf=False)",
+    )
+    cor.add_argument(
         "--dedup-against",
         help="parquet of the already-ingested corpus: drop input docs "
         "near-duplicating it (MinHash band probe + exact-Jaccard "
@@ -391,6 +420,14 @@ def cmd_corpus(args, spark) -> int:
             else None
         ),
         dsir_n=args.dsir_n or None,
+        quality_model=(
+            spark.read.parquet(args.quality_model)
+            if args.quality_model
+            else None
+        ),
+        quality_threshold=args.quality_threshold,
+        quality_dim=args.quality_dim,
+        quality_tf=not args.quality_raw_counts,
         domain_cap=args.domain_cap or None,
         domain_cap_order=args.domain_cap_order,
         temperature_alpha=args.temperature_alpha,
@@ -431,7 +468,17 @@ def cmd_corpus(args, spark) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = _build_parser().parse_args(argv)
+    parser = _build_parser()
+    args = parser.parse_args(argv)
+    # cross-flag contracts fail HERE, before any Spark session spins up —
+    # not as a ValueError deep inside prepare_corpus (and never silently)
+    if args.command == "corpus":
+        if args.dsir_target and not args.dsir_n:
+            parser.error("--dsir-target requires --dsir-n > 0")
+        if args.dsir_n and not args.dsir_target:
+            parser.error("--dsir-n has no effect without --dsir-target")
+        if args.quality_model and not (0.0 <= args.quality_threshold <= 1.0):
+            parser.error("--quality-threshold must be in [0, 1]")
     from impresso_ta.session import get_spark
 
     spark = get_spark(app_name=f"impresso_ta-{args.command}")

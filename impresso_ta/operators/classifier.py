@@ -34,14 +34,26 @@ def hashed_bucket_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     dim: int = 64,
+    tf: bool = False,
 ) -> DataFrame:
     """(id, bucket, c) hashed-unigram counts — the shared feature frame
-    (bucket = md5(word) % dim, identical to DSIR / doc-vectors)."""
+    (bucket = md5(word) % dim, identical to DSIR / doc-vectors).
+
+    ``tf=True`` length-normalizes: c becomes the bucket's term
+    FREQUENCY (count / doc token count, rounded to 9 decimals). Raw
+    counts make full-batch GD margins scale with document LENGTH — the
+    sigmoid saturates after one step and the model degenerates to a
+    near-constant (measured: every sf0.01 doc scored ~0 at lr=1) —
+    while tf features bound every margin by max|w|, so training
+    actually separates. The normalizing window partitions by the doc
+    id (as many keys as rows — no skew)."""
+    from pyspark.sql import Window
+
     from impresso_ta.operators.dedup import shingle_hash48
     from impresso_ta.operators.partitioning import spread_small_input
     from impresso_ta.operators.text_analysis import tokens
 
-    return (
+    counts = (
         spread_small_input(docs)
         .select(
             F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
@@ -49,6 +61,14 @@ def hashed_bucket_counts(
         .select(id_col, (shingle_hash48(F.col("word")) % dim).alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count("*").alias("c"))
+    )
+    if not tf:
+        return counts
+    total = Window.partitionBy(id_col)
+    return counts.select(
+        id_col,
+        "bucket",
+        F.round(F.col("c") / F.sum("c").over(total), 9).alias("c"),
     )
 
 
@@ -60,6 +80,7 @@ def lr_hashed_train(
     dim: int = 64,
     iters: int = 3,
     learn_rate: float = 1.0,
+    tf: bool = False,
 ) -> DataFrame:
     """Fit logistic-regression weights (bucket → w) predicting the
     boolean/0-1 ``label_col`` from hashed-unigram counts, by ``iters``
@@ -83,7 +104,7 @@ def lr_hashed_train(
         F.col(id_col), F.col(label_col).cast("double").alias("_y")
     )
     db = hashed_bucket_counts(
-        docs, id_col=id_col, text_col=text_col, dim=dim
+        docs, id_col=id_col, text_col=text_col, dim=dim, tf=tf
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n_row = labeled.agg(F.count("*").cast("double").alias("_n"))
 
@@ -149,13 +170,16 @@ def lr_hashed_score(
     text_col: str = "text",
     dim: int = 64,
     round_to: int = 6,
+    tf: bool = False,
 ) -> DataFrame:
     """Score docs with a trained (bucket, w) model: adds ``lr_prob``
     (σ of the hashed-feature margin; buckets unseen in training
-    contribute 0). One broadcast join + one doc-keyed sum — the
-    crawl-scale path: the corpus is scanned once, never joined to
-    itself."""
-    db = hashed_bucket_counts(docs, id_col=id_col, text_col=text_col, dim=dim)
+    contribute 0). ``tf`` must match what the model was trained with.
+    One broadcast join + one doc-keyed sum — the crawl-scale path: the
+    corpus is scanned once, never joined to itself."""
+    db = hashed_bucket_counts(
+        docs, id_col=id_col, text_col=text_col, dim=dim, tf=tf
+    )
     margins = (
         db.join(F.broadcast(weights), "bucket")
         .groupBy(id_col)

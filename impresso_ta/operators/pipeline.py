@@ -12,6 +12,9 @@ row-local filters first, corpus-wide joins later):
 
     1. C4 heuristic filters         (zero shuffle)
     2. Gopher repetition filters    (two uniformly-keyed shuffles)
+    2b. learned LR quality filter   (optional — broadcast ≤dim-row
+        model, one scan + doc-keyed margin sum; the CCNet/FineWeb-Edu
+        trained-classifier slot)
     3. corpus-wide line dedup       (rewrites text, drops emptied docs)
     3b. exact-substring dedup       (optional, off by default — Lee et
         al. 2022 ExactSubstr window removal, rewrites text)
@@ -65,6 +68,10 @@ def prepare_corpus(
     doc_dedup_method: str = "auto",
     doc_dedup_auto_threshold: int = 25_000,
     benchmark: DataFrame | None = None,
+    quality_model: DataFrame | None = None,
+    quality_threshold: float = 0.5,
+    quality_dim: int = 64,
+    quality_tf: bool = True,
     dsir_target: DataFrame | None = None,
     dsir_n: int | None = None,
     dsir_dim: int = 256,
@@ -89,6 +96,19 @@ def prepare_corpus(
     (band-bucket coincidence, unverified), so supplying an explicit
     threshold while auto routes to survivors emits a warning — pass
     ``doc_dedup_method="jaccard"`` to force thresholded semantics.
+
+    ``quality_model``: a trained (bucket, w) logistic-regression weight
+    table (``lr_hashed_train`` — the CCNet/FineWeb-Edu learned-quality
+    slot). Docs scoring below ``quality_threshold`` (σ of the hashed
+    ``quality_dim``-feature margin) are dropped right after the
+    heuristic filters: the model was trained to rank what the
+    rule-based filters can't separate, and every later corpus-wide
+    stage (DSIR, dedup, decontamination) pays per surviving row. The
+    model is ≤dim rows and rides as a broadcast; scoring is one scan +
+    one doc-keyed sum — the pipeline schema is unchanged (the score
+    column is internal). ``quality_tf`` (default True: term-frequency
+    features, the form whose margins don't scale with document length)
+    must match how the model was trained — see ``lr_hashed_train``.
 
     ``dsir_target`` + ``dsir_n``: DSIR importance resampling (Xie et
     al. 2023) — select the ``dsir_n`` filtered docs most like the
@@ -144,6 +164,8 @@ def prepare_corpus(
         # dsir_log_weights consumes the filtered corpus three times
         # (corpus bucket counts, per-doc bucket counts, the join-back)
         or dsir_target is not None
+        # lr_hashed_score consumes it twice (feature explode + join-back)
+        or quality_model is not None
     )
     # (domain_cap is window-shaped — single consumption, no persist needed)
 
@@ -189,6 +211,32 @@ def prepare_corpus(
         # core.py:402).
         cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
         cached.append(cur)
+    if quality_model is not None:
+        # learned-quality filter (CCNet/RefinedWeb/FineWeb-Edu slot):
+        # broadcast the ≤dim-row model, score in one corpus scan +
+        # doc-keyed sum, keep docs at/above the probability threshold.
+        # Runs between the heuristic filters and the corpus-wide stages
+        # so everything downstream pays only for the surviving rows.
+        from impresso_ta.operators.classifier import lr_hashed_score
+
+        kept = lr_hashed_score(
+            cur,
+            quality_model,
+            id_col=id_col,
+            text_col=text_col,
+            dim=quality_dim,
+            tf=quality_tf,
+        ).filter(F.col("lr_prob") >= quality_threshold).drop("lr_prob")
+        cur = step("lr_quality", cur, kept)
+        if (
+            dsir_target is not None
+            or bool(line_spans)
+            or doc_dedup
+            or benchmark is not None
+        ):
+            # the surviving corpus is again multi-consumed downstream
+            cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(cur)
     if dsir_target is not None:
         if not dsir_n or dsir_n <= 0:
             raise ValueError("dsir_target requires dsir_n > 0")

@@ -5705,6 +5705,45 @@ def corpus_prepare_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.docs.select("doc_id", "source")
 
 
+def _lr_weight_ctes(
+    iters: int = 3, dim: int = 64, tf: bool = False, learn_rate: float = 1.0
+) -> list[str]:
+    """CTEs unrolling lr_hashed_train's ``iters`` gradient steps into
+    ``w{iters}`` (bucket, w), given a ``train`` CTE with (doc_id, text,
+    y) already in scope — shared by the standalone classifier oracle
+    and the pipeline's learned-quality-filter oracle. ``tf`` mirrors
+    hashed_bucket_counts(tf=True): counts length-normalized to term
+    frequencies, rounded to 9. ``learn_rate`` multiplies INSIDE the
+    gradient's round(…, 9), matching lr_hashed_train exactly."""
+    bucket = f"('0x' || substr(md5(word), 1, 12))::BIGINT % {dim}"
+    grad = (
+        "sum(c * r / n)"
+        if learn_rate == 1.0
+        else f"sum(c * r / n) * {learn_rate}"
+    )
+    ctes = [
+        rf"tdb_raw AS (SELECT doc_id, {bucket} AS bucket, count(*) AS c FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM train) GROUP BY 1, 2)",
+        (
+            "tdb AS (SELECT doc_id, bucket, round(c / sum(c) OVER "
+            "(PARTITION BY doc_id), 9) AS c FROM tdb_raw)"
+            if tf
+            else "tdb AS (SELECT * FROM tdb_raw)"
+        ),
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM train)",
+        "r1 AS (SELECT doc_id, round(y - 0.5, 9) AS r FROM train)",
+        f"w1 AS (SELECT bucket, round({grad}, 9) AS w FROM tdb JOIN r1 USING (doc_id), nn GROUP BY bucket)",
+    ]
+    for i in range(2, iters + 1):
+        p, q_ = i - 1, i
+        ctes += [
+            f"m{q_} AS (SELECT doc_id, round(sum(c * w), 9) AS m FROM tdb JOIN w{p} USING (bucket) GROUP BY 1)",
+            f"r{q_} AS (SELECT t.doc_id, round(y - round(1 / (1 + exp(-coalesce(m, 0))), 9), 9) AS r FROM train t LEFT JOIN m{q_} ON t.doc_id = m{q_}.doc_id)",
+            f"g{q_} AS (SELECT bucket, round({grad}, 9) AS g FROM tdb JOIN r{q_} USING (doc_id), nn GROUP BY bucket)",
+            f"w{q_} AS (SELECT w{p}.bucket, round(w + g, 9) AS w FROM w{p} JOIN g{q_} ON w{p}.bucket = g{q_}.bucket)",
+        ]
+    return ctes
+
+
 def _lr_sql(iters: int = 3, dim: int = 64) -> str:
     """Unrolled DuckDB twin of lr_hashed_train + lr_hashed_score:
     train on even doc_ids (label: lang='en'), score the odd holdout."""
@@ -5712,23 +5751,10 @@ def _lr_sql(iters: int = 3, dim: int = 64) -> str:
     ctes = [
         "train AS (SELECT doc_id, text, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents WHERE doc_id % 2 = 0)",
         "holdout AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)",
-        rf"tdb AS (SELECT doc_id, {bucket} AS bucket, count(*) AS c FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM train) GROUP BY 1, 2)",
         rf"sdb AS (SELECT doc_id, {bucket} AS bucket, count(*) AS c FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM holdout) GROUP BY 1, 2)",
-        "nn AS (SELECT count(*)::DOUBLE AS n FROM train)",
-        "r1 AS (SELECT doc_id, round(y - 0.5, 9) AS r FROM train)",
-        "w1 AS (SELECT bucket, round(sum(c * r / n), 9) AS w FROM tdb JOIN r1 USING (doc_id), nn GROUP BY bucket)",
+        *_lr_weight_ctes(iters, dim),
+        f"sm AS (SELECT doc_id, round(sum(c * w), 9) AS m FROM sdb JOIN w{iters} USING (bucket) GROUP BY 1)",
     ]
-    for i in range(2, iters + 1):
-        p, q_ = i - 1, i
-        ctes += [
-            f"m{q_} AS (SELECT doc_id, round(sum(c * w), 9) AS m FROM tdb JOIN w{p} USING (bucket) GROUP BY 1)",
-            f"r{q_} AS (SELECT t.doc_id, round(y - round(1 / (1 + exp(-coalesce(m, 0))), 9), 9) AS r FROM train t LEFT JOIN m{q_} ON t.doc_id = m{q_}.doc_id)",
-            f"g{q_} AS (SELECT bucket, round(sum(c * r / n), 9) AS g FROM tdb JOIN r{q_} USING (doc_id), nn GROUP BY bucket)",
-            f"w{q_} AS (SELECT w{p}.bucket, round(w + g, 9) AS w FROM w{p} JOIN g{q_} ON w{p}.bucket = g{q_}.bucket)",
-        ]
-    ctes.append(
-        f"sm AS (SELECT doc_id, round(sum(c * w), 9) AS m FROM sdb JOIN w{iters} USING (bucket) GROUP BY 1)"
-    )
     return (
         "WITH " + ",\n    ".join(ctes) + "\n"
         "    SELECT h.doc_id, round(1 / (1 + exp(-coalesce(m, 0))), 6) AS lr_prob\n"
@@ -5763,6 +5789,93 @@ def text_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = lr_hashed_train(train, "_label")
     holdout = d.filter(F.col("doc_id") % 2 == 1)
     return lr_hashed_score(holdout, weights).select("doc_id", "lr_prob")
+
+
+# the learned-quality label: low filler-word rate (tf of 'the' < 1%) —
+# the one lexically-learnable quality proxy in the synthetic corpus
+# (lang is assigned independently of the text, so it is pure label
+# noise; measured: zero separation). Kept/dropped at threshold 0.8:
+# 72% of low-filler docs survive vs 18% of high-filler — a real filter.
+_LR_QUALITY_LABEL_SQL = (
+    "CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+    "w -> w = 'the'))::DOUBLE / "
+    "len(regexp_split_to_array(trim(text), '\\s+')) < 0.01 "
+    "THEN 1.0 ELSE 0.0 END"
+)
+
+
+def _lr_pipe_sql(
+    iters: int = 3,
+    dim: int = 64,
+    learn_rate: float = 1000.0,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB twin of prepare_corpus(quality_model=...): C4-filter the
+    pool, score it with the unrolled tf-trained weights, keep prob >=
+    threshold. learn_rate=1000 because tf-feature gradients are ~1e-4
+    per step — 3 full-batch iterations at lr=1 leave every margin
+    within ±0.01 of the prior and the threshold never bites."""
+    bucket = f"('0x' || substr(md5(word), 1, 12))::BIGINT % {dim}"
+    ctes = [
+        f"train AS (SELECT doc_id, text, {_LR_QUALITY_LABEL_SQL} AS y FROM documents WHERE doc_id % 2 = 0)",
+        *_lr_weight_ctes(iters, dim, tf=True, learn_rate=learn_rate),
+        f"pool AS ({_DSIR_PIPE_RAW})",
+        rf"pdb_raw AS (SELECT doc_id, {bucket} AS bucket, count(*) AS c FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM pool) GROUP BY 1, 2)",
+        "pdb AS (SELECT doc_id, bucket, round(c / sum(c) OVER (PARTITION BY doc_id), 9) AS c FROM pdb_raw)",
+        f"pm AS (SELECT doc_id, round(sum(c * w), 9) AS m FROM pdb JOIN w{iters} USING (bucket) GROUP BY 1)",
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n"
+        "    SELECT d.doc_id, d.source\n"
+        "    FROM pool p JOIN documents d ON p.doc_id = d.doc_id\n"
+        "    LEFT JOIN pm ON p.doc_id = pm.doc_id\n"
+        f"    WHERE round(1 / (1 + exp(-coalesce(m, 0))), 6) >= {threshold}"
+    )
+
+
+@q(
+    "corpus_prepare_lr_filter",
+    _lr_pipe_sql(),
+    "Learned-quality filtering exercised THROUGH the corpus pipeline "
+    "(prepare_corpus quality_model/quality_threshold stage — the "
+    "CCNet/RefinedWeb/FineWeb-Edu trained-classifier slot): train the "
+    "hashed-feature LR on the even-id half against a low-filler-rate "
+    "label (tf('the') < 1%; tf features — raw counts saturate the "
+    "sigmoid with document LENGTH), then C4-filter the full pool and "
+    "keep only docs scoring lr_prob >= 0.8 (keeps 72% of low-filler "
+    "docs vs 18% of high-filler at sf0.01 — a real learned split). "
+    "Spark shape: the ≤dim-row model broadcasts into one corpus scan + "
+    "doc-keyed margin sum, placed between the heuristic filters and "
+    "the corpus-wide stages so everything downstream pays only for "
+    "survivors; the oracle unrolls the same 3 training iterations and "
+    "mirrors the 9/6-decimal rounding at every boundary.",
+)
+def corpus_prepare_lr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.classifier import lr_hashed_train
+    from impresso_ta.operators.pipeline import prepare_corpus
+    from impresso_ta.operators.text_analysis import tokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    low_filler = (
+        F.size(F.filter(toks, lambda w: w == F.lit("the")))
+        / F.size(toks)
+        < 0.01
+    )
+    train = d.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "_label", low_filler.cast("double")
+    )
+    weights = lr_hashed_train(train, "_label", tf=True, learn_rate=1000.0)
+    res = prepare_corpus(
+        d,
+        c4=True,
+        gopher=False,
+        line_spans=None,
+        doc_dedup=False,
+        quality_model=weights,
+        quality_threshold=0.8,
+    )
+    return res.docs.select("doc_id", "source")
 
 
 @q(

@@ -110,3 +110,34 @@ def test_scoring_plan_broadcasts_the_model(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tf_features_separate_regardless_of_length(spark):
+    """tf=True length-normalizes the hashed counts: two documents with
+    the same vocabulary MIX but 10x different lengths score the same,
+    and the learned split still holds. With raw counts (tf=False) the
+    long document's margin is 10x the short one's — the measured
+    sigmoid-saturation failure mode."""
+    rows = [
+        (2 * i, "paris museum art gallery " * (1 if i % 2 else 10))
+        for i in range(8)
+    ] + [
+        (2 * i + 1, "zebra xylophone quux blorp " * (1 if i % 2 else 10))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        [(did, text, float(1 - did % 2)) for did, text in rows],
+        "doc_id long, text string, y double",
+    )
+    weights = lr_hashed_train(df, "y", dim=DIM, tf=True, learn_rate=100.0)
+    scored = {
+        r["doc_id"]: r["lr_prob"]
+        for r in lr_hashed_score(df, weights, dim=DIM, tf=True).collect()
+    }
+    # same mix, different lengths -> identical tf vector -> same score
+    assert scored[0] == scored[2]
+    assert scored[1] == scored[3]
+    # and the vocabulary split is learned
+    assert min(scored[d] for d in scored if d % 2 == 0) > max(
+        scored[d] for d in scored if d % 2 == 1
+    )

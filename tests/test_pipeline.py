@@ -455,3 +455,89 @@ def test_cli_dsir_flags(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == 4
+
+
+def test_quality_model_stage_filters_by_learned_score(spark):
+    """The quality_model/quality_threshold stage drops the docs the
+    trained model scores below the threshold, keeps the schema
+    score-free, and reports its boundary in the stats."""
+    from impresso_ta.operators.classifier import lr_hashed_train
+
+    rows = [(i, "paris museum art gallery exhibition") for i in range(8)] + [
+        (100 + i, "zebra xylophone quux blorp gnarl") for i in range(8)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    train = d.withColumn("y", (F.col("doc_id") < 100).cast("double"))
+    model = lr_hashed_train(train, "y", tf=True, learn_rate=100.0)
+    res = prepare_corpus(
+        d, c4=False, gopher=False, line_spans=None, doc_dedup=False,
+        quality_model=model, quality_threshold=0.5, collect_stats=True,
+    )
+    out = res.docs.collect()
+    assert set(res.docs.columns) == {"doc_id", "text"}  # no score leak
+    assert {r["doc_id"] for r in out} == set(range(8))
+    assert res.stats == [("lr_quality", 16, 8)]
+    res.unpersist()
+
+
+def test_cli_quality_model_flags(spark, tmp_path):
+    """--quality-model/--quality-threshold reach the pipeline through
+    the corpus subcommand."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from impresso_ta.operators.classifier import lr_hashed_train
+
+    raw = pa.table(
+        {
+            "doc_id": list(range(12)),
+            "text": ["paris museum art gallery exhibition"] * 6
+            + ["zebra xylophone quux blorp gnarl"] * 6,
+        }
+    )
+    raw_p = str(tmp_path / "raw.pq")
+    pq.write_table(raw, raw_p)
+    train = spark.read.parquet(raw_p).withColumn(
+        "y", (F.col("doc_id") < 6).cast("double")
+    )
+    model = lr_hashed_train(train, "y", tf=True, learn_rate=100.0)
+    model_p = str(tmp_path / "model.pq")
+    model.write.parquet(model_p)
+    out = str(tmp_path / "out")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "impresso_ta.cli", "corpus",
+            "--input", raw_p, "--output-dir", out,
+            "--no-c4", "--no-gopher", "--line-spans", "0",
+            "--no-doc-dedup", "--quality-model", model_p,
+            "--quality-threshold", "0.5",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import duckdb
+
+    got = sorted(
+        row[0]
+        for row in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{out}/corpus/*.parquet')"
+        ).fetchall()
+    )
+    assert got == list(range(6))
+
+
+def test_cli_dsir_pair_validated_at_parse_time():
+    """--dsir-n without --dsir-target (and vice versa) fails in
+    argparse, before any Spark session exists."""
+    from impresso_ta.cli import main as cli_main
+
+    import pytest
+
+    for argv in (
+        ["corpus", "--input", "x", "--output-dir", "y", "--dsir-n", "5"],
+        ["corpus", "--input", "x", "--output-dir", "y",
+         "--dsir-target", "t"],
+    ):
+        with pytest.raises(SystemExit) as exc:
+            cli_main(argv)
+        assert exc.value.code == 2  # argparse parser.error, not a crash
