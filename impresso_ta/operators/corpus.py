@@ -754,6 +754,7 @@ def dsir_resample_threshold(
     dim: int = 256,
     salt: str = "dsir",
     accuracy: int = 10_000,
+    cached_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Crawl-scale DSIR selection: keep ≈``fraction`` of the raw pool
     by thresholding the Gumbel-perturbed log-weight at its
@@ -772,9 +773,14 @@ def dsir_resample_threshold(
     rank error (tested ≤2 % at the default accuracy); the draw stays
     deterministic given the corpus (md5 noise, no rand()).
 
-    Returns the selected rows plus ``dsir_logw``. Callers that keep
-    the session alive should ``.unpersist()`` the result's lineage via
-    ``spark.catalog.clearCache()`` or treat it as consumed-once.
+    Returns the selected rows plus ``dsir_logw``. The scored pool is
+    corpus-sized and persisted for the two passes (quantile + filter);
+    pass ``cached_out`` (a list, the prepare_corpus cached-list
+    pattern) to receive the persisted handle and ``.unpersist()`` it
+    after consuming the result — a long-lived session that calls this
+    repeatedly without releasing the handles accumulates corpus-scale
+    cache (``clearCache()`` is the blunt fallback: it drops EVERY
+    cached frame in the session).
     """
     if not 0.0 < fraction < 1.0:
         raise ValueError(f"fraction must be in (0, 1), got {fraction}")
@@ -804,6 +810,8 @@ def dsir_resample_threshold(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cached_out is not None:
+        cached_out.append(scored)
     cutoff = scored.agg(
         F.percentile_approx(
             "_gkey", F.lit(1.0 - fraction), F.lit(accuracy)

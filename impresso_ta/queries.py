@@ -5596,7 +5596,7 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_DSIR_COMMON},
     scored AS (
         SELECT r.doc_id, coalesce(w.logw, 0.0) AS logw,
-               round(coalesce(w.logw, 0.0)
+               round(round(coalesce(w.logw, 0.0), 9)
                      + -ln(-ln(
                          ((('0x' || substr(md5('dsir:' || r.doc_id::VARCHAR), 1, 12))::BIGINT)::DOUBLE + 0.5)
                          / 281474976710656.0)), 6) AS gkey
@@ -5673,7 +5673,7 @@ _DSIR_PIPE_RAW = f"""SELECT doc_id, text FROM (
     WITH {_dsir_cte(raw_sql=_DSIR_PIPE_RAW, tgt_sql="SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0")},
     scored AS (
         SELECT r.doc_id, coalesce(w.logw, 0.0) AS logw,
-               round(coalesce(w.logw, 0.0)
+               round(round(coalesce(w.logw, 0.0), 9)
                      + -ln(-ln(
                          ((('0x' || substr(md5('dsir:' || r.doc_id::VARCHAR), 1, 12))::BIGINT)::DOUBLE + 0.5)
                          / 281474976710656.0)), 6) AS gkey

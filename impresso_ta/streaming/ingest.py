@@ -49,16 +49,23 @@ def _read_store_before(sess: SparkSession, path: str, batch_id: int):
             return None
         if "UNABLE_TO_INFER_SCHEMA" in cond or "UNABLE_TO_INFER_SCHEMA" in str(e):
             # empty store dir (no data files anywhere below) = no prior
-            # state; files present = a real read failure, re-raise
-            jvm = sess.sparkContext._jvm
-            jsc = sess.sparkContext._jsc
-            p = jvm.org.apache.hadoop.fs.Path(path)
-            fs = p.getFileSystem(jsc.hadoopConfiguration())
-            it = fs.listFiles(p, True)
-            while it.hasNext():
-                f = it.next()
-                if not f.getPath().getName().startswith(("_", ".")):
-                    raise
+            # state; files present = a real read failure, re-raise.
+            # The check lists through Spark's OWN file index (binaryFile
+            # source, recursive): it applies the same hidden-path rules
+            # as the parquet reader — files under `_`/`.` directories
+            # are invisible to BOTH, so they can't flip the verdict —
+            # and it works under Spark Connect (no _jvm/_jsc private
+            # APIs). The branch only runs when schema inference already
+            # failed, i.e. the store is believed empty, so the listing
+            # is O(metadata of an empty dir), not a crawl of real data.
+            listed = (
+                sess.read.format("binaryFile")
+                .option("recursiveFileLookup", "true")
+                .load(path)
+                .select("path")
+            )
+            if listed.take(1):
+                raise
             return None
         raise
     return df.filter(F.col("batch") < batch_id)

@@ -74,13 +74,20 @@ def attribution_join(
     if watermark is not None:
         # watermarks are only defined on instant TIMESTAMPs; parquet
         # wall-clock NTZ columns are cast here (session tz) so batch
-        # and streaming callers hand in the same frames
-        c = c.withColumn(
+        # and streaming callers hand in the same frames. The ORIGINAL
+        # wall-clock values ride along untouched: lag_us is computed
+        # from them, not the cast columns — in a non-UTC session a
+        # cause/effect pair spanning a DST transition would otherwise
+        # differ from the batch twin by the offset change.
+        c = c.withColumn("_cause_ts_wall", F.col("cause_ts")).withColumn(
             "cause_ts", F.col("cause_ts").cast("timestamp")
         ).withWatermark("cause_ts", watermark)
-        e = e.withColumn(
+        e = e.withColumn("_effect_ts_wall", F.col("effect_ts")).withColumn(
             "effect_ts", F.col("effect_ts").cast("timestamp")
         ).withWatermark("effect_ts", watermark)
+        lag_cols = ("_cause_ts_wall", "_effect_ts_wall")
+    else:
+        lag_cols = ("cause_ts", "effect_ts")
     cond = (
         (c[key_col] == e["_effect_key"])
         & (e["effect_ts"] > c["cause_ts"])
@@ -98,10 +105,11 @@ def attribution_join(
             "cause_ts",
             "effect_ts",
             # wall-time microsecond difference: exact integer (hashes
-            # identically across engines) and NTZ-safe (no session-tz
-            # cast, so a DST gap can never skew the lag)
+            # identically across engines) and NTZ-safe in BOTH paths —
+            # the watermark path diffs the untouched wall-clock copies,
+            # never the session-tz-cast join columns
             F.expr(
-                "timestampdiff(MICROSECOND, cause_ts, effect_ts)"
+                f"timestampdiff(MICROSECOND, {lag_cols[0]}, {lag_cols[1]})"
             ).alias("lag_us"),
         )
     )

@@ -421,6 +421,15 @@ def test_read_store_before_error_discrimination(spark, tmp_path):
         f.write(b"not a parquet footer")
     with pytest.raises(Exception):
         _read_store_before(spark, str(bad), 1)
+    # a data file hidden from Spark's reader (under a `_`-prefixed
+    # directory) must NOT count as data: the parquet reader would never
+    # see it, so treating it as real state would wedge the batch in a
+    # re-raise loop over a store Spark considers empty
+    shadow = tmp_path / "shadow_store"
+    (shadow / "_staging").mkdir(parents=True)
+    with open(shadow / "_staging" / "leftover.parquet", "wb") as f:
+        f.write(b"not a parquet footer")
+    assert _read_store_before(spark, str(shadow), 1) is None
     # healthy store still reads and filters
     good = tmp_path / "good_store"
     spark.createDataFrame(
