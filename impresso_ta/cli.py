@@ -158,6 +158,15 @@ def _build_parser() -> argparse.ArgumentParser:
         "--dsir-target)",
     )
     cor.add_argument(
+        "--dsir-ngram",
+        type=int,
+        default=1,
+        choices=[1, 2],
+        help="DSIR feature order: 1 = hashed unigrams, 2 = unigrams + "
+        "bigrams (the paper's full n<=2 set; needed when the target "
+        "differs by word order, not vocabulary)",
+    )
+    cor.add_argument(
         "--quality-model",
         help="parquet of trained (bucket, w) LR weights "
         "(lr_hashed_train): learned quality filter — drop docs whose "
@@ -420,6 +429,7 @@ def cmd_corpus(args, spark) -> int:
             else None
         ),
         dsir_n=args.dsir_n or None,
+        dsir_ngram=args.dsir_ngram,
         quality_model=(
             spark.read.parquet(args.quality_model)
             if args.quality_model

@@ -608,6 +608,27 @@ def snapshot_diff(
     )
 
 
+def _dsir_feature_terms(text: Column, ngram: int) -> Column:
+    """The hashed-feature token stream: unigrams for ``ngram=1``; the
+    paper's full feature set (unigrams + space-joined bigrams, Xie et
+    al. 2023 §3.1) for ``ngram=2``. Row-local array expressions — the
+    bigram build is a zip of the token array with its own tail, no
+    extra scan, no shuffle."""
+    from impresso_ta.operators.text_analysis import tokens
+
+    toks = tokens(text)
+    if ngram == 1:
+        return toks
+    if ngram != 2:
+        raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(toks, bigrams)
+
+
 def dsir_log_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -615,6 +636,7 @@ def dsir_log_weights(
     text_col: str = "text",
     dim: int = 256,
     round_to: int = 6,
+    ngram: int = 1,
 ) -> DataFrame:
     """DSIR importance log-weights (Xie et al., NeurIPS 2023, "Data
     Selection for Language Models via Importance Resampling"): score
@@ -624,8 +646,12 @@ def dsir_log_weights(
 
         log w(x) = Σ_b count_x(b) · (log p_target(b) − log p_raw(b))
 
-    with bucket b = md5(word) % ``dim`` (the paper's hashed n-gram
-    features) and add-one smoothing on both bucket models. The raw pool
+    with bucket b = md5(term) % ``dim`` (the paper's hashed n-gram
+    features: ``ngram=1`` unigrams only; ``ngram=2`` unigrams PLUS
+    space-joined bigrams — the paper's full feature set, which unigram
+    counts cannot express: two styles with identical word histograms
+    but different word ORDER only separate at n=2) and add-one
+    smoothing on both bucket models. The raw pool
     is the crawl; the target is a small high-quality exemplar corpus
     (the reference's analogue is the config-driven corpus shaping of
     its filter stages — F1/F2 select BY METADATA, this selects by
@@ -643,7 +669,6 @@ def dsir_log_weights(
     affects one linear aggregate over the target.
     """
     from impresso_ta.operators.dedup import shingle_hash48
-    from impresso_ta.operators.text_analysis import tokens
 
     def bucket_of(col: Column) -> Column:
         return (shingle_hash48(col) % dim).alias("bucket")
@@ -651,7 +676,11 @@ def dsir_log_weights(
     def corpus_buckets(df: DataFrame, out: str) -> DataFrame:
         return (
             spread_small_input(df)
-            .select(F.explode(tokens(F.col(text_col))).alias("word"))
+            .select(
+                F.explode(
+                    _dsir_feature_terms(F.col(text_col), ngram)
+                ).alias("word")
+            )
             .select(bucket_of(F.col("word")))
             .groupBy("bucket")
             .agg(F.count("*").alias(out))
@@ -669,18 +698,31 @@ def dsir_log_weights(
     totals = joined.select(
         F.sum("rc").alias("_R"), F.sum("tc").alias("_T")
     )
+    # the log-ratio is materialized as an INTEGER (scaled 1e9): the
+    # per-doc weight is then an exact BIGINT sum — immune to float
+    # summation ORDER, which differs between Spark's partial aggregates
+    # and any other engine (the bigram feature stream doubled the
+    # addends per doc and started flipping round-to-6 edges)
     ratio = joined.crossJoin(F.broadcast(totals)).select(
         "bucket",
         F.round(
-            F.log((F.col("tc") + 1) / (F.col("_T") + dim))
-            - F.log((F.col("rc") + 1) / (F.col("_R") + dim)),
-            9,
-        ).alias("_lr"),
+            (
+                F.log((F.col("tc") + 1) / (F.col("_T") + dim))
+                - F.log((F.col("rc") + 1) / (F.col("_R") + dim))
+            )
+            * 1e9,
+            0,
+        )
+        .cast("long")
+        .alias("_lr9"),
     )
     doc_b = (
         spread_small_input(raw)
         .select(
-            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+            F.col(id_col),
+            F.explode(_dsir_feature_terms(F.col(text_col), ngram)).alias(
+                "word"
+            ),
         )
         .select(id_col, bucket_of(F.col("word")))
         .groupBy(id_col, "bucket")
@@ -689,7 +731,11 @@ def dsir_log_weights(
     weights = (
         doc_b.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
-        .agg(F.round(F.sum(F.col("c") * F.col("_lr")), round_to).alias("dsir_logw"))
+        .agg(
+            F.round(
+                F.sum(F.col("c") * F.col("_lr9")) / 1e9, round_to
+            ).alias("dsir_logw")
+        )
     )
     return raw.join(weights, id_col, "left").withColumn(
         "dsir_logw", F.coalesce(F.col("dsir_logw"), F.lit(0.0))
@@ -705,6 +751,7 @@ def dsir_resample(
     dim: int = 256,
     salt: str = "dsir",
     round_to: int = 6,
+    ngram: int = 1,
 ) -> DataFrame:
     """DSIR's selection step: Gumbel top-k over the importance
     log-weights — sample ``n`` docs WITHOUT replacement with
@@ -733,7 +780,8 @@ def dsir_resample(
     ) / F.lit(float(1 << 48))
     gumbel = -F.log(-F.log(u))
     scored = dsir_log_weights(
-        raw, target, id_col=id_col, text_col=text_col, dim=dim, round_to=9
+        raw, target, id_col=id_col, text_col=text_col, dim=dim,
+        round_to=9, ngram=ngram,
     ).withColumn(
         "_gkey", F.round(F.col("dsir_logw") + gumbel, round_to)
     )
@@ -755,6 +803,7 @@ def dsir_resample_threshold(
     salt: str = "dsir",
     accuracy: int = 10_000,
     cached_out: list[DataFrame] | None = None,
+    ngram: int = 1,
 ) -> DataFrame:
     """Crawl-scale DSIR selection: keep ≈``fraction`` of the raw pool
     by thresholding the Gumbel-perturbed log-weight at its
@@ -803,7 +852,7 @@ def dsir_resample_threshold(
     scored = (
         dsir_log_weights(
             raw, target, id_col=id_col, text_col=text_col, dim=dim,
-            round_to=9,
+            round_to=9, ngram=ngram,
         )
         .withColumn(
             "_gkey", F.round(F.col("dsir_logw") + -F.log(-F.log(u)), 6)

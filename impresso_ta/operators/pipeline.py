@@ -75,6 +75,7 @@ def prepare_corpus(
     dsir_target: DataFrame | None = None,
     dsir_n: int | None = None,
     dsir_dim: int = 256,
+    dsir_ngram: int = 1,
     domain_cap: int | None = None,
     domain_cap_order: str | None = None,
     temperature_alpha: float | None = None,
@@ -117,6 +118,9 @@ def prepare_corpus(
     dedup stages: selection shrinks the pool every later stage pays
     for, and the paper's pipeline position is raw-pool-side. The
     weight column is internal — the pipeline schema is unchanged.
+    ``dsir_ngram=2`` adds hashed bigrams to the feature stream (the
+    paper's full n≤2 set — required when the target differs from the
+    pool by word ORDER rather than vocabulary).
 
     ``domain_cap``: keep at most N documents per ``domain_col`` value
     (the RefinedWeb-style per-registered-domain cap), ranked by
@@ -249,6 +253,7 @@ def prepare_corpus(
             id_col=id_col,
             text_col=text_col,
             dim=dsir_dim,
+            ngram=dsir_ngram,
         ).drop("dsir_logw")
         cur = step("dsir_select", cur, selected)
         if bool(line_spans) or doc_dedup or benchmark is not None:

@@ -5532,14 +5532,29 @@ def corpus_semantic_decontamination(
 def _dsir_cte(
     raw_sql: str = "SELECT * FROM documents WHERE doc_id % 17 <> 0",
     tgt_sql: str = "SELECT * FROM documents WHERE doc_id % 17 = 0",
+    ngram: int = 1,
 ) -> str:
     """DuckDB CTE chain computing DSIR log-weights (`w`) over a
-    parameterizable raw pool and target corpus."""
+    parameterizable raw pool and target corpus. ``ngram=2`` mirrors
+    _dsir_feature_terms: the token stream becomes unigrams + space-
+    joined bigrams (zip of the token list with its own tail)."""
+    if ngram == 1:
+        stream = r"unnest(regexp_split_to_array(trim(text), '\s+'))"
+    else:
+        stream = (
+            r"unnest(list_concat(t, list_transform(range(1, len(t)), "
+            r"i -> t[i] || ' ' || t[i + 1])))"
+        )
+    inner = (
+        "SELECT doc_id, text FROM {src}"
+        if ngram == 1
+        else r"SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM {src}"
+    )
     return rf"""
     tgt AS ({tgt_sql}),
     raw AS ({raw_sql}),
-    rw AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM raw),
-    tw AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM tgt),
+    rw AS (SELECT doc_id, {stream} AS word FROM ({inner.format(src='raw')})),
+    tw AS (SELECT {stream} AS word FROM ({inner.format(src='tgt')})),
     rb AS (SELECT ('0x' || substr(md5(word), 1, 12))::BIGINT % 256 AS bucket,
                   count(*) AS rc FROM rw GROUP BY 1),
     tb AS (SELECT ('0x' || substr(md5(word), 1, 12))::BIGINT % 256 AS bucket,
@@ -5549,14 +5564,14 @@ def _dsir_cte(
           FROM rb FULL OUTER JOIN tb ON rb.bucket = tb.bucket),
     tot AS (SELECT sum(rc) AS R, sum(tc) AS T FROM m),
     ratio AS (SELECT bucket,
-                     round(ln((tc + 1) / (T + 256.0))
-                           - ln((rc + 1) / (R + 256.0)), 9) AS lr
+                     (round((ln((tc + 1) / (T + 256.0))
+                             - ln((rc + 1) / (R + 256.0))) * 1e9))::BIGINT AS lr9
               FROM m, tot),
     db AS (SELECT doc_id,
                   ('0x' || substr(md5(word), 1, 12))::BIGINT % 256 AS bucket,
                   count(*) AS c
            FROM rw GROUP BY 1, 2),
-    w AS (SELECT doc_id, sum(c * lr) AS logw FROM db JOIN ratio USING (bucket) GROUP BY 1)
+    w AS (SELECT doc_id, sum(c * lr9) / 1e9 AS logw FROM db JOIN ratio USING (bucket) GROUP BY 1)
 """
 
 
@@ -5587,6 +5602,35 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_log_weights(
         d.filter(F.col("doc_id") % 17 != 0),
         d.filter(F.col("doc_id") % 17 == 0),
+    ).select("doc_id", "source", "dsir_logw")
+
+
+@q(
+    "corpus_dsir_weights_bigram",
+    f"""
+    WITH {_dsir_cte(ngram=2)}
+    SELECT r.doc_id, r.source,
+           round(coalesce(w.logw, 0.0), 6) AS dsir_logw
+    FROM raw r LEFT JOIN w ON r.doc_id = w.doc_id
+    """,
+    "DSIR log-weights over the paper's FULL n<=2 hashed feature set "
+    "(unigrams + space-joined bigrams, dsir_log_weights(ngram=2)): "
+    "word-ORDER style differences that unigram histograms cannot "
+    "express become separable (two corpora with identical vocabulary "
+    "mixes but different collocations get different weights — "
+    "order-separation tested in tests/test_dsir.py). Same two-"
+    "aggregate scale shape as unigrams; the bigram stream is a "
+    "row-local zip of the token array with its own tail — ~2x the "
+    "exploded rows, zero extra shuffles.",
+)
+def corpus_dsir_weights_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.corpus import dsir_log_weights
+
+    d = t(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        d.filter(F.col("doc_id") % 17 != 0),
+        d.filter(F.col("doc_id") % 17 == 0),
+        ngram=2,
     ).select("doc_id", "source", "dsir_logw")
 
 

@@ -166,3 +166,57 @@ def test_threshold_select_no_global_sort(spark):
 
     with pytest.raises(ValueError, match="fraction"):
         dsir_resample_threshold(raw, tgt, fraction=1.5)
+
+
+def test_bigram_features_separate_word_order_styles(spark):
+    """The ngram=2 feature set (unigrams + bigrams, the paper's full
+    n<=2 set) separates two pools with IDENTICAL unigram histograms
+    but different word ORDER; unigrams alone provably cannot (their
+    bucket counts are equal by construction, so every log-weight
+    collapses to the corpus prior)."""
+    from impresso_ta.operators.corpus import dsir_log_weights
+
+    # style A: "alpha beta" collocation; style B: "beta alpha".
+    # Same words, same counts, opposite order.
+    a = [(i, "alpha beta stop " * 20) for i in range(10)]
+    b = [(100 + i, "beta alpha stop " * 20) for i in range(10)]
+    raw = spark.createDataFrame(a + b, "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(900, "alpha beta stop " * 20)], "doc_id long, text string"
+    )
+
+    uni = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_log_weights(raw, tgt, ngram=1).collect()
+    }
+    # unigram histograms identical -> identical weights across styles
+    assert len({round(v, 6) for v in uni.values()}) == 1
+
+    bi = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_log_weights(raw, tgt, ngram=2).collect()
+    }
+    # bigram features see the collocation: every style-A doc outweighs
+    # every style-B doc
+    assert min(bi[d] for d in bi if d < 100) > max(
+        bi[d] for d in bi if d >= 100
+    )
+
+
+def test_dsir_ngram_pipeline_stage(spark):
+    """dsir_ngram=2 reaches dsir_resample through prepare_corpus: the
+    selected docs are the target-ordered style."""
+    from impresso_ta.operators.pipeline import prepare_corpus
+
+    a = [(i, "alpha beta stop " * 20) for i in range(10)]
+    b = [(100 + i, "beta alpha stop " * 20) for i in range(10)]
+    raw = spark.createDataFrame(a + b, "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(900, "alpha beta stop " * 20)], "doc_id long, text string"
+    )
+    res = prepare_corpus(
+        raw, c4=False, gopher=False, line_spans=None, doc_dedup=False,
+        dsir_target=tgt, dsir_n=8, dsir_ngram=2,
+    )
+    assert all(r["doc_id"] < 100 for r in res.docs.collect())
+    res.unpersist()
