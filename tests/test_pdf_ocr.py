@@ -1,0 +1,186 @@
+"""S9 PDF OCR pre-extraction: canonical-id derivation parity, the
+block clean/rescale/split logic on a hand-built pymupdf-shaped page
+dict, the distributed extract with an injected deterministic extractor
+(the PDF decode itself is stubbed — pymupdf is not in this container),
+the incremental anti-join skip, the errors-as-data channel, and the
+default extractor's loud NotImplementedError."""
+
+import json
+
+import pytest
+
+from impresso_ta.sources.pdf_ocr import (
+    build_ocr_json,
+    canonical_from_filename,
+    extract_pdf_ocr,
+    process_blocks_of_page,
+    write_ocr_json,
+)
+
+PAGE_DICT = {
+    "width": 100.0,
+    "height": 200.0,
+    "blocks": [
+        {  # text block: image payload dropped, nested boxes rescaled
+            "bbox": [10.0, 20.0, 30.0, 40.0],
+            "image": b"\x00" * 16,
+            "lines": [
+                {
+                    "bbox": [10.0, 20.0, 30.0, 30.0],
+                    "spans": [
+                        {"bbox": [10.0, 20.0, 20.0, 30.0], "text": "hi"}
+                    ],
+                }
+            ],
+        },
+        {"bbox": [0.0, 0.0, 100.0, 200.0], "mask": b"\xff"},  # lineless
+    ],
+}
+
+
+def _make_fake_extractor():
+    """Built fresh per test: a NESTED function (cloudpickle serializes
+    it by value, with the page dict captured) — a module-level function
+    would pickle as a reference to this test module, which executor
+    workers cannot import."""
+    page = json.loads(json.dumps({
+        **PAGE_DICT,
+        "blocks": [
+            {k: (v if not isinstance(v, bytes) else "x") for k, v in b.items()}
+            for b in PAGE_DICT["blocks"]
+        ],
+    }))
+
+    def _fake_extractor(content: bytes):
+        # one page per value of the first input byte (deterministic)
+        for _ in range(content[0]):
+            yield page, (200.0, 400.0)  # 2x upscale
+
+    return _fake_extractor
+
+
+_fake_extractor = _make_fake_extractor()
+
+
+def test_canonical_from_filename():
+    path, lang = canonical_from_filename(
+        "/in/RB_SOC_Prog1_19440307_FR.pdf"
+    )
+    assert path == "SOC_Prog1/1944/03/07/a"
+    assert lang == "fr"
+    # explicit edition number -> letter (2 -> 'b')
+    path, lang = canonical_from_filename("RB_SOC_P_19440307_DE_2.pdf")
+    assert path == "SOC_P/1944/03/07/b" and lang == "de"
+
+
+def test_process_blocks_cleans_rescales_and_splits():
+    out = process_blocks_of_page(0, json.loads(json.dumps(
+        {**PAGE_DICT, "blocks": [
+            {k: (v if not isinstance(v, bytes) else "x")
+             for k, v in b.items()} for b in PAGE_DICT["blocks"]
+        ]})), (200.0, 400.0))
+    assert out["ocr_page_size"] == [100.0, 200.0]
+    assert out["jp2_img_size"] == [200.0, 400.0]
+    assert len(out["blocks_with_lines"]) == 1
+    assert len(out["blocks_without_lines"]) == 1
+    blk = out["blocks_with_lines"][0]
+    assert "image" not in blk and "mask" not in out["blocks_without_lines"][0]
+    assert blk["rescaled_bbox"] == [20.0, 40.0, 60.0, 80.0]
+    assert blk["lines"][0]["rescaled_bbox"] == [20.0, 40.0, 60.0, 60.0]
+    assert blk["lines"][0]["spans"][0]["rescaled_bbox"] == [
+        20.0, 40.0, 40.0, 60.0,
+    ]
+    # originals kept alongside (the reference keeps both)
+    assert blk["bbox"] == [10.0, 20.0, 30.0, 40.0]
+
+
+def test_build_ocr_json_structure():
+    doc = build_ocr_json(
+        "file:/in/RB_SOC_Prog1_19440307_FR.pdf", b"\x02", _fake_extractor
+    )
+    assert doc["canonical_id"] == "SOC_Prog1-1944-03-07-a"
+    assert doc["lang"] == "fr"
+    assert len(doc["ocr_pages"]) == 2
+    assert doc["jp2_full_paths"] == [
+        "images/SOC_Prog1/1944/03/07/a/SOC_Prog1-1944-03-07-a-p0001.jp2",
+        "images/SOC_Prog1/1944/03/07/a/SOC_Prog1-1944-03-07-a-p0002.jp2",
+    ]
+
+
+def test_extract_distributed_with_incremental_skip(spark, tmp_path):
+    src = tmp_path / "pdfs"
+    src.mkdir()
+    (src / "RB_SOC_Prog1_19440307_FR.pdf").write_bytes(b"\x02pdf")
+    (src / "RB_SOC_Prog1_19440308_DE.pdf").write_bytes(b"\x01pdf")
+    (src / "RB_SOC_Prog2_19440309_EN_2.pdf").write_bytes(b"\x03pdf")
+    (src / "notes.txt").write_text("ignored: not a pdf")
+
+    out = extract_pdf_ocr(spark, str(src), page_extractor=_fake_extractor)
+    rows = {r["canonical_id"]: r for r in out.collect()}
+    assert set(rows) == {
+        "SOC_Prog1-1944-03-07-a",
+        "SOC_Prog1-1944-03-08-a",
+        "SOC_Prog2-1944-03-09-b",
+    }
+    assert rows["SOC_Prog2-1944-03-09-b"]["n_pages"] == 3
+    assert all(r["error"] is None for r in rows.values())
+    doc = json.loads(rows["SOC_Prog1-1944-03-07-a"]["ocr_json"])
+    assert len(doc["ocr_pages"]) == 2
+    assert doc["ocr_pages"][0]["blocks_with_lines"][0]["rescaled_bbox"] == [
+        20.0, 40.0, 60.0, 80.0,
+    ]
+
+    # incremental skip (F3-style anti-join): already-processed ids are
+    # pruned BEFORE decode — re-run with 2 of 3 marked done
+    done = spark.createDataFrame(
+        [("SOC_Prog1-1944-03-07-a",), ("SOC_Prog2-1944-03-09-b",)],
+        "canonical_id string",
+    )
+    remaining = extract_pdf_ocr(
+        spark, str(src), page_extractor=_fake_extractor, existing_ids=done
+    )
+    assert [r["canonical_id"] for r in remaining.collect()] == [
+        "SOC_Prog1-1944-03-08-a"
+    ]
+
+    # sink: (program, year) partition layout + S15 error channel
+    write_ocr_json(out, str(tmp_path / "out"))
+    import glob
+
+    assert glob.glob(
+        str(tmp_path / "out" / "ocr" / "program=SOC_Prog1" / "year=1944" / "*")
+    )
+
+
+def test_extract_errors_are_data_not_task_failures(spark, tmp_path):
+    src = tmp_path / "pdfs"
+    src.mkdir()
+    (src / "RB_SOC_Prog1_19440307_FR.pdf").write_bytes(b"\x01ok")
+    (src / "RB_SOC_BadDate_1944XX07_FR.pdf").write_bytes(b"\x01bad")
+
+    def _picky(content: bytes):
+        yield PAGE_DICT, (200.0, 400.0)
+
+    rows = extract_pdf_ocr(
+        spark, str(src), page_extractor=_picky
+    ).collect()
+    by_err = {bool(r["error"]): r for r in rows}
+    assert len(rows) == 2
+    assert by_err[False]["canonical_id"] == "SOC_Prog1-1944-03-07-a"
+    assert "1944XX07" in by_err[True]["original_path"]
+    assert by_err[True]["ocr_json"] is None
+
+
+def test_default_extractor_is_a_loud_stub(spark, tmp_path):
+    src = tmp_path / "pdfs"
+    src.mkdir()
+    (src / "RB_SOC_Prog1_19440307_FR.pdf").write_bytes(b"\x01x")
+    rows = extract_pdf_ocr(spark, str(src)).collect()
+    assert rows[0]["error"] and "pymupdf" in rows[0]["error"]
+
+
+def test_default_extractor_raises_directly():
+    from impresso_ta.sources.pdf_ocr import _default_page_extractor
+
+    with pytest.raises(NotImplementedError, match="page_extractor"):
+        _default_page_extractor(b"")
