@@ -2381,6 +2381,136 @@ def q22_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(sum((round((l_extendedprice * (1 - l_discount)
+                     - p_retailprice * l_quantity) * 10000))::BIGINT)
+                 / 10000.0, 2) AS profit
+    FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%a%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+    "Product-type profit by nation and year (TPC-H Q9 shape, adapted: "
+    "the synthetic schema has no partsupp, so p_retailprice stands in "
+    "for ps_supplycost): a five-table star join grouped on a DERIVED "
+    "key (nation x extracted year). Spark shape: lineitem is the one "
+    "fact scan; supplier/nation/part broadcast (dims), orders "
+    "shuffle-joins on the order key, and the groupBy is "
+    "map-side-combined on the low-cardinality (nation, year) pair. "
+    "Per-row profit is fixed to 1e-4 and summed as exact BIGINTs — "
+    "billions-scale double sums flip round-to-2 edges under Spark's "
+    "nondeterministic partial-aggregate order (the DSIR lesson).",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    o = t(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    profit_i4 = F.round(profit * 10000, 0).cast("long")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit_i4) / 10000.0, 2).alias("profit"))
+    )
+
+
+@q(
+    "q11_important_parts",
+    """
+    WITH value_by_part AS (
+        SELECT l_partkey,
+               sum((round(l_extendedprice * (1 - l_discount) * 10000))::BIGINT)
+                   AS value_i4
+        FROM lineitem GROUP BY l_partkey),
+    total AS (SELECT sum(value_i4) AS tv, count(*) AS np FROM value_by_part)
+    SELECT l_partkey, round(value_i4 / 10000.0, 2) AS part_value
+    FROM value_by_part, total
+    WHERE value_i4 * np * 10 > 12 * tv
+    """,
+    "Important-stock identification (TPC-H Q11 shape, adapted: no "
+    "partsupp table, so lineitem revenue stands in for stock value): "
+    "per-part aggregate filtered against a SHARE OF THE GLOBAL TOTAL "
+    "(keep parts above 1.2x the MEAN share — scale-free, and "
+    "non-vacuous on the near-uniform synthetic values whose max share "
+    "is 1.79x the mean). Spark shape: one groupBy "
+    "over the fact table with exact BIGINT value sums (order-immune), "
+    "the one-row total re-aggregated from the ≤|parts| grouped frame "
+    "(not a second fact scan) and broadcast back into a row-local "
+    "HAVING filter — the global threshold never forces a driver "
+    "collect or a re-scan; the comparison is pure integer arithmetic.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    value_i4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    by_part = li.groupBy("l_partkey").agg(F.sum(value_i4).alias("value_i4"))
+    total = by_part.agg(
+        F.sum("value_i4").alias("tv"), F.count("*").alias("np")
+    )
+    return (
+        by_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_i4") * F.col("np") * 10 > 12 * F.col("tv"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value_i4") / 10000.0, 2).alias("part_value"),
+        )
+    )
+
+
+@q(
+    "q12_late_shipment_priority",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_linestatus
+    """,
+    "Late-shipment priority distribution (TPC-H Q12 shape, adapted: "
+    "no l_shipmode/l_receiptdate columns, so l_linestatus buckets and "
+    "shipdate-vs-orderdate lateness replace them): one fact-fact join "
+    "with a JOIN-DEPENDENT residual predicate (lateness compares "
+    "columns from BOTH sides, so it can't push below the join) and "
+    "dual conditional counts in a single pass — never two scans.",
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
     "q4_order_priority_semi",
     """
     SELECT o_orderpriority, count(*) AS order_count
