@@ -193,3 +193,62 @@ def lr_hashed_score(
         )
         .drop("_m")
     )
+
+
+def lr_hashed_score_rowlocal(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    round_to: int = 6,
+    tf: bool = True,
+) -> DataFrame:
+    """Stateless scoring form for STREAMING frames (and any batch frame
+    that prefers zero shuffles): ``lr_hashed_score``'s explode →
+    groupBy margin is a streaming AGGREGATION — state store + watermark
+    — but the model is ≤dim rows, so the whole weight table folds into
+    a ONE-ROW map column that crossJoins onto the stream as a
+    stream-static broadcast, and the margin is computed row-locally
+    with array expressions (bucket the tokens, count per distinct
+    bucket, look each bucket up in the map). No shuffle, no state, no
+    driver collect; same 9/6-decimal rounding discipline as the batch
+    form (parity-tested).
+
+    Per-row cost is O(distinct_buckets x tokens) from the in-array
+    counting — bounded by ``dim`` x doc length, the right trade against
+    a shuffle on a live stream.
+    """
+    from impresso_ta.operators.dedup import shingle_hash48
+    from impresso_ta.operators.text_analysis import tokens
+
+    wmap_row = weights.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "w"))
+        ).alias("_wmap")
+    )
+    toks = tokens(F.col(text_col))
+    buckets = F.transform(toks, lambda t: shingle_hash48(t) % dim)
+    n = F.size(buckets)
+
+    def term(b: Column) -> Column:
+        c = F.size(F.filter(buckets, lambda x: x == b))
+        feat = F.round(c / n, 9) if tf else c.cast("double")
+        return F.coalesce(F.col("_wmap")[b], F.lit(0.0)) * feat
+
+    margin = F.round(
+        F.aggregate(
+            F.array_distinct(buckets),
+            F.lit(0.0),
+            lambda acc, b: acc + term(b),
+        ),
+        9,
+    )
+    return (
+        docs.crossJoin(F.broadcast(wmap_row))
+        .withColumn(
+            "lr_prob",
+            F.round(_sigmoid(F.coalesce(margin, F.lit(0.0))), round_to),
+        )
+        .drop("_wmap")
+    )

@@ -107,6 +107,9 @@ def stream_corpus_quality_gate(
     checkpoint: str,
     available_now: bool = True,
     max_files_per_trigger: int = 32,
+    quality_model=None,
+    quality_threshold: float = 0.5,
+    quality_dim: int = 64,
 ):
     """Streaming corpus-quality gate: watch a drop directory of document
     parquet files, keep only rows passing the C4 + Gopher-lite quality
@@ -114,6 +117,17 @@ def stream_corpus_quality_gate(
     store. Exactly-once per input file via checkpoint — the streaming
     twin of the batch ``prepare_corpus`` filter stages for a live crawl
     feed.
+
+    ``quality_model`` additionally applies the trained hashed-LR filter
+    (the batch pipeline's learned-quality stage) to each micro-batch
+    via the ROW-LOCAL scorer: the batch form's explode→groupBy margin
+    would be a streaming aggregation (state store + watermark), so the
+    ≤dim-row weight table folds into a one-row map that crossJoins on
+    as a stream-static broadcast and the margin is computed per row
+    with array expressions — zero shuffles, zero state (see
+    ``lr_hashed_score_rowlocal``, batch-parity-tested). tf features
+    (the pipeline's default and the only sane form — see
+    ``lr_hashed_train``).
 
     Corpus-WIDE stages (line dedup, Jaccard dedup) stay batch — they
     need the full corpus; the row-local gates here are exactly the ones
@@ -135,6 +149,12 @@ def stream_corpus_quality_gate(
     # state, no stream-stream join, and the thresholds (incl. the upper
     # word-count bound) cannot drift from batch.
     survivors = stream.filter(c4_signals(F.col("text"))["keep"])
+    if quality_model is not None:
+        from impresso_ta.operators.classifier import lr_hashed_score_rowlocal
+
+        survivors = lr_hashed_score_rowlocal(
+            survivors, quality_model, dim=quality_dim, tf=True
+        ).filter(F.col("lr_prob") >= quality_threshold).drop("lr_prob")
     writer = (
         survivors.writeStream.format("parquet")
         .option("path", out_path)

@@ -141,3 +141,66 @@ def test_tf_features_separate_regardless_of_length(spark):
     assert min(scored[d] for d in scored if d % 2 == 0) > max(
         scored[d] for d in scored if d % 2 == 1
     )
+
+
+def test_rowlocal_scorer_matches_batch_scorer(spark):
+    """lr_hashed_score_rowlocal (the stateless streaming form: one-row
+    weight map broadcast + in-array margin) reproduces the batch
+    scorer's rounded probabilities exactly — both tf and raw-count
+    feature forms, including the null-text zero-margin row."""
+    from impresso_ta.operators.classifier import lr_hashed_score_rowlocal
+
+    _, _, df = _frames(spark)
+    holdout = spark.createDataFrame(
+        [
+            (100, "paris gallery art museum painting"),
+            (101, "blorp quux gnarl xylophone paris"),
+            (102, None),
+            (103, "zebra zebra zebra art"),
+        ],
+        "doc_id long, text string",
+    )
+    for tf in (True, False):
+        weights = lr_hashed_train(df, "y", dim=DIM, tf=tf, learn_rate=10.0)
+        batch = {
+            r["doc_id"]: r["lr_prob"]
+            for r in lr_hashed_score(holdout, weights, dim=DIM, tf=tf).collect()
+        }
+        rowlocal = {
+            r["doc_id"]: r["lr_prob"]
+            for r in lr_hashed_score_rowlocal(
+                holdout, weights, dim=DIM, tf=tf
+            ).collect()
+        }
+        assert rowlocal == batch, f"tf={tf}"
+        assert rowlocal[102] == 0.5
+
+
+def test_rowlocal_scorer_plan_is_shuffle_free(spark):
+    """The row-local scorer adds NO exchange to the scored frame: the
+    model rides as a broadcast one-row map, the margin is row-local."""
+    from impresso_ta.operators.classifier import lr_hashed_score_rowlocal
+
+    _, _, df = _frames(spark)
+    trained = lr_hashed_train(df, "y", dim=DIM)
+    # sever the training lineage (its aggregates legitimately shuffle;
+    # the cached frame would still PRINT them) — the assertion targets
+    # the scorer's own plan
+    weights = spark.createDataFrame(
+        trained.collect(), "bucket long, w double"
+    )
+    docs = spark.createDataFrame(
+        [(1, "paris museum")], "doc_id long, text string"
+    )
+    plan = (
+        lr_hashed_score_rowlocal(docs, weights, dim=DIM)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only exchanges allowed: the one-row weight-map fold
+    # (SinglePartition over ≤dim rows) and its broadcast — never a
+    # hash/range repartition of the scored docs
+    import re
+
+    assert not re.search(r"Exchange (hash|range)partitioning", plan), plan

@@ -438,3 +438,53 @@ def test_read_store_before_error_discrimination(spark, tmp_path):
     got = _read_store_before(spark, str(good), 1)
     assert [r["x"] for r in got.collect()] == [1]
     assert os.path.isdir(good)
+
+
+def test_stream_quality_gate_with_learned_model(spark, tmp_path):
+    """quality_model on the streaming gate: the drained survivors equal
+    the batch pipeline's (C4 + LR-threshold) survivors on the same
+    docs — same model, same threshold, stateless row-local scoring."""
+    from pyspark.sql import functions as F
+
+    from impresso_ta.operators.classifier import lr_hashed_train
+    from impresso_ta.operators.pipeline import prepare_corpus
+    from impresso_ta.streaming.ingest import stream_corpus_quality_gate
+
+    doc_schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    base = " ".join(f"word{i}" for i in range(40))
+    rows = [
+        (i, f"{base} paris museum art gallery exhibition n{i}", "en", "s", 1)
+        for i in range(8)
+    ] + [
+        (100 + i, f"{base} zebra xylophone quux blorp gnarl n{i}", "en", "s", 1)
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, doc_schema)
+    model = lr_hashed_train(
+        docs.withColumn("y", (F.col("doc_id") < 100).cast("double")),
+        "y", tf=True, learn_rate=100.0,
+    )
+
+    # batch truth: the pipeline's quality stage on the same inputs
+    batch = prepare_corpus(
+        docs, c4=True, gopher=False, line_spans=None, doc_dedup=False,
+        quality_model=model, quality_threshold=0.5,
+    )
+    want = sorted(r["doc_id"] for r in batch.docs.collect())
+    batch.unpersist()
+    assert want and len(want) < len(rows)  # a real split
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    docs.coalesce(2).write.parquet(str(drop / "b0"))
+    out, ckpt = str(tmp_path / "clean"), str(tmp_path / "ckpt")
+    q = stream_corpus_quality_gate(
+        spark, str(drop) + "/*", out, ckpt,
+        quality_model=model, quality_threshold=0.5,
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == want
