@@ -12,9 +12,9 @@ row-local filters first, corpus-wide joins later):
 
     1. C4 heuristic filters         (zero shuffle)
     2. Gopher repetition filters    (two uniformly-keyed shuffles)
-    2b. learned LR quality filter   (optional — broadcast ≤dim-row
-        model, one scan + doc-keyed margin sum; the CCNet/FineWeb-Edu
-        trained-classifier slot)
+    2b. learned LR quality filter   (optional — ≤dim-row model as a
+        one-row map broadcast, row-local margin, zero shuffles; the
+        CCNet/FineWeb-Edu trained-classifier slot)
     3. corpus-wide line dedup       (rewrites text, drops emptied docs)
     3b. exact-substring dedup       (optional, off by default — Lee et
         al. 2022 ExactSubstr window removal, rewrites text)
@@ -105,9 +105,11 @@ def prepare_corpus(
     heuristic filters: the model was trained to rank what the
     rule-based filters can't separate, and every later corpus-wide
     stage (DSIR, dedup, decontamination) pays per surviving row. The
-    model is ≤dim rows and rides as a broadcast; scoring is one scan +
-    one doc-keyed sum — the pipeline schema is unchanged (the score
-    column is internal). ``quality_tf`` (default True: term-frequency
+    ≤dim-row model folds into a one-row map broadcast and the margin is
+    computed row-locally — zero exchanges added to the pipeline
+    (``lr_hashed_score_rowlocal``, batch-parity-tested); the pipeline
+    schema is unchanged (the score column is internal). ``quality_tf``
+    (default True: term-frequency
     features, the form whose margins don't scale with document length)
     must match how the model was trained — see ``lr_hashed_train``.
 
@@ -168,7 +170,8 @@ def prepare_corpus(
         # dsir_log_weights consumes the filtered corpus three times
         # (corpus bucket counts, per-doc bucket counts, the join-back)
         or dsir_target is not None
-        # lr_hashed_score consumes it twice (feature explode + join-back)
+        # the row-local scorer consumes cur once, but its survivor set
+        # feeds every later corpus-wide branch
         or quality_model is not None
     )
     # (domain_cap is window-shaped — single consumption, no persist needed)
@@ -217,13 +220,16 @@ def prepare_corpus(
         cached.append(cur)
     if quality_model is not None:
         # learned-quality filter (CCNet/RefinedWeb/FineWeb-Edu slot):
-        # broadcast the ≤dim-row model, score in one corpus scan +
-        # doc-keyed sum, keep docs at/above the probability threshold.
-        # Runs between the heuristic filters and the corpus-wide stages
-        # so everything downstream pays only for the surviving rows.
-        from impresso_ta.operators.classifier import lr_hashed_score
+        # the ≤dim-row model folds into a ONE-ROW map broadcast and the
+        # margin is computed row-locally (lr_hashed_score_rowlocal) —
+        # zero exchanges added to the pipeline, vs the batch scorer's
+        # explode→groupBy margin + doc-keyed join-back (two); identical
+        # rounded probabilities (parity-tested). Runs between the
+        # heuristic filters and the corpus-wide stages so everything
+        # downstream pays only for the surviving rows.
+        from impresso_ta.operators.classifier import lr_hashed_score_rowlocal
 
-        kept = lr_hashed_score(
+        kept = lr_hashed_score_rowlocal(
             cur,
             quality_model,
             id_col=id_col,

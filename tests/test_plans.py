@@ -281,3 +281,69 @@ def test_ci_level_regs_exchange_pinned_and_reused(spark):
     ]
     assert len(regs_exchanges) == 1, regs_exchanges
     assert "REPARTITION_BY_NUM" in regs_exchanges[0]
+
+
+def test_q9_star_join_never_sort_merge_or_bnlj(spark):
+    """q9: dims ride as broadcasts; neither a SortMergeJoin over the
+    fact table nor a BNLJ ever appears, and the (nation, year) groupBy
+    combines map-side."""
+    from impresso_ta.queries import REGISTRY
+
+    q = REGISTRY["q9_product_profit"].fn(spark, SF)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+
+
+def test_q11_total_is_reaggregated_not_rescanned(spark):
+    """q11: the global total must come from re-aggregating the grouped
+    per-part frame (AQE ReusedExchange at runtime), never a second scan
+    of lineitem. The reuse only materializes in the FINAL adaptive
+    plan, so the assertion runs after an action."""
+    from impresso_ta.queries import REGISTRY
+
+    q = REGISTRY["q11_important_parts"].fn(spark, SF)
+    q.collect()
+    plan = _plan(q)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan or plan.count("lineitem.parquet") <= 1
+
+
+def test_lr_pipeline_stage_adds_no_shuffle(spark):
+    """The prepare_corpus quality stage scores row-locally: the
+    ≤dim-row model folds into a one-row map broadcast, so the quality
+    filter adds ZERO hash/range exchanges over the bare corpus scan —
+    no SortMergeJoin of the corpus against its own margins (the batch
+    scorer's shape), no model shuffle."""
+    from impresso_ta.operators.classifier import lr_hashed_train
+    from impresso_ta.operators.pipeline import prepare_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    train = docs.withColumn("y", (F.col("doc_id") % 2 == 0).cast("double"))
+    trained = lr_hashed_train(train, "y", tf=True)
+    model = spark.createDataFrame(  # sever training lineage (cached,
+        trained.collect(), "bucket long, w double"  # but still printed)
+    )
+    res = prepare_corpus(
+        docs, c4=False, gopher=False, line_spans=None, doc_dedup=False,
+        quality_model=model,
+    )
+    plan = _plan(res.docs)
+    assert "SortMergeJoin" not in plan
+    assert _shuffles(res.docs) == 0
+    res.unpersist()
+
+
+def test_dsir_bigram_stream_adds_no_exchange(spark):
+    """ngram=2 must not change the aggregate structure: same shuffle
+    count as the unigram form (the bigram build is a row-local zip)."""
+    from impresso_ta.operators.corpus import dsir_log_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    raw = docs.filter(F.col("doc_id") % 17 != 0)
+    tgt = docs.filter(F.col("doc_id") % 17 == 0)
+    uni = dsir_log_weights(raw, tgt, ngram=1)
+    bi = dsir_log_weights(raw, tgt, ngram=2)
+    assert _shuffles(bi) == _shuffles(uni)

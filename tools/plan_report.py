@@ -40,6 +40,14 @@ QUERIES = [
      "global sort exchange"),
     ("events_attribution_join", "stream-stream twin in batch: key-equi join "
      "with time-range residual, no BNLJ"),
+    ("q9_product_profit", "five-table star: supplier/nation/part broadcast, "
+     "orders the one shuffle join, groupBy map-side on (nation, year)"),
+    ("q11_important_parts", "share-of-total HAVING: one-row total broadcast "
+     "back over the grouped frame, no second fact scan"),
+    ("corpus_prepare_lr_filter", "learned-quality stage: one-row weight-map "
+     "broadcast, row-local margin — zero exchanges added over the scan"),
+    ("corpus_dsir_weights_bigram", "n<=2 feature stream is a row-local "
+     "zip — same two partial_ aggregates as unigrams, no extra exchange"),
 ]
 
 
