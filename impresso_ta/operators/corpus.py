@@ -872,3 +872,47 @@ def dsir_resample_threshold(
         .withColumn("dsir_logw", F.round(F.col("dsir_logw"), 6))
         .drop("_gkey", "_cut")
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    n_per_stratum: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exact-n deterministic sample PER STRATUM — the eval-set
+    construction step (fixed-size per-language/per-domain holdouts)
+    that ``sample()``/``sampleBy()`` cannot give you: Bernoulli
+    sampling yields binomial (approximate, run-dependent) counts, this
+    yields exactly ``min(n, |stratum|)`` rows, stable across runs and
+    engines.
+
+    Each doc gets an md5-uniform draw keyed by (salt, id) — no
+    ``rand()``, so the sample is reproducible and a doc's draw never
+    changes as the corpus grows (the DSIR Gumbel discipline). The
+    per-stratum top-n runs through the salted two-stage window
+    (``topn_per_key_salted``), so a hot stratum holding most of the
+    corpus never serializes into one task — never a global sort, never
+    a driver-side merge of anything bigger than the winners.
+
+    Returns the winning rows (original schema, draw column dropped).
+    """
+    if n_per_stratum <= 0:
+        raise ValueError(
+            f"n_per_stratum must be > 0, got {n_per_stratum}"
+        )
+    from impresso_ta.operators.skew import topn_per_key_salted
+
+    drawn = docs.withColumn(
+        "_draw",
+        _md5_long(
+            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+        ),
+    )
+    return (
+        topn_per_key_salted(
+            drawn, [strata_col], "_draw", n=n_per_stratum
+        )
+        .drop("rank", "_draw")
+    )

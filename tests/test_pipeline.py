@@ -541,3 +541,27 @@ def test_cli_dsir_pair_validated_at_parse_time():
         with pytest.raises(SystemExit) as exc:
             cli_main(argv)
         assert exc.value.code == 2  # argparse parser.error, not a crash
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    """stratified_sample: exactly min(n, |stratum|) rows per stratum,
+    byte-identical across runs, and a different salt draws a different
+    (but equally sized) sample."""
+    from impresso_ta.operators.corpus import stratified_sample
+
+    rows = [(i, "en" if i < 50 else "de") for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    s1 = stratified_sample(d, 20, strata_col="lang")
+    got = s1.groupBy("lang").count().collect()
+    assert {r["lang"]: r["count"] for r in got} == {"en": 20, "de": 10}
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(
+        r["doc_id"] for r in stratified_sample(d, 20, strata_col="lang").collect()
+    )
+    assert ids1 == ids2  # deterministic
+    ids3 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(d, 20, strata_col="lang", salt="other").collect()
+    )
+    assert ids3 != ids1  # but salt-dependent
+    assert set(s1.columns) == {"doc_id", "lang"}  # no draw/rank leak
