@@ -269,24 +269,38 @@ def stratified_sample(
     strata_col: str,
     n_per_stratum: int,
     id_col: str = "doc_id",
+    salt: str = "sample",
 ) -> DataFrame:
-    """Deterministic stratified sample: the ``n_per_stratum`` docs with
-    the smallest md5-order within each stratum.
+    """Deterministic EXACT-n stratified sample: the ``n_per_stratum``
+    docs with the smallest md5-order within each stratum — the
+    training-mix control knob and eval-set constructor (fixed-size
+    per-language/per-domain holdouts). Reproducible across runs and
+    engines — no ``rand()``, so re-sampling the same corpus returns the
+    same rows, and a doc's draw never changes as the corpus grows
+    (unlike ``sampleBy``, whose Bernoulli counts are binomial and
+    run-dependent). ``salt`` picks an independent draw.
 
-    The training-mix control knob (equal language/source representation,
-    eval holdouts): reproducible across runs and engines — no
-    ``rand()``, so re-sampling the same corpus returns the same rows.
-    One shuffle on the stratum key; per-stratum ordering is the same
-    hash order ``training_shards`` uses.
+    Scale shape (r7): the per-stratum top-n runs through the salted
+    two-stage window (``topn_per_key_salted``) instead of one
+    row_number window — a hot stratum holding most of the corpus
+    spreads over n_salts tasks in stage 1 and the exact stage-2 window
+    sees ≤ n·n_salts rows per stratum; never a global sort, never one
+    task per stratum. Same hash order ``training_shards`` uses, so the
+    selected rows are identical to the single-window form.
     """
-    key = F.col(id_col).cast("string")
-    w = Window.partitionBy(strata_col).orderBy(
-        _md5_long(F.concat(key, F.lit(":sample"))), id_col
+    if n_per_stratum <= 0:
+        raise ValueError(f"n_per_stratum must be > 0, got {n_per_stratum}")
+    from impresso_ta.operators.skew import topn_per_key_salted
+
+    drawn = docs.withColumn(
+        "_draw",
+        _md5_long(
+            F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+        ),
     )
     return (
-        docs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_per_stratum)
-        .drop("_rn")
+        topn_per_key_salted(drawn, [strata_col], "_draw", n=n_per_stratum)
+        .drop("rank", "_draw")
     )
 
 
@@ -871,48 +885,4 @@ def dsir_resample_threshold(
         .filter(F.col("_gkey") >= F.col("_cut"))
         .withColumn("dsir_logw", F.round(F.col("dsir_logw"), 6))
         .drop("_gkey", "_cut")
-    )
-
-
-def stratified_sample(
-    docs: DataFrame,
-    n_per_stratum: int,
-    strata_col: str = "lang",
-    id_col: str = "doc_id",
-    salt: str = "strat",
-) -> DataFrame:
-    """Exact-n deterministic sample PER STRATUM — the eval-set
-    construction step (fixed-size per-language/per-domain holdouts)
-    that ``sample()``/``sampleBy()`` cannot give you: Bernoulli
-    sampling yields binomial (approximate, run-dependent) counts, this
-    yields exactly ``min(n, |stratum|)`` rows, stable across runs and
-    engines.
-
-    Each doc gets an md5-uniform draw keyed by (salt, id) — no
-    ``rand()``, so the sample is reproducible and a doc's draw never
-    changes as the corpus grows (the DSIR Gumbel discipline). The
-    per-stratum top-n runs through the salted two-stage window
-    (``topn_per_key_salted``), so a hot stratum holding most of the
-    corpus never serializes into one task — never a global sort, never
-    a driver-side merge of anything bigger than the winners.
-
-    Returns the winning rows (original schema, draw column dropped).
-    """
-    if n_per_stratum <= 0:
-        raise ValueError(
-            f"n_per_stratum must be > 0, got {n_per_stratum}"
-        )
-    from impresso_ta.operators.skew import topn_per_key_salted
-
-    drawn = docs.withColumn(
-        "_draw",
-        _md5_long(
-            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
-        ),
-    )
-    return (
-        topn_per_key_salted(
-            drawn, [strata_col], "_draw", n=n_per_stratum
-        )
-        .drop("rank", "_draw")
     )

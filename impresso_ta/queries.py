@@ -2253,8 +2253,13 @@ def j14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ) WHERE rn <= 20
     """,
-    "Deterministic stratified sample (training-mix control): 20 docs per "
-    "language in reproducible md5 order, no rand()",
+    "Deterministic EXACT-n stratified sample (training-mix control / "
+    "eval-set construction): 20 docs per language in reproducible md5 "
+    "order, no rand() — exact per-stratum counts, unlike sampleBy's "
+    "binomial draw. Spark shape: the salted two-stage window "
+    "(topn_per_key_salted) — a hot stratum spreads over n_salts tasks "
+    "in stage 1, the exact stage-2 window sees <= n*n_salts rows per "
+    "stratum; no global sort, no single-task stratum.",
 )
 def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from impresso_ta.operators.corpus import stratified_sample
@@ -5733,37 +5738,6 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 17 != 0),
         d.filter(F.col("doc_id") % 17 == 0),
     ).select("doc_id", "source", "dsir_logw")
-
-
-@q(
-    "corpus_stratified_sample",
-    """
-    WITH drawn AS (
-        SELECT doc_id, lang, source,
-               ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 12))::BIGINT AS draw
-        FROM documents),
-    ranked AS (
-        SELECT doc_id, lang, source,
-               row_number() OVER (PARTITION BY lang ORDER BY draw) AS rk
-        FROM drawn)
-    SELECT doc_id, lang, source FROM ranked WHERE rk <= 30
-    """,
-    "Exact-n stratified sampling (eval-set construction: a fixed-size "
-    "per-language holdout): every doc gets an md5-uniform draw keyed "
-    "by (salt, id) — reproducible, engine-portable, stable as the "
-    "corpus grows — and each stratum keeps exactly min(n, |stratum|) "
-    "lowest draws. Bernoulli sampleBy gives binomial run-dependent "
-    "counts; this is exact and deterministic. Spark shape: the salted "
-    "two-stage window (topn_per_key_salted) — a hot stratum holding "
-    "most of the corpus spreads over n_salts tasks in stage 1 and the "
-    "exact stage-2 window sees ≤ n·n_salts rows per stratum; no global "
-    "sort, no driver merge.",
-)
-def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from impresso_ta.operators.corpus import stratified_sample
-
-    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    return stratified_sample(d, n_per_stratum=30, strata_col="lang")
 
 
 @q(

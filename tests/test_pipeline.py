@@ -551,17 +551,17 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
 
     rows = [(i, "en" if i < 50 else "de") for i in range(60)]
     d = spark.createDataFrame(rows, "doc_id long, lang string")
-    s1 = stratified_sample(d, 20, strata_col="lang")
+    s1 = stratified_sample(d, "lang", 20)
     got = s1.groupBy("lang").count().collect()
     assert {r["lang"]: r["count"] for r in got} == {"en": 20, "de": 10}
     ids1 = sorted(r["doc_id"] for r in s1.collect())
     ids2 = sorted(
-        r["doc_id"] for r in stratified_sample(d, 20, strata_col="lang").collect()
+        r["doc_id"] for r in stratified_sample(d, "lang", 20).collect()
     )
     assert ids1 == ids2  # deterministic
     ids3 = sorted(
         r["doc_id"]
-        for r in stratified_sample(d, 20, strata_col="lang", salt="other").collect()
+        for r in stratified_sample(d, "lang", 20, salt="other").collect()
     )
     assert ids3 != ids1  # but salt-dependent
     assert set(s1.columns) == {"doc_id", "lang"}  # no draw/rank leak
