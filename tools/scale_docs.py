@@ -44,6 +44,12 @@ QUERIES = [
     "similarity_ivf_topk",
     "dedup_minhash_survivors",
     "dedup_exact_substring",
+    # r7: the wired learned-quality stage (tf train @lr=1000 + C4 pool
+    # scored row-locally through prepare_corpus), the n<=2 DSIR feature
+    # stream, and the salted exact-n stratified sampler
+    "corpus_prepare_lr_filter",
+    "corpus_dsir_weights_bigram",
+    "corpus_stratified_sample",
 ]
 
 # The catalog's similarity_ivf_topk is the ORACLE demo: fixed nlist=8
