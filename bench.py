@@ -117,6 +117,7 @@ EXTENDED_QUERIES = [
     "events_attribution_funnel",
     "corpus_dsir_threshold_select",
     "corpus_dsir_weights_bigram",
+    "corpus_bpe_encode",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]

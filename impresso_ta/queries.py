@@ -3877,6 +3877,66 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(t(spark, sf_dir, "documents"), n_merges=3)
 
 
+_BPE_ENCODE_ORACLE = (
+    r"""
+    WITH wc AS (
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+              FROM documents)
+        GROUP BY 1
+    ),
+    v0 AS (
+        SELECT word, cnt,
+               '  ' || array_to_string([substring(word, i, 1)
+                                        for i in range(1, len(word) + 1)],
+                                       '  ')
+                   || '  </w>  ' AS seq
+        FROM wc
+    ),"""
+    + ",".join(_bpe_iter_cte(i) for i in (1, 2, 3))
+    + r"""
+    , dw AS (
+        SELECT doc_id, i,
+               regexp_split_to_array(trim(text), '\s+')[i] AS word
+        FROM documents,
+             unnest(range(1, len(regexp_split_to_array(trim(text), '\s+')) + 1)) AS t(i)
+    )
+    SELECT d.doc_id,
+           string_agg(trim(v3.seq), '  ' ORDER BY d.i) AS token_str,
+           sum(len(string_split(trim(v3.seq), '  ')))::BIGINT AS n_tokens
+    FROM dw d JOIN v3 ON d.word = v3.word
+    GROUP BY d.doc_id
+    """
+)
+
+
+@q(
+    "corpus_bpe_encode",
+    _BPE_ENCODE_ORACLE,
+    "Distributed BPE ENCODING with the learned merge list (the apply "
+    "half of the tokenizer story — corpus_bpe_merges is the train "
+    "half): per-word symbol sequences re-derived by the same "
+    "delimiter-safe literal replace chain, flattened in document word "
+    "order. Spark shape: the merge chain compiles to a fixed "
+    "whole-stage-codegen replace pipeline — encoding is ONE scan, zero "
+    "shuffles, no vocabulary join (the merge list is a literal); the "
+    "oracle instead encodes the vocabulary once (v3) and joins words "
+    "back — both paths must produce identical token streams, which is "
+    "exactly the non-overlapping-replace semantics contract.",
+)
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.bpe import bpe_encode, bpe_train
+
+    d = t(spark, sf_dir, "documents")
+    merges, vocab = bpe_train(d, n_merges=3)
+    vocab.unpersist()
+    return bpe_encode(d, merges).select(
+        "doc_id",
+        F.array_join("tokens", "  ").alias("token_str"),
+        "n_tokens",
+    )
+
+
 @q(
     "corpus_distribution_drift",
     r"""
