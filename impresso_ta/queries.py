@@ -6043,6 +6043,36 @@ _LR_QUALITY_LABEL_SQL = (
 )
 
 
+@q(
+    "text_lr_classifier_rowlocal",
+    _lr_sql(),
+    "The STATELESS scoring form of the LR classifier against the SAME "
+    "unrolled oracle as text_lr_classifier: the ≤dim-row model folds "
+    "into a one-row map broadcast and the margin is computed per row "
+    "with array expressions (bucket, count-in-array, map lookup) — the "
+    "form the streaming quality gate and the pipeline stage use, "
+    "because the batch scorer's explode→groupBy margin is a streaming "
+    "aggregation and two extra batch exchanges. Identical rounded "
+    "probabilities required by construction; this oracle pins it at "
+    "the hash level.",
+)
+def text_lr_classifier_rowlocal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.classifier import (
+        lr_hashed_score_rowlocal,
+        lr_hashed_train,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "_label", (F.col("lang") == "en").cast("double")
+    )
+    weights = lr_hashed_train(train, "_label")
+    holdout = d.filter(F.col("doc_id") % 2 == 1)
+    return lr_hashed_score_rowlocal(holdout, weights, tf=False).select(
+        "doc_id", "lr_prob"
+    )
+
+
 def _lr_pipe_sql(
     iters: int = 3,
     dim: int = 64,
