@@ -2197,6 +2197,45 @@ def j13_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "j16_replicated_skew_join",
+    """
+    SELECT s_name, count(*) AS n_items,
+           round(sum((round(l_quantity * 10000))::BIGINT) / 10000.0, 2)
+               AS total_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+    "Replicated skew join (the explicit fallback when the small side "
+    "is too big to broadcast AND AQE's skew split doesn't trigger): "
+    "the big side gets a deterministic salt, the small side replicates "
+    "n_salts x, the shuffle partitions on (key, salt) so a hot key "
+    "lands on n_salts reducers instead of one. The oracle is the PLAIN "
+    "join — identical rows by contract, here pinned through an "
+    "aggregate (exact BIGINT quantity sums). Row counts per key are "
+    "unchanged: replication multiplies only the build side, every big "
+    "row still matches exactly once.",
+)
+def j16_replicated_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.skew import replicated_skew_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_quantity"
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    qty_i4 = F.round(F.col("l_quantity") * 10000, 0).cast("long")
+    return (
+        replicated_skew_join(li, s, key="l_suppkey", salt_source="l_orderkey")
+        .groupBy("s_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(qty_i4) / 10000.0, 2).alias("total_qty"),
+        )
+    )
+
+
+@q(
     "j14_interval_overlap_join",
     """
     SELECT a.event_id AS purchase_id, count(*) AS n_overlapping_views,
