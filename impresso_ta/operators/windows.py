@@ -36,11 +36,3 @@ def assign_reading_order(issues_df: DataFrame) -> DataFrame:
         lambda entry, idx: entry["ci"].withField("m.ro", idx + 1),
     )
     return issues_df.withColumn("i", renumbered)
-
-
-def token_context(tokens_df: DataFrame, partition_cols: list[str], order_cols: list[str]) -> DataFrame:
-    """W4: attach prev/next token text over an explicit total order."""
-    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
-    return tokens_df.withColumn("prev_tx", F.lag("tx").over(w)).withColumn(
-        "next_tx", F.lead("tx").over(w)
-    )
