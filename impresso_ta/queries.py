@@ -791,6 +791,54 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "events_sliding_window",
+    """
+    WITH g AS (
+        SELECT event_type, value,
+               date_trunc('hour', ts)
+                   + (extract(minute FROM ts)::INT // 15)
+                     * INTERVAL 15 MINUTE AS grid
+        FROM events),
+    w AS (SELECT event_type, value,
+                 grid - k * INTERVAL 15 MINUTE AS ws
+          FROM g, unnest(range(0, 4)) AS t(k))
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+    FROM w GROUP BY 1, 2
+    """,
+    "SLIDING event-time window (1 hour / 15 min slide): each event "
+    "contributes to window/slide = 4 overlapping windows — the rate/"
+    "trend shape tumbling windows can't express. Spark's window() "
+    "expands rows 4x BEFORE the aggregate (a row-local generator, no "
+    "join), then one map-side-combined groupBy; in streaming the same "
+    "expression multiplies state rows by the overlap factor while "
+    "watermark eviction is unchanged (stream_windowed_event_counts "
+    "slide=...). The oracle replays the expansion as an explicit "
+    "4-window unnest off the 15-minute grid.",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
 # =====================================================================
 # LLM-corpus operators: dedup / similarity / text analysis
 # =====================================================================

@@ -278,13 +278,23 @@ def stream_windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Event-time tumbling window counts with late-data watermark — the
-    streaming twin of the batch ``events_hourly_window`` query (same
-    result on a drained stream)."""
+    """Event-time windowed counts with late-data watermark — the
+    streaming twin of the batch ``events_hourly_window`` /
+    ``events_sliding_window`` queries (same result on a drained
+    stream). ``slide=None`` is a tumbling window; a ``slide`` shorter
+    than ``window`` makes it SLIDING — each event contributes to
+    window/slide overlapping windows, so state rows (and emitted rows)
+    multiply by that factor while eviction still follows the watermark."""
+    w = (
+        F.window("ts", window)
+        if slide is None
+        else F.window("ts", window, slide)
+    )
     return (
         events_stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .groupBy(w.alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("n"))
         .select(
             F.col("w.start").alias("window_start"),

@@ -488,3 +488,67 @@ def test_stream_quality_gate_with_learned_model(spark, tmp_path):
     assert q.exception() is None
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got == want
+
+
+def test_stream_sliding_window_drain_matches_batch(spark, tmp_path):
+    """stream_windowed_event_counts with a slide: the drained stream
+    equals the batch twin (every event in window/slide = 4 overlapping
+    windows), and the tumbling form stays a strict subset shape."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from impresso_ta.streaming.ingest import stream_windowed_event_counts
+
+    t0 = datetime.datetime(2024, 1, 1, 8, 0, 0)
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=7 * i), "view" if i % 2 else "click")
+        for i in range(40)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    # append mode only emits windows the WATERMARK has closed: a
+    # far-future sentinel closes every real window; its own 4 windows
+    # stay open (never emitted) and are excluded from the batch twin
+    sentinel = spark.createDataFrame(
+        [(999, t0 + datetime.timedelta(hours=10), "sentinel")],
+        "event_id long, ts timestamp, event_type string",
+    )
+    src = str(tmp_path / "events")
+    events.union(sentinel).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string"
+    ).parquet(src)
+    q = (
+        stream_windowed_event_counts(
+            stream, window="1 hour", watermark="2 hours", slide="15 minutes"
+        )
+        .writeStream.format("memory")
+        .queryName("slide_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {
+        (r["window_start"], r["event_type"], r["n"])
+        for r in spark.sql("SELECT * FROM slide_test").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"], r["n"])
+        for r in (
+            events.groupBy(
+                F.window("ts", "1 hour", "15 minutes").alias("w"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n")
+            .collect()
+        )
+    }
+    assert got == want and got
+    # overlap factor: total contribution = 4x the event count
+    assert sum(n for _, _, n in got) == 4 * events.count()
