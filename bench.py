@@ -118,6 +118,10 @@ EXTENDED_QUERIES = [
     "corpus_dsir_threshold_select",
     "corpus_dsir_weights_bigram",
     "corpus_bpe_encode",
+    "events_sliding_window",
+    "j16_replicated_skew_join",
+    "corpus_stratified_sample",
+    "text_lr_classifier_rowlocal",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]
