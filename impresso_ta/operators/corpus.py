@@ -886,3 +886,67 @@ def dsir_resample_threshold(
         .withColumn("dsir_logw", F.round(F.col("dsir_logw"), 6))
         .drop("_gkey", "_cut")
     )
+
+
+def pack_sequences_concat(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style concatenate-then-chunk packing: the token stream is
+    the shard-ordered concatenation of documents and blocks are fixed
+    ``budget``-token windows — documents SPLIT across block boundaries,
+    so every block is exactly full (``pack_sequences`` is the no-split
+    greedy variant that starts straddling docs at the next budget
+    line). One row per (document, block) PIECE:
+
+        (id, shard, block, piece_start, piece_len)
+
+    where ``piece_start`` is the piece's token offset WITHIN the
+    document and Σ piece_len per doc = the doc's token count.
+
+    Scale shape: the same single per-shard window cumsum as
+    pack_sequences (documents ordered by the deterministic md5 hash),
+    then the block-range expansion is a row-local ``sequence`` explode
+    — a doc yields ceil(n/budget)+1 pieces at most, no joins, no second
+    shuffle.
+    """
+    key = F.col(id_col).cast("string")
+    base = docs.select(
+        F.col(id_col),
+        (_md5_long(key) % n_shards).cast("int").alias("shard"),
+        _md5_long(F.concat(key, F.lit(":pos"))).alias("_order"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_order", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn(
+        "_start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    first_b = F.floor(F.col("_start") / budget)
+    last_b = F.floor((F.col("_start") + F.col("n_tokens") - 1) / budget)
+    pieces = cum.filter(F.col("n_tokens") > 0).select(
+        id_col,
+        "shard",
+        "_start",
+        "n_tokens",
+        F.explode(F.sequence(first_b, last_b)).alias("block"),
+    )
+    block_lo = F.col("block") * budget
+    block_hi = (F.col("block") + 1) * budget
+    lo = F.greatest(F.col("_start"), block_lo)
+    hi = F.least(F.col("_start") + F.col("n_tokens"), block_hi)
+    return pieces.select(
+        id_col,
+        "shard",
+        "block",
+        (lo - F.col("_start")).cast("long").alias("piece_start"),
+        (hi - lo).cast("long").alias("piece_len"),
+    )

@@ -1983,6 +1983,52 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_pack_concat",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST({_MD5_48_SQL.format(x="doc_id::VARCHAR")} % 4 AS INT) AS shard,
+               {_MD5_48_SQL.format(x="doc_id::VARCHAR || ':pos'")} AS ord,
+               len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, shard, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY ord, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - n_tokens AS s
+        FROM base
+    ),
+    pieces AS (
+        SELECT doc_id, shard, s, n_tokens, b AS block
+        FROM cum, unnest(range((s // 2000)::BIGINT,
+                               ((s + n_tokens - 1) // 2000 + 1)::BIGINT)) AS t(b)
+        WHERE n_tokens > 0
+    )
+    SELECT doc_id, shard, block,
+           (greatest(s, block * 2000) - s)::BIGINT AS piece_start,
+           (least(s + n_tokens, (block + 1) * 2000)
+            - greatest(s, block * 2000))::BIGINT AS piece_len
+    FROM pieces
+    """,
+    "GPT-style concatenate-then-chunk packing into exactly-full "
+    "2000-token blocks: documents SPLIT across block boundaries — one "
+    "(doc, block) piece per overlap, with the piece's in-document token "
+    "offset and length (pack_sequences is the no-split greedy variant). "
+    "Spark shape: the SAME single per-shard window cumsum, then the "
+    "block range is a row-local sequence explode — no joins, no second "
+    "shuffle; piece counts are ceil(n/budget)+1 max per doc.",
+)
+def corpus_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.corpus import pack_sequences_concat
+
+    return pack_sequences_concat(
+        t(spark, sf_dir, "documents"), budget=2000, n_shards=4
+    )
+
+
+@q(
     "corpus_contamination",
     """
     WITH sh AS (

@@ -565,3 +565,42 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
     )
     assert ids3 != ids1  # but salt-dependent
     assert set(s1.columns) == {"doc_id", "lang"}  # no draw/rank leak
+
+
+def test_pack_concat_blocks_exactly_full_and_lossless(spark):
+    """pack_sequences_concat: every document's pieces reassemble it
+    exactly (Σ piece_len = doc tokens, contiguous from 0), and every
+    block except each shard's LAST is exactly budget tokens."""
+    from impresso_ta.operators.corpus import pack_sequences_concat
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = pack_sequences_concat(docs, budget=500, n_shards=2)
+    rows = out.collect()
+
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in docs.selectExpr(
+            "doc_id", "size(split(trim(text), '\\\\s+')) AS n"
+        ).collect()
+    }
+    for did, pieces in per_doc.items():
+        pieces.sort(key=lambda r: r["piece_start"])
+        assert sum(p["piece_len"] for p in pieces) == n_tok[did]
+        assert pieces[0]["piece_start"] == 0
+        for a, b in zip(pieces, pieces[1:]):
+            assert b["piece_start"] == a["piece_start"] + a["piece_len"]
+            assert b["block"] == a["block"] + 1  # consecutive blocks
+
+    per_block = {}
+    for r in rows:
+        key = (r["shard"], r["block"])
+        per_block[key] = per_block.get(key, 0) + r["piece_len"]
+    last = {s: max(b for t, b in per_block if t == s) for s, _ in per_block}
+    for (s, b), tot in per_block.items():
+        if b < last[s]:
+            assert tot == 500, (s, b, tot)
+        else:
+            assert 0 < tot <= 500
