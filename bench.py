@@ -122,6 +122,7 @@ EXTENDED_QUERIES = [
     "j16_replicated_skew_join",
     "corpus_stratified_sample",
     "text_lr_classifier_rowlocal",
+    "corpus_pack_concat",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]

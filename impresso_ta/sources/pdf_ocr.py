@@ -178,7 +178,9 @@ def extract_pdf_ocr(
 
     listing = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.pdf")
+        # character-class glob: archives mix .pdf/.PDF (the reference
+        # lists the directory unfiltered and would pick up both)
+        .option("pathGlobFilter", "*.[pP][dD][fF]")
         .load(in_dir)
         .select("path")
     )
