@@ -123,6 +123,7 @@ EXTENDED_QUERIES = [
     "corpus_stratified_sample",
     "text_lr_classifier_rowlocal",
     "corpus_pack_concat",
+    "corpus_token_budget_select",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]

@@ -950,3 +950,59 @@ def pack_sequences_concat(
         (lo - F.col("_start")).cast("long").alias("piece_start"),
         (hi - lo).cast("long").alias("piece_len"),
     )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    token_budget: int,
+    score_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Fill a TOKEN budget with the highest-``score_col`` documents —
+    the data-mixing step that turns "we can afford 15T training tokens"
+    into a concrete corpus cut (FineWeb-style: rank by a quality score,
+    take from the top until the budget is spent).
+
+    The naive form is a GLOBAL sort + running token cumsum — a
+    single-task window at crawl scale. Here the cut is bucketized:
+    scores are fixed to 1e-6 and integer-bucketed into ``n_buckets``
+    equal-width cells (pure integer arithmetic end-to-end, so the
+    bucket of every doc is engine-exact); one map-side-combined
+    aggregate yields per-bucket token sums (≤ n_buckets rows), the
+    top-down token cumsum + cutoff bucket are computed on that
+    model-sized frame, and selection is a row-local ``bucket >=
+    cutoff`` filter with the one-row cutoff broadcast. Whole buckets
+    are kept, so the achieved token count is ≤ budget and within one
+    bucket's token mass of it — tighten ``n_buckets`` for tighter cuts.
+    Nothing corpus-sized is sorted, collected, or re-shuffled.
+
+    Returns the selected rows (original schema).
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be > 0, got {token_budget}")
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    score_i = F.round(F.col(score_col) * 1e6, 0).cast("long")
+    base = docs.withColumn("_ntok", toks).withColumn("_si", score_i)
+    rng = base.agg(F.min("_si").alias("_mn"), F.max("_si").alias("_mx"))
+    bucket = F.expr(
+        f"((_si - _mn) * {n_buckets}) div (_mx - _mn + 1)"
+    ).cast("long")
+    bucketed = base.crossJoin(F.broadcast(rng)).withColumn("_b", bucket)
+    hist = bucketed.groupBy("_b").agg(F.sum("_ntok").alias("_t"))
+    # ≤ n_buckets rows: the single-partition ordered window is
+    # model-sized by construction, same as every dim-row model here
+    w = Window.orderBy(F.col("_b").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cutoff = (
+        hist.withColumn("_cum", F.sum("_t").over(w))
+        .filter(F.col("_cum") <= token_budget)
+        .agg(F.coalesce(F.min("_b"), F.lit(n_buckets + 1)).alias("_cut"))
+    )
+    return (
+        bucketed.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("_b") >= F.col("_cut"))
+        .drop("_ntok", "_si", "_mn", "_mx", "_b", "_cut")
+    )

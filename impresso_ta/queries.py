@@ -4071,6 +4071,46 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_token_budget_select",
+    r"""
+    WITH base AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS ntok,
+               (round(n_chars * 1e6))::BIGINT AS si
+        FROM documents),
+    rng AS (SELECT min(si) AS mn, max(si) AS mx FROM base),
+    b AS (SELECT doc_id, source, ntok,
+                 ((si - mn) * 10000) // (mx - mn + 1) AS bk
+          FROM base, rng),
+    hist AS (SELECT bk, sum(ntok) AS t FROM b GROUP BY 1),
+    cum AS (SELECT bk, sum(t) OVER (ORDER BY bk DESC
+                                    ROWS UNBOUNDED PRECEDING) AS c
+            FROM hist),
+    cut AS (SELECT coalesce(min(bk) FILTER (WHERE c <= 10000), 10001) AS k
+            FROM cum)
+    SELECT doc_id, source FROM b, cut WHERE bk >= k
+    """,
+    "Token-budget corpus selection (the data-mixing cut: fill a 10k-"
+    "token budget with the highest-scoring docs — n_chars as the "
+    "score here): the naive global sort + running cumsum is a single-"
+    "task window at crawl scale, so the cut is BUCKETIZED — scores "
+    "integer-bucketed into 10k equal-width cells (pure integer "
+    "arithmetic, engine-exact), per-bucket token sums in one map-side "
+    "aggregate, top-down cumsum + cutoff on the ≤10k-row model frame, "
+    "selection as a row-local filter with the one-row cutoff "
+    "broadcast. Whole buckets kept → achieved ≤ budget within one "
+    "bucket's token mass.",
+)
+def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.corpus import token_budget_select
+
+    d = t(spark, sf_dir, "documents")
+    return token_budget_select(
+        d, token_budget=10_000, score_col="n_chars"
+    ).select("doc_id", "source")
+
+
+@q(
     "corpus_distribution_drift",
     r"""
     WITH old_w AS (

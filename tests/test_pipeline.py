@@ -604,3 +604,32 @@ def test_pack_concat_blocks_exactly_full_and_lossless(spark):
             assert tot == 500, (s, b, tot)
         else:
             assert 0 < tot <= 500
+
+
+def test_token_budget_select_respects_budget_and_order(spark):
+    """token_budget_select: achieved tokens <= budget; the kept set is
+    score-downward-closed (nobody kept scores below anyone dropped,
+    up to bucket granularity — distinct scores here, so exact); a
+    budget smaller than the top bucket's mass selects nothing."""
+    from pyspark.sql import functions as F
+
+    from impresso_ta.operators.corpus import token_budget_select
+
+    rows = [(i, "w " * (10 * (i + 1)), float(i)) for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    out = token_budget_select(d, token_budget=400, score_col="score")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    tok = {
+        r["doc_id"]: r["n"]
+        for r in d.selectExpr(
+            "doc_id", "size(split(trim(text), '\\\\s+')) AS n"
+        ).collect()
+    }
+    assert sum(tok[i] for i in kept) <= 400
+    assert kept, "budget fits at least the top doc"
+    # downward-closed in score: kept ids are the TOP ones
+    assert kept == list(range(20 - len(kept), 20))
+    assert set(out.columns) == {"doc_id", "text", "score"}  # no leak
+
+    tiny = token_budget_select(d, token_budget=5, score_col="score")
+    assert tiny.count() == 0
