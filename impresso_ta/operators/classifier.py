@@ -29,6 +29,18 @@ def _sigmoid(m: Column) -> Column:
     return 1.0 / (1.0 + F.exp(-m))
 
 
+def _term9(prod: Column) -> Column:
+    """Scale a margin/gradient addend to an exact BIGINT (×1e9, the
+    DSIR fix — corpus.py dsir_log_weights): each per-term PRODUCT is a
+    deterministic IEEE double on every engine, but double SUM order is
+    not associative — Spark's partial aggregates, the row-local
+    array_distinct fold, and DuckDB each add in a different order, so
+    round(…,9)/round(…,6) edges could flip between them. Summing the
+    per-term longs makes the aggregate order-immune; /1e9 at the end
+    restores the 9-decimal value both engines agree on."""
+    return F.round(prod * 1e9, 0).cast("long")
+
+
 def hashed_bucket_counts(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -120,7 +132,11 @@ def lr_hashed_train(
             margins = (
                 db.join(F.broadcast(weights), "bucket")
                 .groupBy(id_col)
-                .agg(F.round(F.sum(F.col("c") * F.col("w")), 9).alias("_m"))
+                .agg(
+                    F.round(
+                        F.sum(_term9(F.col("c") * F.col("w"))) / 1e9, 9
+                    ).alias("_m")
+                )
             )
             resid = labeled.join(margins, id_col, "left").select(
                 id_col,
@@ -138,7 +154,8 @@ def lr_hashed_train(
             .groupBy("bucket")
             .agg(
                 F.round(
-                    F.sum(F.col("c") * F.col("_r") / F.col("_n"))
+                    F.sum(_term9(F.col("c") * F.col("_r") / F.col("_n")))
+                    / 1e9
                     * learn_rate,
                     9,
                 ).alias("_g")
@@ -183,7 +200,11 @@ def lr_hashed_score(
     margins = (
         db.join(F.broadcast(weights), "bucket")
         .groupBy(id_col)
-        .agg(F.round(F.sum(F.col("c") * F.col("w")), 9).alias("_m"))
+        .agg(
+            F.round(
+                F.sum(_term9(F.col("c") * F.col("w"))) / 1e9, 9
+            ).alias("_m")
+        )
     )
     return (
         docs.join(margins, id_col, "left")
@@ -236,12 +257,16 @@ def lr_hashed_score_rowlocal(
         feat = F.round(c / n, 9) if tf else c.cast("double")
         return F.coalesce(F.col("_wmap")[b], F.lit(0.0)) * feat
 
+    # fold in exact-BIGINT space (see _term9): array_distinct order
+    # differs from the batch scorer's partial-aggregate order, and
+    # integer addition is the only order-immune sum
     margin = F.round(
         F.aggregate(
             F.array_distinct(buckets),
-            F.lit(0.0),
-            lambda acc, b: acc + term(b),
-        ),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + _term9(term(b)),
+        )
+        / 1e9,
         9,
     )
     return (

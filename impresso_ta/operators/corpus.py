@@ -298,8 +298,13 @@ def stratified_sample(
             F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
         ),
     )
+    # Order by (_draw, id): the 48-bit draw alone collides at crawl
+    # scale (~2^24 rows/stratum), which would make ranks run-dependent;
+    # the id tie-break matches the oracle's ORDER BY md5, doc_id.
     return (
-        topn_per_key_salted(drawn, [strata_col], "_draw", n=n_per_stratum)
+        topn_per_key_salted(
+            drawn, [strata_col], ["_draw", id_col], n=n_per_stratum
+        )
         .drop("rank", "_draw")
     )
 
@@ -979,6 +984,16 @@ def token_budget_select(
     Nothing corpus-sized is sorted, collected, or re-shuffled.
 
     Returns the selected rows (original schema).
+
+    Score-range contract: scores are fixed to 1e-6 precision, so the
+    SPREAD of ``score_col`` must satisfy (max-min) · 1e6 · n_buckets <
+    2^63 (with the default 10k buckets: a spread below ~9.2e8) or the
+    bucket product would exceed BIGINT. The range is guarded at
+    runtime — an embedded ``assert_true`` raises loudly instead of
+    Spark's silent non-ANSI wraparound (DuckDB errors loudly on the
+    same overflow; silence here would be an engine divergence).
+    Rescale the score (it is only ever compared, never summed) or
+    lower ``n_buckets`` to widen the admissible spread.
     """
     if token_budget <= 0:
         raise ValueError(f"token_budget must be > 0, got {token_budget}")
@@ -986,9 +1001,27 @@ def token_budget_select(
     score_i = F.round(F.col(score_col) * 1e6, 0).cast("long")
     base = docs.withColumn("_ntok", toks).withColumn("_si", score_i)
     rng = base.agg(F.min("_si").alias("_mn"), F.max("_si").alias("_mx"))
+    max_range = (2**63 - 1) // n_buckets
+    # rides INSIDE the bucket expression (null → +0 when the range is
+    # fine) so column pruning cannot drop it and no extra job runs; the
+    # bucket arithmetic itself uses try_* forms so the guard's message
+    # — not a generic ANSI ARITHMETIC_OVERFLOW — is what surfaces
+    guard = F.assert_true(
+        F.expr("try_add(try_subtract(_mx, _mn), 1)") <= F.lit(max_range),
+        F.concat(
+            F.lit(
+                "token_budget_select: score range too wide for exact "
+                f"integer bucketing — (max-min+1) of the 1e-6-fixed "
+                f"scores must be <= {max_range} (LONG_MAX/n_buckets); "
+                "rescale the score or lower n_buckets; got "
+            ),
+            F.expr("try_add(try_subtract(_mx, _mn), 1)").cast("string"),
+        ),
+    )
     bucket = F.expr(
-        f"((_si - _mn) * {n_buckets}) div (_mx - _mn + 1)"
-    ).cast("long")
+        f"try_multiply(try_subtract(_si, _mn), {n_buckets}L)"
+        " div (_mx - _mn + 1)"
+    ).cast("long") + F.coalesce(guard.cast("long"), F.lit(0))
     bucketed = base.crossJoin(F.broadcast(rng)).withColumn("_b", bucket)
     hist = bucketed.groupBy("_b").agg(F.sum("_ntok").alias("_t"))
     # ≤ n_buckets rows: the single-partition ordered window is

@@ -76,7 +76,7 @@ def salted_agg(
 def topn_per_key_salted(
     df: DataFrame,
     key_cols: Sequence[str],
-    order_col: str,
+    order_col: str | Sequence[str],
     n: int,
     n_salts: int = 16,
     ascending: bool = True,
@@ -96,9 +96,11 @@ def topn_per_key_salted(
     (parity-tested), with the hot-key partition bounded by
     ~(rows_of_key/n_salts) in stage 1 and n·n_salts in stage 2.
 
-    ``order_col`` must be unique within a key (e.g. a row id) so ranks
-    are deterministic; it also seeds the salt, so placement is
-    replayable on task retry.
+    ``order_col`` may be one column name or a sequence of them; the
+    COMBINATION must be unique within a key so ranks are deterministic
+    (a lone hash column collides at ~2^24 rows/key — add the row id as
+    a tie-break, e.g. ``["_draw", "doc_id"]``). The full order key also
+    seeds the salt, so placement is replayable on task retry.
 
     When to use (measured, tools/ab_topn.py + PLANS.md §10): Spark
     3.5's WindowGroupLimit pushdown already group-limits the PLAIN
@@ -112,20 +114,30 @@ def topn_per_key_salted(
     """
     from pyspark.sql.window import Window
 
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+
     def ordv():
-        c = F.col(order_col)
-        return c.asc() if ascending else c.desc()
+        return [
+            (F.col(c).asc() if ascending else F.col(c).desc())
+            for c in order_cols
+        ]
 
     salted = df.withColumn(
-        "_salt", salt_column(F.col(order_col), n_salts)
+        "_salt",
+        salt_column(
+            F.concat_ws(
+                "\x1f", *[F.col(c).cast("string") for c in order_cols]
+            ),
+            n_salts,
+        ),
     )
-    w1 = Window.partitionBy(*key_cols, "_salt").orderBy(ordv())
+    w1 = Window.partitionBy(*key_cols, "_salt").orderBy(*ordv())
     stage1 = (
         salted.withColumn("_r1", F.row_number().over(w1))
         .filter(F.col("_r1") <= n)
         .drop("_r1")
     )
-    w2 = Window.partitionBy(*key_cols).orderBy(ordv())
+    w2 = Window.partitionBy(*key_cols).orderBy(*ordv())
     return (
         stage1.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= n)

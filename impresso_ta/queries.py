@@ -6126,12 +6126,18 @@ def _lr_weight_ctes(
     and the pipeline's learned-quality-filter oracle. ``tf`` mirrors
     hashed_bucket_counts(tf=True): counts length-normalized to term
     frequencies, rounded to 9. ``learn_rate`` multiplies INSIDE the
-    gradient's round(…, 9), matching lr_hashed_train exactly."""
+    gradient's round(…, 9), matching lr_hashed_train exactly.
+
+    Margin and gradient sums run in exact-BIGINT space (each addend
+    ×1e9 rounded to a long, summed, /1e9 at the end — classifier.py
+    ``_term9``): the per-term products are identical IEEE doubles on
+    both engines, but double SUM order is not associative, so this is
+    the only form immune to Spark-partial-aggregate vs DuckDB vs
+    row-local-fold addition order."""
     bucket = f"('0x' || substr(md5(word), 1, 12))::BIGINT % {dim}"
+    grad_sum = "sum(CAST(round((c * r / n) * 1e9, 0) AS BIGINT)) / 1e9"
     grad = (
-        "sum(c * r / n)"
-        if learn_rate == 1.0
-        else f"sum(c * r / n) * {learn_rate}"
+        grad_sum if learn_rate == 1.0 else f"{grad_sum} * {learn_rate}"
     )
     ctes = [
         rf"tdb_raw AS (SELECT doc_id, {bucket} AS bucket, count(*) AS c FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM train) GROUP BY 1, 2)",
@@ -6148,7 +6154,7 @@ def _lr_weight_ctes(
     for i in range(2, iters + 1):
         p, q_ = i - 1, i
         ctes += [
-            f"m{q_} AS (SELECT doc_id, round(sum(c * w), 9) AS m FROM tdb JOIN w{p} USING (bucket) GROUP BY 1)",
+            f"m{q_} AS (SELECT doc_id, round(sum(CAST(round((c * w) * 1e9, 0) AS BIGINT)) / 1e9, 9) AS m FROM tdb JOIN w{p} USING (bucket) GROUP BY 1)",
             f"r{q_} AS (SELECT t.doc_id, round(y - round(1 / (1 + exp(-coalesce(m, 0))), 9), 9) AS r FROM train t LEFT JOIN m{q_} ON t.doc_id = m{q_}.doc_id)",
             f"g{q_} AS (SELECT bucket, round({grad}, 9) AS g FROM tdb JOIN r{q_} USING (doc_id), nn GROUP BY bucket)",
             f"w{q_} AS (SELECT w{p}.bucket, round(w + g, 9) AS w FROM w{p} JOIN g{q_} ON w{p}.bucket = g{q_}.bucket)",
@@ -6165,7 +6171,7 @@ def _lr_sql(iters: int = 3, dim: int = 64) -> str:
         "holdout AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)",
         rf"sdb AS (SELECT doc_id, {bucket} AS bucket, count(*) AS c FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM holdout) GROUP BY 1, 2)",
         *_lr_weight_ctes(iters, dim),
-        f"sm AS (SELECT doc_id, round(sum(c * w), 9) AS m FROM sdb JOIN w{iters} USING (bucket) GROUP BY 1)",
+        f"sm AS (SELECT doc_id, round(sum(CAST(round((c * w) * 1e9, 0) AS BIGINT)) / 1e9, 9) AS m FROM sdb JOIN w{iters} USING (bucket) GROUP BY 1)",
     ]
     return (
         "WITH " + ",\n    ".join(ctes) + "\n"
@@ -6264,7 +6270,7 @@ def _lr_pipe_sql(
         f"pool AS ({_DSIR_PIPE_RAW})",
         rf"pdb_raw AS (SELECT doc_id, {bucket} AS bucket, count(*) AS c FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM pool) GROUP BY 1, 2)",
         "pdb AS (SELECT doc_id, bucket, round(c / sum(c) OVER (PARTITION BY doc_id), 9) AS c FROM pdb_raw)",
-        f"pm AS (SELECT doc_id, round(sum(c * w), 9) AS m FROM pdb JOIN w{iters} USING (bucket) GROUP BY 1)",
+        f"pm AS (SELECT doc_id, round(sum(CAST(round((c * w) * 1e9, 0) AS BIGINT)) / 1e9, 9) AS m FROM pdb JOIN w{iters} USING (bucket) GROUP BY 1)",
     ]
     return (
         "WITH " + ",\n    ".join(ctes) + "\n"

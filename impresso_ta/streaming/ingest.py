@@ -110,6 +110,7 @@ def stream_corpus_quality_gate(
     quality_model=None,
     quality_threshold: float = 0.5,
     quality_dim: int = 64,
+    quality_tf: bool = True,
 ):
     """Streaming corpus-quality gate: watch a drop directory of document
     parquet files, keep only rows passing the C4 + Gopher-lite quality
@@ -125,9 +126,12 @@ def stream_corpus_quality_gate(
     ≤dim-row weight table folds into a one-row map that crossJoins on
     as a stream-static broadcast and the margin is computed per row
     with array expressions — zero shuffles, zero state (see
-    ``lr_hashed_score_rowlocal``, batch-parity-tested). tf features
-    (the pipeline's default and the only sane form — see
-    ``lr_hashed_train``).
+    ``lr_hashed_score_rowlocal``, batch-parity-tested). ``quality_tf``
+    must match how the model was TRAINED (the pipeline's default is tf
+    features — raw counts saturate the sigmoid, see ``lr_hashed_train``
+    — but a raw-count model scored with tf features would silently
+    produce wrong probabilities, so the flag mirrors prepare_corpus /
+    the CLI's --quality-raw-counts).
 
     Corpus-WIDE stages (line dedup, Jaccard dedup) stay batch — they
     need the full corpus; the row-local gates here are exactly the ones
@@ -153,7 +157,7 @@ def stream_corpus_quality_gate(
         from impresso_ta.operators.classifier import lr_hashed_score_rowlocal
 
         survivors = lr_hashed_score_rowlocal(
-            survivors, quality_model, dim=quality_dim, tf=True
+            survivors, quality_model, dim=quality_dim, tf=quality_tf
         ).filter(F.col("lr_prob") >= quality_threshold).drop("lr_prob")
     writer = (
         survivors.writeStream.format("parquet")

@@ -17,6 +17,17 @@ def _bucket(word):
     return int(hashlib.md5(word.encode()).hexdigest()[:12], 16) % DIM
 
 
+def _term9(x):
+    """The engine's exact-BIGINT addend (classifier._term9): scale the
+    per-term double product by 1e9 and round half-away-from-zero on the
+    shortest decimal representation (Spark's BigDecimal.valueOf path)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(x * 1e9)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    )
+
+
 def _py_train(rows, labels, iters=3, lr=1.0):
     db = {}
     for did, text in rows:
@@ -29,11 +40,11 @@ def _py_train(rows, labels, iters=3, lr=1.0):
         if it == 0:
             r = {did: round(labels[did] - 0.5, 9) for did, _ in rows}
         else:
-            m = {}
+            m9 = {}
             for (did, b), c in db.items():
                 if b in w:
-                    m[did] = m.get(did, 0.0) + c * w[b]
-            m = {did: round(v, 9) for did, v in m.items()}
+                    m9[did] = m9.get(did, 0) + _term9(c * w[b])
+            m = {did: round(v / 1e9, 9) for did, v in m9.items()}
             r = {
                 did: round(
                     labels[did]
@@ -44,10 +55,10 @@ def _py_train(rows, labels, iters=3, lr=1.0):
                 )
                 for did, _ in rows
             }
-        g = {}
+        g9 = {}
         for (did, b), c in db.items():
-            g[b] = g.get(b, 0.0) + c * r[did] / n
-        g = {b: round(v * lr, 9) for b, v in g.items()}
+            g9[b] = g9.get(b, 0) + _term9(c * r[did] / n)
+        g = {b: round(v / 1e9 * lr, 9) for b, v in g9.items()}
         w = (
             g
             if not w

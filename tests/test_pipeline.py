@@ -633,3 +633,21 @@ def test_token_budget_select_respects_budget_and_order(spark):
 
     tiny = token_budget_select(d, token_budget=5, score_col="score")
     assert tiny.count() == 0
+
+
+def test_token_budget_select_guards_score_range_overflow(spark):
+    """A score spread wide enough that (si-mn)*n_buckets would exceed
+    BIGINT raises loudly (the DuckDB twin errors on the same overflow;
+    Spark's non-ANSI wraparound would silently assign garbage buckets)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from impresso_ta.operators.corpus import token_budget_select
+
+    d = spark.createDataFrame(
+        [(0, "a b c", 0.0), (1, "d e f", 5e12)],
+        "doc_id long, text string, score double",
+    )
+    with pytest.raises(Exception, match="score range too wide") as ei:
+        token_budget_select(d, token_budget=100, score_col="score").collect()
+    assert isinstance(ei.value, Py4JJavaError) or "range" in str(ei.value)
