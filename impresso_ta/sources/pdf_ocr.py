@@ -1,4 +1,4 @@
-"""S9: SwissInfo PDF OCR pre-extraction — the last SURVEY §2 item.
+"""S9: SwissInfo PDF OCR pre-extraction.
 
 The reference runs this OUT of the engine as a driver-side loop over a
 directory (ref: importer_scripts/preprocessing/
@@ -7,25 +7,42 @@ conversion, one OCR JSON per radio bulletin, consumed downstream by the
 SwissInfo importer). The engine-native form distributes the same
 per-file pipeline:
 
-- **discover** PDFs with Spark's ``binaryFile`` source (paths only —
-  column pruning keeps the bytes out of the listing pass);
+- **discover** PDFs with Spark's ``binaryFile`` source;
 - **skip already-processed bulletins** with the F3/J1 incremental
   anti-join on the canonical id (the reference's ``os.path.exists``
-  check, as a set operation instead of N stat calls);
-- **decode + extract** per file inside ``mapInPandas`` (Arrow batches,
-  executor-local file reads — the bytes never ship through a shuffle);
+  check, as a set operation instead of N stat calls) — the anti-join
+  runs on a bytes-free listing pass, and only the SURVIVING files'
+  bytes are ever read;
+- **decode + extract** per file inside ``mapInPandas`` (Arrow batches)
+  from the ``binaryFile`` ``content`` column — bytes flow through
+  Spark's Hadoop-FS layer, so ``s3a://``/``gs://``/``hdfs://`` sources
+  work identically to local mounts and never ship through a shuffle
+  (the scan feeds ``mapInPandas`` directly). A POSIX ``open()`` path
+  exists only behind the explicit ``local_read=True`` opt-in (for
+  mounted archives whose PDFs exceed comfortable row sizes), and it
+  refuses non-local URIs loudly instead of quietly turning every row
+  into an error row;
 - **emit** one OCR-JSON row per bulletin matching the reference's
   structure bit-for-bit: ``canonical_id, lang, original_path,
   jp2_full_paths, ocr_pages`` with per-page
   ``blocks_with_lines``/``blocks_without_lines`` and ``rescaled_bbox``
   at block/line/span level (ref lines 93-148).
 
-The one genuinely non-Spark piece — turning PDF bytes into pymupdf-style
-page text dicts and page image sizes — is a pluggable
-``page_extractor`` callable. The default raises ``NotImplementedError``
-(pymupdf/pdf2image are not in this container); tests inject a
+The canonical id is derived ONCE, with JVM string expressions on the
+listing (validated with ``try_to_timestamp``/``try_cast`` to the same
+tolerance as the Python parser), and that SAME value is carried through
+the anti-join into the emitted rows — the skip key and the output id
+cannot disagree on any filename. Files whose names don't parse are
+routed to the S15 error channel BEFORE the anti-join (they carry no id,
+so they are never silently "unskippable").
+
+PDF decoding itself is pluggable: the default extractor uses pymupdf
+when importable (the multimodal.py PIL pattern — real on a normally
+provisioned cluster with no user code) and otherwise raises a loud
+``NotImplementedError`` stating the contract; tests inject a
 deterministic fake, so the Spark-side plumbing (schema, partitioning,
-batch shape, rescale/split logic, incremental skip) is real and tested.
+batch shape, rescale/split logic, incremental skip) is real and tested
+without the native lib.
 """
 
 from __future__ import annotations
@@ -49,14 +66,45 @@ OCR_SCHEMA = (
     "ocr_json string, n_pages int, error string"
 )
 
+# pdf2image's default render DPI — the reference's JP2 images (and
+# therefore its rescale targets) come from convert_from_path() at this
+# resolution; PDF text-dict coordinates are in 72-dpi points.
+_DEFAULT_RENDER_DPI = 200
+
 
 def _default_page_extractor(content: bytes):
-    raise NotImplementedError(
-        "PDF decoding needs pymupdf (text dicts) + pdf2image (page "
-        "sizes), which are not installed in this environment. Pass "
-        "page_extractor=... with the contract: bytes -> iterable of "
-        "(page_text_dict, (img_w, img_h)) per page."
-    )
+    """Opportunistically real (the multimodal.py PIL pattern): when
+    pymupdf is importable the default decodes with no user code —
+    ``page.get_text("dict")`` for the text dicts, and the destination
+    image size computed from the page rect at pdf2image's default 200
+    dpi (the reference takes the PIL image size from convert_from_path;
+    deriving it from the rect avoids rendering every page just to
+    measure it — ±1 px of pdftoppm's rounding is possible). Without
+    pymupdf it raises a loud NotImplementedError stating the pluggable
+    contract — never a silent no-op."""
+    try:
+        import pymupdf  # noqa: PLC0415
+    except ImportError:
+        try:
+            import fitz as pymupdf  # the pre-1.24 install name
+        except ImportError:
+            raise NotImplementedError(
+                "PDF decoding needs pymupdf (text dicts; page sizes are "
+                "derived from the page rect at 200 dpi, pdf2image's "
+                "default), which is not installed in this environment. "
+                "Pass page_extractor=... with the contract: bytes -> "
+                "iterable of (page_text_dict, (img_w, img_h)) per page."
+            ) from None
+
+    def _pages():
+        doc = pymupdf.open(stream=content, filetype="pdf")
+        scale = _DEFAULT_RENDER_DPI / 72.0
+        for page in doc:
+            rect = page.rect
+            dest = (round(rect.width * scale), round(rect.height * scale))
+            yield page.get_text("dict"), dest
+
+    return _pages()
 
 
 def canonical_from_filename(filename: str) -> tuple[str, str]:
@@ -125,14 +173,25 @@ def process_blocks_of_page(
 
 
 def build_ocr_json(
-    path: str, content: bytes, page_extractor: PageExtractor
+    path: str,
+    content: bytes,
+    page_extractor: PageExtractor,
+    canonical: tuple[str, str] | None = None,
 ) -> dict:
     """One bulletin's OCR JSON, the reference's structure (lines
     293-316). ``jp2_full_paths`` records the canonical image ids the JP2
     conversion would produce — the conversion itself is the importer's
     out-of-engine image leg (pdf2image + PIL JPEG2000), stubbed like
-    every other multimodal decode in this repo."""
-    canonical_path, lang = canonical_from_filename(path)
+    every other multimodal decode in this repo.
+
+    ``canonical`` — a precomputed ``(canonical_path, lang)`` pair —
+    lets the distributed path pass the LISTING-derived identity through
+    so the incremental skip key and the emitted id are the same value
+    by construction; standalone callers omit it and the filename is
+    parsed here."""
+    canonical_path, lang = (
+        canonical if canonical is not None else canonical_from_filename(path)
+    )
     canonical_issue_id = canonical_path.replace("/", "-")
     pages = [
         process_blocks_of_page(i, page_dict, img_size)
@@ -154,60 +213,60 @@ def build_ocr_json(
     }
 
 
-def extract_pdf_ocr(
-    spark: SparkSession,
-    in_dir: str,
-    page_extractor: PageExtractor | None = None,
-    existing_ids: DataFrame | None = None,
-) -> DataFrame:
-    """Distributed S9: every ``*.pdf`` under ``in_dir`` → one OCR-JSON
-    row ``(canonical_id, lang, original_path, ocr_json, n_pages,
-    error)``.
+def derive_bulletin_ids(files: DataFrame) -> DataFrame:
+    """Add ``canonical_id`` / ``_cpath`` / ``lang`` columns derived from
+    ``path`` with JVM string expressions — null on any filename the
+    Python parser (``canonical_from_filename``) would reject, and equal
+    to its output on every filename it accepts:
 
-    Scale shape: the ``binaryFile`` listing is pruned to paths (the
-    bytes column is never materialized on the listing side); the
-    canonical id is derived with JVM-side string expressions so the
-    ``existing_ids`` anti-join (the reference's skip-if-JSON-exists
-    check, F3-style) prunes work BEFORE any PDF byte is read; surviving
-    files are decoded inside ``mapInPandas`` with executor-LOCAL reads
-    — each task opens its own files, nothing corpus-sized crosses the
-    driver or a shuffle. A failing PDF becomes an error row (the S15
-    errors-as-data discipline), never a task failure.
-    """
-    extractor = page_extractor or _default_page_extractor
+    - the date element is validated with ``try_to_timestamp`` (a bad
+      or impossible date → null, like ``strptime`` raising),
+    - the optional edition element with ``try_cast`` to int (like
+      ``int()`` raising),
+    - missing elements via null-safe ``get()`` (like ``IndexError``),
+    - the year is cast int→string so ``0007`` renders as ``7`` exactly
+      as Python's ``date.year`` does.
 
-    listing = (
-        spark.read.format("binaryFile")
-        # character-class glob: archives mix .pdf/.PDF (the reference
-        # lists the directory unfiltered and would pick up both)
-        .option("pathGlobFilter", "*.[pP][dD][fF]")
-        .load(in_dir)
-        .select("path")
+    One derivation dialect feeds BOTH the incremental-skip anti-join
+    and (carried through the plan) the emitted rows, so a file can
+    never be skippable under one id and emitted under another."""
+    stem = F.get(F.split(F.element_at(F.split("path", "/"), -1), r"\."), 0)
+    parts = F.split(stem, "_")
+    d = F.try_to_timestamp(F.get(parts, 3), F.lit("yyyyMMdd"))
+    edition_raw = F.get(parts, 5)
+    edition_int = edition_raw.try_cast("int")
+    edition_ok = edition_raw.isNull() | edition_int.isNotNull()
+    edition = F.when(
+        edition_raw.isNotNull(), F.char(edition_int + 96)
+    ).otherwise(F.lit("a"))
+    cpath = F.concat_ws(
+        "/",
+        F.concat(F.lit("SOC_"), F.get(parts, 2)),
+        F.year(d).cast("string"),
+        F.lpad(F.month(d).cast("string"), 2, "0"),
+        F.lpad(F.dayofmonth(d).cast("string"), 2, "0"),
+        edition,
     )
-    parts = F.split(
-        F.element_at(F.split(F.element_at(F.split("path", "/"), -1), r"\."), 1),
-        "_",
+    valid = (
+        (F.size(parts) >= 5)
+        & F.get(parts, 2).isNotNull()
+        & d.isNotNull()
+        & edition_ok
     )
-    listing = listing.withColumn(
-        "canonical_id",
-        F.concat_ws(
-            "-",
-            F.concat(F.lit("SOC_"), F.element_at(parts, 3)),
-            F.substring(F.element_at(parts, 4), 1, 4),
-            F.substring(F.element_at(parts, 4), 5, 2),
-            F.substring(F.element_at(parts, 4), 7, 2),
-            F.when(
-                F.size(parts) > 5,
-                F.char(F.element_at(parts, 6).cast("int") + 96),
-            ).otherwise(F.lit("a")),
-        ),
+    return (
+        files.withColumn("_cpath", F.when(valid, cpath))
+        .withColumn("canonical_id", F.regexp_replace("_cpath", "/", "-"))
+        .withColumn("lang", F.when(valid, F.lower(F.get(parts, 4))))
     )
-    if existing_ids is not None:
-        listing = listing.join(
-            F.broadcast(existing_ids.select("canonical_id").distinct()),
-            "canonical_id",
-            "left_anti",
-        )
+
+
+def _make_extract(extractor: PageExtractor):
+    """Build the mapInPandas worker. Rows must carry ``path``,
+    ``canonical_id``, ``_cpath``, ``lang``, and optionally ``content``;
+    when ``content`` is absent (the ``local_read`` opt-in) the file is
+    opened executor-side from the local/NFS mount. Module-level (not a
+    closure inside extract_pdf_ocr) so tests can drive it directly with
+    non-POSIX paths and prove bytes arrive via the column."""
 
     def _extract(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -217,12 +276,28 @@ def extract_pdf_ocr(
                 "canonical_id", "lang", "original_path", "ocr_json",
                 "n_pages", "error",
             )}
-            for path in pdf["path"]:
-                local = path[len("file:"):] if path.startswith("file:") else path
+            has_content = "content" in pdf.columns
+            for i in range(len(pdf)):
+                path = pdf["path"].iloc[i]
+                cid = pdf["canonical_id"].iloc[i]
+                lang = pdf["lang"].iloc[i]
                 try:
-                    with open(local, "rb") as f:
-                        content = f.read()
-                    doc = build_ocr_json(path, content, extractor)
+                    if has_content:
+                        content = bytes(pdf["content"].iloc[i])
+                    else:
+                        local = (
+                            path[len("file:"):]
+                            if path.startswith("file:")
+                            else path
+                        )
+                        with open(local, "rb") as f:
+                            content = f.read()
+                    doc = build_ocr_json(
+                        path,
+                        content,
+                        extractor,
+                        canonical=(pdf["_cpath"].iloc[i], lang),
+                    )
                     out["canonical_id"].append(doc["canonical_id"])
                     out["lang"].append(doc["lang"])
                     out["original_path"].append(path)
@@ -230,12 +305,6 @@ def extract_pdf_ocr(
                     out["n_pages"].append(len(doc["ocr_pages"]))
                     out["error"].append(None)
                 except Exception as exc:  # S15: errors are data
-                    cid, lang = None, None
-                    try:
-                        cp, lang = canonical_from_filename(path)
-                        cid = cp.replace("/", "-")
-                    except Exception:
-                        pass
                     out["canonical_id"].append(cid)
                     out["lang"].append(lang)
                     out["original_path"].append(path)
@@ -244,7 +313,122 @@ def extract_pdf_ocr(
                     out["error"].append(f"{path}: {exc}"[:500])
             yield pd.DataFrame(out)
 
-    return listing.select("path").mapInPandas(_extract, OCR_SCHEMA)
+    return _extract
+
+
+_EXTRACT_COLS = ["path", "canonical_id", "_cpath", "lang"]
+
+
+def extract_pdf_ocr(
+    spark: SparkSession,
+    in_dir: str,
+    page_extractor: PageExtractor | None = None,
+    existing_ids: DataFrame | None = None,
+    local_read: bool = False,
+) -> DataFrame:
+    """Distributed S9: every ``*.pdf`` under ``in_dir`` → one OCR-JSON
+    row ``(canonical_id, lang, original_path, ocr_json, n_pages,
+    error)``.
+
+    Scale shape, by case:
+
+    - **no ``existing_ids``**: ONE ``binaryFile`` scan carrying
+      ``(path, content)`` feeds ``mapInPandas`` directly — bytes come
+      through Spark's Hadoop-FS layer (object stores included), never
+      cross a shuffle, and are read exactly once.
+    - **with ``existing_ids``** (the F3/J1 incremental run): a
+      bytes-FREE listing pass derives the canonical ids and anti-joins
+      the (broadcast) done-set first; only the surviving — i.e. new —
+      files are then scanned WITH content. Skipped files' bytes are
+      never read, which is the whole point of incremental at 100 TB:
+      re-running over a mostly-done archive costs the listing, not the
+      bytes. The surviving path list passes through the driver — file
+      paths, not data, the same cardinality Spark's own file index
+      already materializes driver-side for any scan of the directory.
+    - **``local_read=True``** (opt-in for giant PDFs on a local/NFS
+      mount, the reference's operating model): listing stays
+      bytes-free and each task ``open()``s its files; refused loudly
+      for non-local ``in_dir`` schemes — on an object store the old
+      silent failure mode was every row becoming an S15 error row.
+
+    Filenames the canonical-id grammar rejects become S15 error rows
+    BEFORE the anti-join, from the same JVM derivation that builds the
+    skip key (see ``derive_bulletin_ids``) — id dialects cannot drift.
+    A failing PDF decode becomes an error row too, never a task
+    failure.
+    """
+    extractor = page_extractor or _default_page_extractor
+    scheme = in_dir.split("://", 1)[0] if "://" in in_dir else (
+        in_dir.split(":", 1)[0] if in_dir.startswith("file:") else None
+    )
+    if local_read and scheme not in (None, "file"):
+        raise ValueError(
+            f"local_read=True requires a local/NFS-mounted in_dir, got "
+            f"scheme {scheme!r} — executor-side open() cannot reach it; "
+            "use the default content path (Hadoop-FS) for object stores."
+        )
+
+    def _listing(with_content: bool, paths=None) -> DataFrame:
+        reader = (
+            spark.read.format("binaryFile")
+            # character-class glob: archives mix .pdf/.PDF (the reference
+            # lists the directory unfiltered and would pick up both)
+            .option("pathGlobFilter", "*.[pP][dD][fF]")
+        )
+        loaded = reader.load(paths if paths is not None else in_dir)
+        cols = ["path", "content"] if with_content else ["path"]
+        return derive_bulletin_ids(loaded.select(*cols))
+
+    def _error_rows(invalid: DataFrame) -> DataFrame:
+        return invalid.select(
+            F.lit(None).cast("string").alias("canonical_id"),
+            F.lit(None).cast("string").alias("lang"),
+            F.col("path").alias("original_path"),
+            F.lit(None).cast("string").alias("ocr_json"),
+            F.lit(None).cast("int").alias("n_pages"),
+            F.concat(
+                F.col("path"),
+                F.lit(
+                    ": invalid bulletin filename (expected "
+                    "<p>_<p>_<program>_<YYYYMMDD>_<LANG>[_<EDITION>].pdf)"
+                ),
+            ).alias("error"),
+        )
+
+    def _anti(df: DataFrame) -> DataFrame:
+        if existing_ids is None:
+            return df
+        return df.join(
+            F.broadcast(existing_ids.select("canonical_id").distinct()),
+            "canonical_id",
+            "left_anti",
+        )
+
+    extract = _make_extract(extractor)
+
+    if local_read or existing_ids is None:
+        # one pass over the directory; bytes ride along unless local_read
+        derived = _listing(with_content=not local_read)
+        invalid = _error_rows(derived.filter(F.col("canonical_id").isNull()))
+        todo = _anti(derived.filter(F.col("canonical_id").isNotNull()))
+        cols = _EXTRACT_COLS + ([] if local_read else ["content"])
+        extracted = todo.select(*cols).mapInPandas(extract, OCR_SCHEMA)
+        return invalid.unionByName(extracted)
+
+    # incremental + content path: prune on the bytes-free listing FIRST,
+    # then scan content for the survivors only
+    derived = _listing(with_content=False)
+    invalid = _error_rows(derived.filter(F.col("canonical_id").isNull()))
+    survivors = _anti(derived.filter(F.col("canonical_id").isNotNull()))
+    paths = [r["path"] for r in survivors.select("path").collect()]
+    if not paths:
+        return invalid.unionByName(spark.createDataFrame([], OCR_SCHEMA))
+    extracted = (
+        _listing(with_content=True, paths=paths)
+        .select(*_EXTRACT_COLS, "content")
+        .mapInPandas(extract, OCR_SCHEMA)
+    )
+    return invalid.unionByName(extracted)
 
 
 def write_ocr_json(ocr_df: DataFrame, out_dir: str, mode: str = "append") -> None:

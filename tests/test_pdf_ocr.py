@@ -184,3 +184,152 @@ def test_default_extractor_raises_directly():
 
     with pytest.raises(NotImplementedError, match="page_extractor"):
         _default_page_extractor(b"")
+
+
+def test_jvm_and_python_id_derivations_agree(spark):
+    """The listing-stage (JVM) canonical-id derivation and the Python
+    parser accept/reject the SAME filenames and produce the SAME id —
+    the incremental skip key can never differ from the emitted id."""
+    from impresso_ta.sources.pdf_ocr import derive_bulletin_ids
+
+    names = [
+        "RB_SOC_Prog1_19440307_FR.pdf",        # plain valid
+        "RB_SOC_P_19440307_DE_2.pdf",          # explicit edition
+        "RB_SOC_P_19440307_DE_02.pdf",         # zero-padded edition
+        "RB_SOC_BadDate_1944XX07_FR.pdf",      # non-numeric date
+        "RB_SOC_BadMonth_19441307_FR.pdf",     # month 13
+        "RB_SOC_BadDay_19440230_FR.pdf",       # Feb 30
+        "RB_SOC_P_19440307_DE_x.pdf",          # non-numeric edition
+        "RB_SOC.pdf",                          # too few elements
+        "RB_SOC_Pr-og_19440307_fr.pdf",        # hyphen in program, lc lang
+    ]
+    df = spark.createDataFrame(
+        [(f"file:/in/{n}",) for n in names], "path string"
+    )
+    jvm = {
+        r["path"].rsplit("/", 1)[1]: (r["canonical_id"], r["lang"])
+        for r in derive_bulletin_ids(df).collect()
+    }
+    for n in names:
+        try:
+            cp, lang = canonical_from_filename(n)
+            want = (cp.replace("/", "-"), lang)
+        except Exception:
+            want = (None, None)
+        assert jvm[n] == want, n
+
+
+def test_content_column_reaches_extractor_without_posix_access():
+    """The worker consumes bytes from the binaryFile ``content`` column:
+    an s3a:// path that does not exist on any local filesystem still
+    decodes (the round-7 failure mode was executor-side open() turning
+    every object-store row into an error row)."""
+    import pandas as pd
+
+    from impresso_ta.sources.pdf_ocr import _make_extract
+
+    batch = pd.DataFrame(
+        {
+            "path": ["s3a://bucket/RB_SOC_Prog1_19440307_FR.pdf"],
+            "canonical_id": ["SOC_Prog1-1944-03-07-a"],
+            "_cpath": ["SOC_Prog1/1944/03/07/a"],
+            "lang": ["fr"],
+            "content": [b"\x02pdf"],
+        }
+    )
+    [out] = list(_make_extract(_fake_extractor)(iter([batch])))
+    assert out["error"][0] is None
+    assert out["canonical_id"][0] == "SOC_Prog1-1944-03-07-a"
+    assert json.loads(out["ocr_json"][0])["lang"] == "fr"
+    assert out["n_pages"][0] == 2
+
+
+def test_local_read_refuses_object_store_schemes(spark):
+    with pytest.raises(ValueError, match="local_read"):
+        extract_pdf_ocr(
+            spark, "s3a://bucket/pdfs", page_extractor=_fake_extractor,
+            local_read=True,
+        )
+
+
+def test_local_read_opt_in_still_works(spark, tmp_path):
+    src = tmp_path / "pdfs"
+    src.mkdir()
+    (src / "RB_SOC_Prog1_19440307_FR.pdf").write_bytes(b"\x02pdf")
+    rows = extract_pdf_ocr(
+        spark, str(src), page_extractor=_fake_extractor, local_read=True
+    ).collect()
+    assert [r["canonical_id"] for r in rows] == ["SOC_Prog1-1944-03-07-a"]
+    assert rows[0]["n_pages"] == 2 and rows[0]["error"] is None
+
+
+def test_incremental_run_never_reads_skipped_bytes(spark, tmp_path):
+    """With existing_ids, the anti-join runs on a bytes-free listing and
+    only surviving files are scanned with content: the content-bearing
+    relation in the plan is an explicit-paths scan that lists ONLY the
+    new file — the skipped file's bytes are not in any scan."""
+    src = tmp_path / "pdfs"
+    src.mkdir()
+    (src / "RB_SOC_Prog1_19440307_FR.pdf").write_bytes(b"\x02pdf")
+    (src / "RB_SOC_Prog1_19440308_DE.pdf").write_bytes(b"\x01pdf")
+    done = spark.createDataFrame(
+        [("SOC_Prog1-1944-03-07-a",)], "canonical_id string"
+    )
+    # the scan node snapshots spark.sql.maxMetadataStringLength at plan
+    # construction — raise it FIRST so Location paths are un-truncated
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    try:
+        out = extract_pdf_ocr(
+            spark, str(src), page_extractor=_fake_extractor,
+            existing_ids=done,
+        )
+        rows = out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    assert [r["canonical_id"] for r in rows] == ["SOC_Prog1-1944-03-08-a"]
+    assert rows[0]["error"] is None
+    # survivor scan is built from the explicit path list, so the file
+    # names appear in its Location; the done file's must only appear in
+    # the bytes-free listing, never next to content
+    content_scans = [
+        seg for seg in plan.split("FileScan binaryFile")[1:]
+        if "content:binary" in seg.split("ReadSchema:")[1].split("\n")[0]
+    ]
+    assert len(content_scans) == 1
+    assert "RB_SOC_Prog1_19440308_DE.pdf" in content_scans[0]
+    assert "RB_SOC_Prog1_19440307_FR.pdf" not in content_scans[0].split(
+        "ReadSchema:"
+    )[0]
+
+
+def test_listing_stage_scan_prunes_content(spark, tmp_path):
+    """The id-derivation listing reads only ``path`` — ReadSchema of the
+    binaryFile scan must not include the bytes column."""
+    from impresso_ta.sources.pdf_ocr import derive_bulletin_ids
+
+    src = tmp_path / "pdfs"
+    src.mkdir()
+    (src / "RB_SOC_Prog1_19440307_FR.pdf").write_bytes(b"\x01x")
+    listing = derive_bulletin_ids(
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.[pP][dD][fF]")
+        .load(str(src))
+        .select("path")
+    )
+    plan = (
+        listing._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "content" not in plan
+
+
+def test_default_content_plan_has_no_shuffle(spark, tmp_path):
+    """No existing_ids: one content-bearing scan feeds mapInPandas
+    directly — bytes never cross an Exchange."""
+    src = tmp_path / "pdfs"
+    src.mkdir()
+    (src / "RB_SOC_Prog1_19440307_FR.pdf").write_bytes(b"\x01x")
+    out = extract_pdf_ocr(spark, str(src), page_extractor=_fake_extractor)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
