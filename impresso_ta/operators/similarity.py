@@ -95,6 +95,10 @@ def semantic_decontamination(
     vec_col: str = "embedding",
     threshold: float = 0.35,
     round_to: int = 4,
+    lsh_bench_threshold: int | None = 25_000,
+    n_bits: int = 4,
+    dims: int = 64,
+    n_probes: int = 2,
 ) -> DataFrame:
     """Drop training rows whose embedding cosine to ANY benchmark
     vector reaches ``threshold`` — the embedding-space complement of
@@ -109,11 +113,30 @@ def semantic_decontamination(
     (vector, norm) structs; each train row then evaluates a row-local
     EXISTS over that array with its own norm hoisted out of the loop —
     no shuffle, no pair materialization, train scanned exactly once at
-    |bench| dot products per row. |bench| is small by definition
-    (eval sets: 10³–10⁵ rows × 64–1024 dims fits any executor); a
-    larger screen belongs on the LSH-bucketed path
-    (:func:`lsh_bucketed_topk`) instead.
+    |bench| dot products per row. Real benchmark suites are small
+    (eval sets: 10³–10⁴ rows × 64–1024 dims fits any executor), so
+    that cost is flat; but the row-local work is O(train × bench ×
+    dims) — a "benchmark" that is actually another corpus split makes
+    it a silent quadratic (measured: 1.59 s at sf0.1 → 23.55 s at sf1,
+    ~15× for 10× data, because the synthetic bench grows with sf). So
+    when the benchmark exceeds ``lsh_bench_threshold`` rows (one cheap
+    count of the SMALL side; ``None`` disables routing) the call
+    delegates to :func:`semantic_decontamination_lsh`, which buckets
+    both sides with the shared hyperplane cells so each train row only
+    scores its own cell's benchmark slice.
     """
+    if lsh_bench_threshold is not None:
+        if bench.count() >= lsh_bench_threshold:
+            return semantic_decontamination_lsh(
+                train,
+                bench,
+                vec_col=vec_col,
+                threshold=threshold,
+                round_to=round_to,
+                n_bits=n_bits,
+                dims=dims,
+                n_probes=n_probes,
+            )
     barr = bench.select(
         F.collect_list(
             F.struct(
@@ -137,6 +160,106 @@ def semantic_decontamination(
         .crossJoin(F.broadcast(barr))
         .filter(~F.coalesce(hit, F.lit(False)))
         .drop("_bench", "_tnorm")
+    )
+
+
+def semantic_decontamination_lsh(
+    train: DataFrame,
+    bench: DataFrame,
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    round_to: int = 4,
+    n_bits: int = 4,
+    dims: int = 64,
+    n_probes: int = 2,
+) -> DataFrame:
+    """LSH-bucketed decontamination — the large-benchmark path.
+
+    Both sides are assigned the SAME deterministic hyperplane cells the
+    SemDeDup scale path uses (``dedup.hyperplane_cells``, md5-derived
+    planes — engine-portable). The benchmark is exploded into its
+    primary cell plus the ``n_probes - 1`` cells reached by flipping
+    its lowest-|margin| sign bits (the multiprobe-LSH boundary fix, Lv
+    et al. 2007), grouped per cell, and folded into ONE broadcast row
+    holding a cell → [(vector, norm), …] map. Each train row then
+    computes its own cell (row-local, no shuffle) and evaluates the
+    EXISTS over only that cell's slice — per-row cost drops from
+    |bench| to |bench ∩ cell| ≈ |bench| · n_probes / 2^n_bits dot
+    products, and nothing corpus-sized is joined or shuffled (same
+    zero-exchange shape as the broadcast form).
+
+    Approximation contract: one-sided. A contaminated train row whose
+    every matching benchmark vector lands in other cells is KEPT (miss
+    rate per pair ≈ (angle/π)·n_bits, shrunk by multiprobe); a clean
+    row is never dropped — survivors are always a superset of the
+    exact form's (property-tested). Single-bit flips reach at most
+    ``n_bits + 1`` cells, so useful ``n_probes`` is 1..n_bits+1;
+    ``n_probes >= 2**n_bits`` switches to full fan-out (every cell)
+    and reproduces the exact result (plumbing-tested).
+    """
+    from impresso_ta.operators.dedup import hyperplane_cells, hyperplane_dots
+
+    cell = hyperplane_cells(F.col(vec_col), n_bits, dims, round_to)
+    if n_probes >= (1 << n_bits):
+        # full fan-out: every bench vector in every cell — identical to
+        # the exact broadcast form (single-bit flips alone can only
+        # reach n_bits + 1 cells, so this is a distinct mode)
+        probe_cells = F.sequence(
+            F.lit(0).cast("long"), F.lit((1 << n_bits) - 1).cast("long")
+        )
+    elif n_probes <= 1:
+        probe_cells = F.array(cell)
+    else:
+        margins = F.array_sort(
+            F.transform(
+                hyperplane_dots(F.col(vec_col), n_bits, dims),
+                lambda d, i: F.struct(
+                    F.abs(F.round(d, round_to)).alias("m"), i.alias("j")
+                ),
+            )
+        )
+        flips = F.slice(margins, 1, n_probes - 1)
+        probe_cells = F.array_union(
+            F.array(cell),
+            F.transform(
+                flips,
+                lambda s: cell.bitwiseXOR(
+                    (F.lit(2.0) ** s["j"]).cast("long")
+                ),
+            ),
+        )
+    per_cell = (
+        bench.select(
+            F.explode(probe_cells).alias("_cell"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("n"),
+        )
+        .groupBy("_cell")
+        .agg(F.collect_list(F.struct("v", "n")).alias("_arr"))
+    )
+    bmap = per_cell.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_cell", "_arr"))
+        ).alias("_bmap")
+    )
+    slice_ = F.col("_bmap")[hyperplane_cells(
+        F.col(vec_col), n_bits, dims, round_to
+    )]
+    hit = F.exists(
+        slice_,
+        lambda b: F.round(
+            F.try_divide(
+                dot(F.col(vec_col), b["v"]), F.col("_tnorm") * b["n"]
+            ),
+            round_to,
+        )
+        >= threshold,
+    )
+    return (
+        train.withColumn("_tnorm", norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(bmap))
+        .filter(~F.coalesce(hit, F.lit(False)))
+        .drop("_bmap", "_tnorm")
     )
 
 

@@ -5897,6 +5897,98 @@ def corpus_semantic_decontamination(
     )
 
 
+_DECON_WTS_SQL = """
+    wts AS (
+        SELECT k, d,
+               ((('0x' || substr(md5(k::VARCHAR || '_' || d::VARCHAR), 1, 6))::BIGINT
+                 % 2001) - 1000) / 1000.0 AS w
+        FROM generate_series(0, 3) AS gk(k), generate_series(0, 63) AS gd(d)
+    )"""
+
+
+@q(
+    "corpus_semantic_decon_lsh",
+    f"""
+    WITH bench AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 23 = 0
+    ),
+    train AS (SELECT * FROM embeddings WHERE vec_id % 23 <> 0),
+    {_DECON_WTS_SQL},
+    bdots AS (
+        SELECT b.vec_id, w.k,
+               round(sum(b.embedding[w.d + 1]::DOUBLE * w.w), 4) AS dot
+        FROM bench b CROSS JOIN wts w GROUP BY 1, 2
+    ),
+    bcells AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dot >= 0
+                             THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT)
+               AS cell
+        FROM bdots GROUP BY 1
+    ),
+    bflips AS (
+        SELECT vec_id, k AS flip_k FROM (
+            SELECT vec_id, k,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY abs(dot) ASC, k ASC
+                   ) AS rk
+            FROM bdots
+        ) WHERE rk = 1
+    ),
+    bprobed AS (
+        SELECT vec_id, cell FROM bcells
+        UNION
+        SELECT c.vec_id, xor(c.cell, (1::BIGINT << f.flip_k)) AS cell
+        FROM bcells c JOIN bflips f USING (vec_id)
+    ),
+    tdots AS (
+        SELECT t.vec_id, w.k,
+               round(sum(t.embedding[w.d + 1]::DOUBLE * w.w), 4) AS dot
+        FROM train t CROSS JOIN wts w GROUP BY 1, 2
+    ),
+    tcells AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dot >= 0
+                             THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT)
+               AS cell
+        FROM tdots GROUP BY 1
+    ),
+    hits AS (
+        SELECT DISTINCT t.vec_id
+        FROM train t
+        JOIN tcells tc ON tc.vec_id = t.vec_id
+        JOIN bprobed bp ON bp.cell = tc.cell
+        JOIN bench b ON b.vec_id = bp.vec_id
+        WHERE {_cos_sql('t.embedding', 'b.embedding')} >= 0.35
+    )
+    SELECT t.vec_id, t.label FROM train t
+    LEFT JOIN hits h ON t.vec_id = h.vec_id
+    WHERE h.vec_id IS NULL
+    """,
+    "LSH-bucketed semantic decontamination — the LARGE-benchmark path "
+    "semantic_decontamination auto-routes to above 25k bench rows "
+    "(below that, bench×train row-local dot products are flat; a "
+    "corpus-sized 'benchmark' made them a measured silent quadratic — "
+    "1.59 s sf0.1 → 23.55 s sf1). Both sides take the SemDeDup "
+    "hyperplane cells; the bench side multiprobes its lowest-margin "
+    "bit flip, folds into ONE broadcast cell→[(vec,norm)] map, and "
+    "each train row scores only its own cell's slice — per-row cost "
+    "|bench|·n_probes/2^n_bits instead of |bench|, still zero corpus "
+    "shuffle. One-sided approximation (never drops a clean row); the "
+    "oracle replays cells, margins, probe union and the cell-equi hit "
+    "join exactly.",
+)
+def corpus_semantic_decon_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.similarity import semantic_decontamination_lsh
+
+    e = t(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % 23 == 0)
+    train = e.filter(F.col("vec_id") % 23 != 0)
+    return semantic_decontamination_lsh(
+        train, bench, threshold=0.35, n_bits=4, dims=64, n_probes=2
+    ).select("vec_id", "label")
+
+
 def _dsir_cte(
     raw_sql: str = "SELECT * FROM documents WHERE doc_id % 17 <> 0",
     tgt_sql: str = "SELECT * FROM documents WHERE doc_id % 17 = 0",

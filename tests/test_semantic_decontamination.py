@@ -84,3 +84,75 @@ def test_plan_is_broadcast_no_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in plan
     # the train side reaches the filter without any hash exchange
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_lsh_exhaustive_probing_equals_exact(spark):
+    """n_probes = 2^n_bits places every bench vector in every cell, so
+    the bucketed form must reproduce the broadcast form exactly — pins
+    the map-build/explode/lookup plumbing."""
+    from impresso_ta.operators.similarity import semantic_decontamination_lsh
+
+    train, bench, tdf, bdf = _frames(spark)
+    exact = sorted(
+        r["vec_id"]
+        for r in semantic_decontamination(
+            tdf, bdf, threshold=0.35, lsh_bench_threshold=None
+        ).collect()
+    )
+    got = sorted(
+        r["vec_id"]
+        for r in semantic_decontamination_lsh(
+            tdf, bdf, threshold=0.35, n_bits=3, dims=8, n_probes=8
+        ).collect()
+    )
+    assert got == exact
+
+
+def test_lsh_survivors_are_a_superset_of_exact(spark):
+    """One-sided approximation: LSH can only MISS a contamination hit
+    (keeping extra rows), never invent one (dropping clean rows)."""
+    from impresso_ta.operators.similarity import semantic_decontamination_lsh
+
+    train, bench, tdf, bdf = _frames(spark)
+    exact = set(
+        r["vec_id"]
+        for r in semantic_decontamination(
+            tdf, bdf, threshold=0.35, lsh_bench_threshold=None
+        ).collect()
+    )
+    for probes in (1, 2, 4):
+        got = set(
+            r["vec_id"]
+            for r in semantic_decontamination_lsh(
+                tdf, bdf, threshold=0.35, n_bits=3, dims=8, n_probes=probes
+            ).collect()
+        )
+        assert got >= exact, probes
+    # the planted near-copy of bench[0] collides with it in every cell
+    # (identical up to 1% noise -> same sign pattern at these margins)
+    assert 40 not in set(
+        r["vec_id"]
+        for r in semantic_decontamination_lsh(
+            tdf, bdf, threshold=0.8, n_bits=3, dims=8, n_probes=2
+        ).collect()
+    )
+
+
+def test_large_bench_auto_routes_to_lsh(spark):
+    """Above lsh_bench_threshold the entry point delegates to the
+    bucketed form: with exhaustive probing the result is still exact,
+    and the plan carries the cell-map lookup instead of the flat
+    bench array."""
+    train, bench, tdf, bdf = _frames(spark)
+    routed = semantic_decontamination(
+        tdf, bdf, threshold=0.35,
+        lsh_bench_threshold=1, n_bits=3, dims=8, n_probes=8,
+    )
+    exact = sorted(
+        r["vec_id"]
+        for r in semantic_decontamination(
+            tdf, bdf, threshold=0.35, lsh_bench_threshold=None
+        ).collect()
+    )
+    assert sorted(r["vec_id"] for r in routed.collect()) == exact
+    assert "map_from_entries" in routed._jdf.queryExecution().analyzed().toString()
