@@ -315,6 +315,7 @@ def minhash_lsh_pairs(
     cache_shingles: bool = False,
     max_bucket_size: int | None = None,
     parts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    guard_bucket_size: int | None = 50_000,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard.
 
@@ -341,6 +342,21 @@ def minhash_lsh_pairs(
     pairs-form's output is inherently quadratic in clique size (see the
     survivors docstring), so the cap bounds the candidate join, not the
     true-pair count.
+
+    ``guard_bucket_size`` is the RUNTIME tripwire for calling this raw
+    form on a clone-heavy corpus (the 100×-scale probe's recorded
+    failure mode, tools/scale_docs_results.json: a near-dup clique of
+    m docs puts m rows in the same band bucket → m²/2 candidates per
+    band — quadratic before any verify). A per-bucket count rides the
+    band table as a window over (band, bh) — the SAME key the candidate
+    self-join shuffles on, so the exchange is shared and no extra job
+    runs — and an embedded ``assert_true`` fails the job LOUDLY the
+    moment any bucket exceeds the bound, naming the fixes
+    (``minhash_dedup_survivors`` for linear output, ``max_bucket_size``
+    to cap explicitly, or ``guard_bucket_size=None`` to accept the
+    cost). The pipeline's auto-router avoids this form above 25k docs;
+    the guard protects direct callers. Never fires below the bound, so
+    the oracle-pinned semantics are unchanged.
     """
     sh, sigs, banded = parts if parts is not None else _minhash_parts(
         docs, id_col, text_col, k, num_perm, bands, cache_shingles
@@ -353,6 +369,33 @@ def minhash_lsh_pairs(
             banded.withColumn("_bn", F.count("*").over(bw))
             .filter(F.col("_bn") <= max_bucket_size)
             .drop("_bn")
+        )
+    if guard_bucket_size is not None and (
+        max_bucket_size is None or max_bucket_size > guard_bucket_size
+    ):
+        from pyspark.sql.window import Window
+
+        gw = Window.partitionBy("band", "bh")
+        tripwire = F.assert_true(
+            F.count("*").over(gw) <= F.lit(guard_bucket_size),
+            F.concat(
+                F.lit(
+                    "minhash_lsh_pairs: a band bucket holds more than "
+                    f"{guard_bucket_size} docs — a clone-heavy corpus "
+                    "makes this raw pairs form quadratic in clique size. "
+                    "Use minhash_dedup_survivors (linear output), set "
+                    "max_bucket_size to cap buckets explicitly, or pass "
+                    "guard_bucket_size=None to accept the cost. bucket="
+                ),
+                F.col("band").cast("string"),
+                F.lit("/"),
+                F.col("bh").cast("string"),
+            ),
+        )
+        banded = (
+            banded.withColumn("_guard", tripwire)
+            .filter(F.col("_guard").isNull())
+            .drop("_guard")
         )
 
     a = banded.alias("a")

@@ -223,3 +223,22 @@ def test_collapse_exempts_degenerate_vectors(spark):
     }
     assert got[0] is True and got[1] is True  # degenerate: both kept
     assert got[2] is True and got[3] is False  # real clone collapsed
+
+
+def test_minhash_lsh_pairs_guard_trips_on_clone_cliques(spark):
+    """The raw pairs form fails loudly (naming the fixes) when a band
+    bucket exceeds guard_bucket_size — the clone-heavy failure mode the
+    100x probe recorded; below the bound output is unchanged."""
+    import pytest
+
+    from impresso_ta.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the same cloned boilerplate page text " * 4) for i in range(10)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="quadratic in clique size"):
+        minhash_lsh_pairs(docs, guard_bucket_size=5).collect()
+    pairs = minhash_lsh_pairs(docs, guard_bucket_size=50).collect()
+    assert len(pairs) == 45  # 10-clique -> C(10,2) true pairs
+    assert all(r["jaccard"] == 1.0 for r in pairs)

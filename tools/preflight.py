@@ -60,6 +60,36 @@ def static_gate() -> list[str]:
             f"queries()/oracle_sql() key drift: only-queries="
             f"{sorted(qs - oracles)} only-oracles={sorted(oracles - qs)}"
         )
+    problems += prose_counts(len(REGISTRY))
+    return problems
+
+
+def prose_counts(n_registry: int) -> list[str]:
+    """README's stated query / test-function counts vs the live repo —
+    prose can't rot (VERDICT r7 found a stale '371 tests'). Test count
+    is the static ``def test_`` tally (parametrize expands at collect
+    time, so README states FUNCTIONS, a number this gate can verify
+    without importing pyspark)."""
+    problems: list[str] = []
+    with open(os.path.join(REPO, "README.md")) as f:
+        readme = f.read()
+    stated_q = {int(m) for m in re.findall(r"(\d+) (?:catalog|oracle-checked) quer", readme)}
+    if stated_q != {n_registry}:
+        problems.append(
+            f"README query counts {sorted(stated_q)} != live catalog "
+            f"{n_registry}"
+        )
+    n_tests = 0
+    for path in glob.glob(os.path.join(REPO, "tests", "*.py")):
+        with open(path) as f:
+            n_tests += len(re.findall(r"^def test_", f.read(), re.M))
+    m = re.search(r"(\d+) test functions", readme)
+    if m is None:
+        problems.append("README states no 'N test functions' count")
+    elif int(m.group(1)) != n_tests:
+        problems.append(
+            f"README test-function count {m.group(1)} != counted {n_tests}"
+        )
     return problems
 
 
