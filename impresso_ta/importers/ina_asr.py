@@ -106,6 +106,27 @@ def majority_language(root: ET.Element) -> str | None:
 class InaAsrPlugin(FormatPlugin):
     name = "ina_asr"
 
+    @staticmethod
+    def _map_ina_manifest(m: dict[str, Any]) -> dict[str, Any]:
+        """Map the reference manifest's French archive fields onto the
+        sidecar vocabulary (ref: ina/classes.py:262-289
+        ``_fetch_broadcast_metadata`` / ``_parse_content_item``)."""
+        channel = m.get("Canal de diffusion")
+        if channel and m.get("Société de programmes"):
+            channel = f"{channel} ({m['Société de programmes']})"
+        resume = m.get("Résumé")
+        return {
+            "title": m.get("Titre propre"),
+            "program": m.get("Titre collection"),
+            "channel": channel,
+            "duration": m.get("Durée"),
+            "archival_note": resume,
+            # ref: ina/classes.py:230-233 — language short-circuit
+            "lang_override": "en" if resume and "En anglais" in resume else None,
+            "notice_id": m.get("Identifiant de la notice"),
+            "noms_fichers": m.get("Noms fichers"),
+        }
+
     def parse_issue_dir(
         self, alias: str, date: str, edition: str, path: str
     ) -> dict[str, Any]:
@@ -129,6 +150,19 @@ class InaAsrPlugin(FormatPlugin):
         if os.path.exists(meta_path):
             with open(meta_path, encoding="utf-8") as f:
                 meta = json.load(f)
+        else:
+            # reference layout (ref: ina/classes.py:181-289): a single
+            # ``ina_metadata.json`` manifest in the PARENT dir, keyed by
+            # this broadcast directory's basename, with French archive
+            # field names — mapped here onto the sidecar vocabulary.
+            manifest_path = os.path.join(
+                os.path.dirname(path.rstrip(os.sep)), "ina_metadata.json"
+            )
+            key = os.path.basename(path.rstrip(os.sep))
+            if os.path.exists(manifest_path):
+                with open(manifest_path, encoding="utf-8") as f:
+                    manifest = json.load(f)
+                meta = self._map_ina_manifest(manifest.get(key, {}))
 
         utterances = get_utterances(root)
         if not utterances:
@@ -136,11 +170,15 @@ class InaAsrPlugin(FormatPlugin):
         section_stime = utterances[0]["tc"][0]
         section_etime = max(float(ss.get("etime")) for ss in _segments(root))
 
-        # duration: sidecar metadata, else derived from the last etime
-        # (the reference probes the mp3 with mutagen — X15; a sidecar
-        # media-metadata table is the engine-pure equivalent)
-        dur_sec = float(meta.get("duration_sec", section_etime))
-        dur = time.strftime("%H:%M:%S", time.gmtime(dur_sec))
+        # duration: sidecar metadata (either a ready HH:MM:SS string from
+        # the INA manifest's "Durée", or duration_sec), else derived from
+        # the last etime (the reference probes the mp3 with mutagen — X15;
+        # a sidecar media-metadata table is the engine-pure equivalent)
+        if meta.get("duration"):
+            dur = str(meta["duration"]).strip()
+        else:
+            dur_sec = float(meta.get("duration_sec", section_etime))
+            dur = time.strftime("%H:%M:%S", time.gmtime(dur_sec))
 
         internal = os.path.dirname(record_id.replace("-", "/"))
         iiif = os.path.join(IIIF_ENDPOINT_URI, "INA", internal, f"{record_id}.mp3")
@@ -162,16 +200,35 @@ class InaAsrPlugin(FormatPlugin):
             ],
         }
 
+        legacy = None
+        if meta.get("notice_id") or meta.get("noms_fichers"):
+            # ref: ina/classes.py:269-276 — the original notice id and
+            # filename(s), both as recorded and as found on disk
+            legacy = {
+                "source": "; ".join(
+                    [
+                        "Identifiant de la notice (in metadata): "
+                        f"{meta.get('notice_id')}",
+                        f"Noms fichers (in metadata): {meta.get('noms_fichers')}",
+                        "Noms fichers (in practice): "
+                        f"{os.path.splitext(xml_files[0])[0]}",
+                    ]
+                )
+            }
+
         ci = {
             "m": {
                 "id": ci_id,
                 "rr": [1],
                 "tp": "radio_broadcast_episode",
-                "lg": majority_language(root),
+                # ref: ina/classes.py:230-233 — a "En anglais" archive
+                # summary overrides the ASR language vote
+                "lg": meta.get("lang_override") or majority_language(root),
                 "ro": 1,
                 "t": meta.get("title"),
+                "archival_note": meta.get("archival_note"),
             },
-            "l": None,
+            "l": legacy,
         }
 
         return {

@@ -5787,6 +5787,95 @@ def rebuild_reference_canonical(
     )
 
 
+# The reference's shipped INA ASR sample (3 broadcasts: CFCE ×2, RDN ×1)
+# imported end-to-end (manifest-driven discovery → utterance grouping →
+# audio rebuild) and digested per title. The per-CI digest hashes the
+# fulltext TOGETHER with the ssb/ub/sb offset arrays, so utterance /
+# speech-segment / section offset assembly gets the same per-round drift
+# gate as the paper path's lb/pb/rb (round-8 task; ref:
+# rebuilders/audio_rebuilders.py:11-86, importers/ina/classes.py:29-289).
+_REFERENCE_AUDIO_BASE = (
+    "/root/reference/text_preparation/data/sample_data/INA"
+)
+
+_REFERENCE_AUDIO_GOLDEN = [
+    ("CFCE", 2, 2, 89719, 1841, "365ea1d428069d98ebaa33a0c51c68bd"),
+    ("RDN", 1, 1, 18550, 273, "eaa8754a3376aa36d674e724d915dce9"),
+]
+
+
+def _reference_audio_oracle() -> str:
+    rows = ",\n        ".join(
+        f"('{a}', CAST({n} AS BIGINT), CAST({nt} AS BIGINT), "
+        f"CAST({tc} AS BIGINT), CAST({nb} AS BIGINT), '{d}')"
+        for a, n, nt, tc, nb, d in _REFERENCE_AUDIO_GOLDEN
+    )
+    return (
+        "SELECT * FROM (VALUES\n        "
+        + rows
+        + "\n    ) AS t(alias, n_cis, n_with_text, total_chars, "
+        "n_breaks, corpus_digest)"
+    )
+
+
+@q(
+    "rebuild_reference_audio",
+    _reference_audio_oracle(),
+    "The AUDIO half of the importer/rebuild ETL core under the oracle "
+    "gate: import the reference's own shipped INA ASR sample (manifest-"
+    "driven discovery, consecutive-same-speaker utterance grouping, "
+    "sidecar duration, the Résumé language short-circuit) and rebuild it "
+    "(rebuild_audio_text: token-stream whitespace, speech-seg/utterance/"
+    "section offsets), then digest per title — CI counts, fulltext "
+    "coverage, chars, break counts, and an order-insensitive md5 over "
+    "each CI's (fulltext ‖ ssb ‖ ub ‖ sb) md5. Oracle = committed golden "
+    "VALUES, so any byte drift in rebuilt audio text OR any shift in the "
+    "offset assembly fails the hash gate.",
+)
+def rebuild_reference_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.importers import import_issues
+    from impresso_ta.rebuild import rebuild_issues_solr
+    from impresso_ta.rebuild.solr import split_errors
+    from impresso_ta.sources.discovery import detect_issues_ina
+
+    disc = detect_issues_ina(spark, _REFERENCE_AUDIO_BASE)
+    res = import_issues(disc, ts="2024-01-01T00:00:00Z")
+    ok, _errors = split_errors(
+        rebuild_issues_solr(res.issues, res.records, ts="2024-01-01T00:00:00Z")
+    )
+    return (
+        ok.withColumn(
+            "alias", F.regexp_extract("id", r"^(.+)-\d{4}-\d{2}-\d{2}", 1)
+        )
+        .withColumn(
+            "ci_digest",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.coalesce(F.col("ft"), F.lit("")),
+                    F.concat_ws(",", F.col("ssb")),
+                    F.concat_ws(",", F.col("ub")),
+                    F.concat_ws(",", F.col("sb")),
+                )
+            ),
+        )
+        .groupBy("alias")
+        .agg(
+            F.count("*").cast("long").alias("n_cis"),
+            F.sum((F.length("ft") > 0).cast("long")).alias("n_with_text"),
+            F.sum(F.coalesce(F.length("ft"), F.lit(0)))
+            .cast("long")
+            .alias("total_chars"),
+            F.sum(F.size("ssb") + F.size("ub") + F.size("sb"))
+            .cast("long")
+            .alias("n_breaks"),
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list("ci_digest")))
+            ).alias("corpus_digest"),
+        )
+    )
+
+
 @q(
     "per_domain_cap",
     """

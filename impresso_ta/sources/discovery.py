@@ -112,6 +112,37 @@ def detect_issues_onb(
     )
 
 
+def detect_issues_ina(spark: SparkSession, base_dir: str) -> DataFrame:
+    """INA radio-broadcast discovery (ref: ina/detect.py:46-117): the base
+    dir holds one directory per broadcast (named by archive notice key,
+    e.g. ``PH808003302_DB09994``) plus an ``ina_metadata.json`` manifest
+    keyed by those directory names. Alias comes from the manifest's
+    ``Alias Collection``, the date from ``Date d'enregistrement``
+    (dd/mm/yyyy), edition is always 'a' (the reference hardcodes it).
+
+    Only directories present in BOTH the manifest and the filesystem are
+    yielded (the reference intersects the same way); manifest rows whose
+    directory is absent are ignored, not errors.
+    """
+    import json
+    from datetime import datetime as _dt
+
+    manifest_path = os.path.join(base_dir, "ina_metadata.json")
+    with open(manifest_path, encoding="utf-8") as f:
+        manifest = json.load(f)
+    rows = []
+    for name in sorted(os.listdir(base_dir)):
+        path = os.path.join(base_dir, name)
+        if not os.path.isdir(path) or name not in manifest:
+            continue
+        meta = manifest[name]
+        d = _dt.strptime(
+            meta["Date d'enregistrement"].strip(), "%d/%m/%Y"
+        ).date()
+        rows.append((meta["Alias Collection"], d, "a", path, "ina_asr"))
+    return spark.createDataFrame(rows, DISCOVERY_SCHEMA)
+
+
 def detect_issues_from_csv(
     spark: SparkSession, csv_path: str, fmt: str
 ) -> DataFrame:

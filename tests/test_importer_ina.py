@@ -89,6 +89,71 @@ def test_audio_record_utterances(audio_import):
     assert utts[0]["ss"][0]["t"][0] == {"tc": [1.0, 0.5], "tx": "bonjour"}
 
 
+REFERENCE_INA = "/root/reference/text_preparation/data/sample_data/INA"
+
+
+@pytest.fixture(scope="module")
+def reference_audio_import(spark):
+    from impresso_ta.sources.discovery import detect_issues_ina
+
+    disc = detect_issues_ina(spark, REFERENCE_INA)
+    return import_issues(disc, ts="2024-01-01T00:00:00Z")
+
+
+def test_reference_sample_discovery(spark):
+    """Manifest-driven discovery (ref: ina/detect.py:46-117): alias from
+    'Alias Collection', date from dd/mm/yyyy 'Date d'enregistrement',
+    only dirs present in both manifest and filesystem."""
+    from impresso_ta.sources.discovery import detect_issues_ina
+
+    rows = sorted(
+        (r["alias"], str(r["date"]), r["edition"])
+        for r in detect_issues_ina(spark, REFERENCE_INA).collect()
+    )
+    assert rows == [
+        ("CFCE", "1996-09-08", "a"),
+        ("CFCE", "1996-09-15", "a"),
+        ("RDN", "1950-01-12", "a"),
+    ]
+
+
+def test_reference_sample_import_metadata(reference_audio_import):
+    """French manifest fields map onto issue/CI metadata the way the
+    reference's _fetch_broadcast_metadata / _parse_content_item do
+    (ref: ina/classes.py:262-289): program = Titre collection, channel =
+    Canal (Société), title = Titre propre, dur = manifest Durée."""
+    res = reference_audio_import
+    assert res.errors.count() == 0
+    issues = {
+        r["id"]: r.asDict(recursive=True) for r in res.issues.collect()
+    }
+    rdn = issues["RDN-1950-01-12-a"]
+    assert rdn["rp"] == "La ronde des nations"
+    assert rdn["rc"] == "Chaîne Parisienne (RTF)"
+    ci = rdn["i"][0]
+    assert ci["m"]["t"] == "Accords économiques internationaux"
+    assert ci["m"]["lg"] == "fr"
+    assert ci["m"]["archival_note"]  # Résumé flows through
+    assert "Identifiant de la notice" in ci["l"]["source"]
+    recs = {r["id"]: r for r in res.records.collect()}
+    assert recs["RDN-1950-01-12-a-r0001"]["dur"] == "00:17:13"
+    assert recs["CFCE-1996-09-08-a-r0001"]["dur"] == "00:55:00"
+
+
+def test_reference_sample_rebuild_golden(spark):
+    """The committed golden digest the per-round oracle gates on —
+    fulltext AND ssb/ub/sb offsets hashed per CI (drift in either fails)."""
+    from impresso_ta.queries import (
+        _REFERENCE_AUDIO_GOLDEN,
+        rebuild_reference_audio,
+    )
+
+    got = sorted(
+        tuple(r) for r in rebuild_reference_audio(spark, "").collect()
+    )
+    assert got == sorted(_REFERENCE_AUDIO_GOLDEN)
+
+
 def test_audio_rebuild_from_import(audio_import):
     res = audio_import
     rebuilt = rebuild_issues_solr(res.issues, res.records, ts="2024-01-01T00:00:00Z")
