@@ -311,6 +311,30 @@ def main() -> None:
         # catalog entries with no row in the newest committed CHECK_r*.json
         headline["unverified_queries"] = stale
 
+    # ETL skew path in the driver-captured record (VERDICT r7 task 7):
+    # the zipfian-profile rebuild and its skew-safe CI-level twin, timed
+    # at the primary sf and embedded under a SEPARATE key so the
+    # round-over-round headline total stays comparable to r1-r7.
+    try:
+        from impresso_ta.plans import synthetic_canonical_corpus
+        from impresso_ta.rebuild import rebuild_issues_solr
+        from impresso_ta.rebuild.solr import rebuild_issues_solr_ci
+        from tools.skewed_docs import zipfian_documents
+
+        zi, zp = synthetic_canonical_corpus(
+            zipfian_documents(catalog.t(spark, sf_dir, "documents"))
+        )
+        headline["etl"] = {
+            "rebuild_solr_zipfian": timed(
+                lambda: rebuild_issues_solr(zi, zp)
+            ),
+            "rebuild_solr_zipfian_ci": timed(
+                lambda: rebuild_issues_solr_ci(zi, zp)
+            ),
+        }
+    except Exception as ex:
+        errors[f"{sf_dir}:headline_etl"] = str(ex).split("\n")[0][:300]
+
     # Extended pass: newer corpus-text operators, reported separately so
     # the primary metric stays round-over-round comparable.
     spark.catalog.clearCache()

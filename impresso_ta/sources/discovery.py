@@ -112,6 +112,96 @@ def detect_issues_onb(
     )
 
 
+def _strip_scheme(uri: str) -> str:
+    """``file:/a/b`` / ``s3a://bucket/a/b`` → ``/a/b`` / ``/a/b`` (the
+    path part, authority dropped) — so a base the user passes and the
+    scheme-qualified paths a binaryFile listing returns can be compared."""
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?", uri)
+    return uri[m.end() :] if m else uri
+
+
+def detect_issues_distributed(
+    spark: SparkSession,
+    base_uri: str,
+    fmt: str,
+    default_edition: str = "a",
+) -> DataFrame:
+    """Object-store twin of :func:`detect_issues` — the swap the walker
+    docstring promises: a ``binaryFile`` listing (content column never
+    selected, so no byte is read — same pruning contract as the S9 PDF
+    listing) + ``regexp_extract`` of the ``{alias}/{yyyy}/{mm}/{dd}
+    [/{ed}]`` pattern, entirely distributed. On ``s3a://``/``gs://``
+    this is the only form that works at all (no POSIX walk) and at
+    100 TB the listing itself parallelizes instead of serializing on
+    the driver.
+
+    Parity with the POSIX walker (tested): one row per issue dir; when
+    a date level has single-letter edition dirs only those are yielded
+    (files sitting directly under the date dir are ignored, as the
+    walker's ``dirs.clear()`` does); otherwise the date dir itself is
+    the issue with ``default_edition``. Paths are returned under the
+    caller's ``base_uri`` spelling so downstream readers keep the
+    caller's scheme.
+    """
+    base = base_uri.rstrip("/")
+    base_path = _strip_scheme(base)
+    listing = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(base)
+        .select("path")  # content pruned — listing only
+    )
+    # normalize the scheme off the returned paths, then peel the
+    # alias/yyyy/mm/dd[/ed] prefix relative to the base
+    rel = F.regexp_replace(
+        "path", r"^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?", ""
+    )
+    pat = (
+        "^"
+        + re.escape(base_path)
+        + r"/([^/]+)/(\d{4})/(\d{2})/(\d{2})/(?:([a-z])/)?.+$"
+    )
+    parts = listing.select(
+        F.regexp_extract(rel, pat, 1).alias("alias"),
+        F.regexp_extract(rel, pat, 2).alias("yyyy"),
+        F.regexp_extract(rel, pat, 3).alias("mm"),
+        F.regexp_extract(rel, pat, 4).alias("dd"),
+        F.regexp_extract(rel, pat, 5).alias("ed"),
+    ).filter(F.col("alias") != "")
+    # one row per issue dir; a date level that has ANY edition dir
+    # yields only its editions (walker parity: dirs.clear() skips files
+    # directly under the date dir once editions exist)
+    by_date = parts.groupBy("alias", "yyyy", "mm", "dd").agg(
+        F.array_sort(
+            F.array_distinct(F.collect_list(F.nullif(F.col("ed"), F.lit(""))))
+        ).alias("eds")
+    )
+    exploded = by_date.select(
+        "alias",
+        "yyyy",
+        "mm",
+        "dd",
+        F.explode(
+            F.when(F.size("eds") > 0, F.col("eds")).otherwise(
+                F.array(F.lit(None).cast("string"))
+            )
+        ).alias("ed"),
+    )
+    return exploded.select(
+        F.col("alias"),
+        F.to_date(F.concat_ws("-", "yyyy", "mm", "dd")).alias("date"),
+        F.coalesce("ed", F.lit(default_edition)).alias("edition"),
+        F.concat(
+            F.lit(base + "/"),
+            F.concat_ws("/", "alias", "yyyy", "mm", "dd"),
+            F.when(F.col("ed").isNotNull(), F.concat(F.lit("/"), "ed")).otherwise(
+                F.lit("")
+            ),
+        ).alias("path"),
+        F.lit(fmt).alias("format"),
+    )
+
+
 def detect_issues_ina(spark: SparkSession, base_dir: str) -> DataFrame:
     """INA radio-broadcast discovery (ref: ina/detect.py:46-117): the base
     dir holds one directory per broadcast (named by archive notice key,
