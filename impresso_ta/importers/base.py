@@ -74,10 +74,48 @@ IMPORT_ROW_SCHEMA = StructType(
 )
 
 
+def _parse_one(
+    fmt: str,
+    alias: str,
+    date_str: str,
+    edition: str,
+    path: str,
+    ts: Optional[str],
+) -> dict[str, Any]:
+    """One issue dir → one IMPORT_ROW_SCHEMA dict (errors-as-data)."""
+    from impresso_ta.importers import get_plugin as _get
+
+    canonical_path = f"{alias}-{date_str}-{edition}"
+    try:
+        plugin = _get(fmt)
+        issue = plugin.parse_issue_dir(alias, date_str, edition, path)
+        supports = issue.pop("_pages", [])
+        is_audio = issue.get("sm") == "audio"
+        if ts is not None:
+            issue.setdefault("cdt", ts)
+            issue.setdefault("ts", ts)
+            for p in supports:
+                p.setdefault("cdt", ts)
+                p.setdefault("ts", ts)
+        return {
+            "issue": issue,
+            "pages": None if is_audio else supports,
+            "records": supports if is_audio else None,
+            "canonical_path": canonical_path,
+            "error": None,
+        }
+    except Exception as exc:  # noqa: BLE001 errors-as-data
+        return {
+            "issue": None,
+            "pages": None,
+            "records": None,
+            "canonical_path": canonical_path,
+            "error": f"{type(exc).__name__}: {exc}",
+        }
+
+
 def _import_udtf(ts: Optional[str]):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from impresso_ta.importers import get_plugin as _get
-
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
@@ -86,39 +124,12 @@ def _import_udtf(ts: Optional[str]):
                     if hasattr(row.date, "strftime")
                     else str(row.date)
                 )
-                canonical_path = f"{row.alias}-{date_str}-{row.edition}"
-                try:
-                    plugin = _get(row.format)
-                    issue = plugin.parse_issue_dir(
-                        row.alias, date_str, row.edition, row.path
+                out.append(
+                    _parse_one(
+                        row.format, row.alias, date_str, row.edition,
+                        row.path, ts,
                     )
-                    supports = issue.pop("_pages", [])
-                    is_audio = issue.get("sm") == "audio"
-                    if ts is not None:
-                        issue.setdefault("cdt", ts)
-                        issue.setdefault("ts", ts)
-                        for p in supports:
-                            p.setdefault("cdt", ts)
-                            p.setdefault("ts", ts)
-                    out.append(
-                        {
-                            "issue": issue,
-                            "pages": None if is_audio else supports,
-                            "records": supports if is_audio else None,
-                            "canonical_path": canonical_path,
-                            "error": None,
-                        }
-                    )
-                except Exception as exc:  # noqa: BLE001 errors-as-data
-                    out.append(
-                        {
-                            "issue": None,
-                            "pages": None,
-                            "records": None,
-                            "canonical_path": canonical_path,
-                            "error": f"{type(exc).__name__}: {exc}",
-                        }
-                    )
+                )
             yield pd.DataFrame(
                 out,
                 columns=["issue", "pages", "records", "canonical_path", "error"],
@@ -142,6 +153,10 @@ def import_issues(
     combined = discovery_df.mapInPandas(
         _import_udtf(ts), schema=IMPORT_ROW_SCHEMA
     )
+    return _split_combined(combined)
+
+
+def _split_combined(combined: DataFrame) -> "ImportResult":
     ok = combined.filter(F.col("error").isNull())
     issues_df = ok.select("issue.*")
     pages_df = (
@@ -160,6 +175,152 @@ def import_issues(
         "error",
     )
     return ImportResult(issues_df, pages_df, records_df, errors_df)
+
+
+def _import_files_udtf(ts: Optional[str]):
+    """Like :func:`_import_udtf`, but each row carries the issue's file
+    BYTES (``files`` = array<struct<relpath,content>>): the task
+    materializes them onto executor-local scratch (the same disk Spark
+    spills to), runs the unchanged plugin against that directory, and
+    cleans up — no shared/POSIX mount needed anywhere."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+        import shutil
+        import tempfile
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                date_str = (
+                    row.date.strftime("%Y-%m-%d")
+                    if hasattr(row.date, "strftime")
+                    else str(row.date)
+                )
+                tmpdir = tempfile.mkdtemp(prefix="impresso_import_")
+                try:
+                    try:
+                        for f in row.files:
+                            rp = f["relpath"]
+                            if rp.startswith(("/", "..")) or "/../" in rp:
+                                raise ValueError(f"unsafe relpath {rp!r}")
+                            dest = os.path.join(tmpdir, rp)
+                            os.makedirs(os.path.dirname(dest), exist_ok=True)
+                            with open(dest, "wb") as fh:
+                                fh.write(f["content"])
+                    except Exception as exc:  # noqa: BLE001 errors-as-data
+                        out.append(
+                            {
+                                "issue": None,
+                                "pages": None,
+                                "records": None,
+                                "canonical_path": (
+                                    f"{row.alias}-{date_str}-{row.edition}"
+                                ),
+                                "error": f"{type(exc).__name__}: {exc}",
+                            }
+                        )
+                        continue
+                    out.append(
+                        _parse_one(
+                            row.format, row.alias, date_str, row.edition,
+                            tmpdir, ts,
+                        )
+                    )
+                finally:
+                    shutil.rmtree(tmpdir, ignore_errors=True)
+            yield pd.DataFrame(
+                out,
+                columns=["issue", "pages", "records", "canonical_path", "error"],
+            )
+
+    return fn
+
+
+def import_issues_distributed(
+    spark,
+    base_uri: str,
+    fmt: str,
+    ts: Optional[str] = None,
+    default_edition: str = "a",
+) -> "ImportResult":
+    """Object-store twin of discover+:func:`import_issues` in one pass:
+    a ``binaryFile`` listing under ``base_uri`` flows each issue's file
+    BYTES through Spark (grouped per ``{alias}/{yyyy}/{mm}/{dd}[/{ed}]``
+    issue directory), so nothing ever re-``open()``s a path executor-side
+    — on ``s3a://``/``gs://`` stores the POSIX form would silently turn
+    every issue into an error row (the S9 lesson; VERDICT r7).
+
+    Edition semantics match the walker (``detect_issues`` parity): a date
+    level with single-letter edition dirs yields only those editions;
+    files directly under such a date dir are ignored; an editionless date
+    dir is one issue under ``default_edition``.
+
+    Cost shape at 100 TB: ONE listing job, ONE shuffle keyed by issue
+    (an issue is a few MB of XML — collect_list per issue is bounded by
+    issue size, never corpus size), then the same single UDTF pass as
+    :func:`import_issues`. Plugins are unchanged: each task materializes
+    its issues onto executor-local scratch one at a time.
+
+    Formats whose sidecars live OUTSIDE the issue dir (INA's base-level
+    ``ina_metadata.json``) need their dedicated detect + ``import_issues``
+    instead — this twin covers self-contained issue dirs.
+    """
+    import re as _re
+
+    from pyspark.sql.window import Window
+
+    from impresso_ta.sources.discovery import _strip_scheme
+
+    base = base_uri.rstrip("/")
+    base_path = _strip_scheme(base)
+    pat = (
+        "^"
+        + _re.escape(base_path)
+        + r"/([^/]+)/(\d{4})/(\d{2})/(\d{2})/(?:([a-z])/)?(.+)$"
+    )
+    listing = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(base)
+    )
+    rel = F.regexp_replace(
+        "path", r"^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?", ""
+    )
+    parts = listing.select(
+        F.regexp_extract(rel, pat, 1).alias("alias"),
+        F.regexp_extract(rel, pat, 2).alias("yyyy"),
+        F.regexp_extract(rel, pat, 3).alias("mm"),
+        F.regexp_extract(rel, pat, 4).alias("dd"),
+        F.nullif(F.regexp_extract(rel, pat, 5), F.lit("")).alias("ed"),
+        F.regexp_extract(rel, pat, 6).alias("relpath"),
+        "content",
+    ).filter(F.col("alias") != "")
+    # walker parity: once a date level has ANY edition dir, files sitting
+    # directly under the date dir belong to no issue
+    w = Window.partitionBy("alias", "yyyy", "mm", "dd")
+    parts = parts.withColumn(
+        "_any_ed", F.max(F.col("ed").isNotNull().cast("int")).over(w)
+    ).filter(F.col("ed").isNotNull() | (F.col("_any_ed") == 0))
+    grouped = (
+        parts.groupBy("alias", "yyyy", "mm", "dd", "ed")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("relpath", "content"))
+            ).alias("files")
+        )
+        .select(
+            "alias",
+            F.to_date(F.concat_ws("-", "yyyy", "mm", "dd")).alias("date"),
+            F.coalesce("ed", F.lit(default_edition)).alias("edition"),
+            F.lit(fmt).alias("format"),
+            "files",
+        )
+    )
+    combined = grouped.mapInPandas(
+        _import_files_udtf(ts), schema=IMPORT_ROW_SCHEMA
+    )
+    return _split_combined(combined)
 
 
 class ImportResult:
