@@ -189,16 +189,22 @@ def _import_files_udtf(ts: Optional[str]):
         import shutil
         import tempfile
 
-        for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                date_str = (
-                    row.date.strftime("%Y-%m-%d")
-                    if hasattr(row.date, "strftime")
-                    else str(row.date)
-                )
-                tmpdir = tempfile.mkdtemp(prefix="impresso_import_")
-                try:
+        # ONE scratch parent per task, a subdir per issue, ONE rmtree at
+        # the end: the per-issue mkdtemp+rmtree variant measured 2x the
+        # materialization cost (tools/scale_import_results.json)
+        parent = tempfile.mkdtemp(prefix="impresso_import_")
+        try:
+            seq = 0
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False):
+                    date_str = (
+                        row.date.strftime("%Y-%m-%d")
+                        if hasattr(row.date, "strftime")
+                        else str(row.date)
+                    )
+                    seq += 1
+                    tmpdir = os.path.join(parent, str(seq))
                     try:
                         for f in row.files:
                             rp = f["relpath"]
@@ -227,12 +233,14 @@ def _import_files_udtf(ts: Optional[str]):
                             tmpdir, ts,
                         )
                     )
-                finally:
-                    shutil.rmtree(tmpdir, ignore_errors=True)
-            yield pd.DataFrame(
-                out,
-                columns=["issue", "pages", "records", "canonical_path", "error"],
-            )
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "issue", "pages", "records", "canonical_path", "error"
+                    ],
+                )
+        finally:
+            shutil.rmtree(parent, ignore_errors=True)
 
     return fn
 
@@ -268,8 +276,6 @@ def import_issues_distributed(
     """
     import re as _re
 
-    from pyspark.sql.window import Window
-
     from impresso_ta.sources.discovery import _strip_scheme
 
     base = base_uri.rstrip("/")
@@ -287,21 +293,35 @@ def import_issues_distributed(
     rel = F.regexp_replace(
         "path", r"^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?", ""
     )
-    parts = listing.select(
+    key_cols = [
         F.regexp_extract(rel, pat, 1).alias("alias"),
         F.regexp_extract(rel, pat, 2).alias("yyyy"),
         F.regexp_extract(rel, pat, 3).alias("mm"),
         F.regexp_extract(rel, pat, 4).alias("dd"),
         F.nullif(F.regexp_extract(rel, pat, 5), F.lit("")).alias("ed"),
+    ]
+    # walker parity: once a date level has ANY edition dir, files sitting
+    # directly under the date dir belong to no issue. The election runs
+    # on a BYTES-FREE second listing (content pruned — a listing is
+    # paths + sizes, cheap at any corpus size) and joins back as a
+    # broadcast, so the byte rows never cross a window sort — their only
+    # exchange is the per-issue groupBy (plan-tested).
+    election = (
+        listing.select(*key_cols)
+        .filter(F.col("alias") != "")
+        .groupBy("alias", "yyyy", "mm", "dd")
+        .agg(
+            (F.max(F.col("ed").isNotNull().cast("int")) == 1).alias("_any_ed")
+        )
+    )
+    parts = listing.select(
+        *key_cols,
         F.regexp_extract(rel, pat, 6).alias("relpath"),
         "content",
     ).filter(F.col("alias") != "")
-    # walker parity: once a date level has ANY edition dir, files sitting
-    # directly under the date dir belong to no issue
-    w = Window.partitionBy("alias", "yyyy", "mm", "dd")
-    parts = parts.withColumn(
-        "_any_ed", F.max(F.col("ed").isNotNull().cast("int")).over(w)
-    ).filter(F.col("ed").isNotNull() | (F.col("_any_ed") == 0))
+    parts = parts.join(
+        F.broadcast(election), ["alias", "yyyy", "mm", "dd"], "inner"
+    ).filter(F.col("ed").isNotNull() | ~F.col("_any_ed"))
     grouped = (
         parts.groupBy("alias", "yyyy", "mm", "dd", "ed")
         .agg(

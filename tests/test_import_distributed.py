@@ -57,9 +57,11 @@ def test_distributed_import_matches_posix(spark, tmp_path):
 
 
 def test_distributed_import_single_byte_shuffle(spark, tmp_path):
-    """The file bytes must cross exactly ONE exchange: the window's
-    hash-partitioning on (alias,yyyy,mm,dd) is a subset of the groupBy
-    key, so the aggregation reuses it instead of re-shuffling content."""
+    """The file BYTES are read once and cross exactly one exchange (the
+    per-issue groupBy); the edition election runs on a SECOND, bytes-free
+    listing (content pruned from its ReadSchema) that joins back as a
+    broadcast — so no byte row ever passes a window sort or a second
+    shuffle."""
     base = _tree(tmp_path)
     dist = import_issues_distributed(
         spark, base, "mets_alto", ts="2024-01-01T00:00:00Z"
@@ -67,8 +69,17 @@ def test_distributed_import_single_byte_shuffle(spark, tmp_path):
     plan = (
         dist.issues._jdf.queryExecution().executedPlan().toString()
     )
-    n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges == 1, plan
+    # one hash exchange on the bytes branch + one on the tiny election
+    # branch; the election joins back via broadcast
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    # bytes are read by exactly one of the two binaryFile scans
+    read_schemas = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ]
+    with_content = [s for s in read_schemas if "content" in s]
+    assert len(with_content) == 1, read_schemas
 
 
 def test_files_udtf_needs_no_source_tree():
