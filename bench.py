@@ -205,6 +205,7 @@ def main() -> None:
 
     registry = catalog.queries()
     errors: dict[str, str] = {}
+    detail_extras: dict[str, float] = {}
 
     def run_names(names, at_dir: str) -> dict[str, float]:
         # one failing query must not void the rest of the suite — record
@@ -244,6 +245,18 @@ def main() -> None:
                 timings[rb_name] = timed(lambda rb=rb: rb(issues_df, pages_df))
             except Exception as ex:
                 errors[f"{at_dir}:{rb_name}"] = str(ex).split("\n")[0][:300]
+        # r8: the AUDIO assembly (ssb/ub/sb offsets) under the same
+        # tracking — reported under extended to keep the headline total
+        # comparable to r1-r7
+        from impresso_ta.plans import synthetic_audio_corpus
+
+        a_issues, a_records = synthetic_audio_corpus(docs)
+        try:
+            detail_extras["rebuild_solr_audio_synthetic:" + at_dir] = timed(
+                lambda: rebuild_issues_solr(a_issues, a_records)
+            )
+        except Exception as ex:
+            errors[f"{at_dir}:rebuild_solr_audio"] = str(ex).split("\n")[0][:300]
         return timings
 
     def deep_entries(at_dir: str) -> dict[str, float]:
@@ -368,6 +381,8 @@ def main() -> None:
         except Exception as ex:  # bench must still report the primary sf
             detail["sf1"] = {"error": str(ex).split("\n")[0][:300]}
 
+    if detail_extras:
+        detail["extras"] = detail_extras
     if errors:
         detail["errors"] = errors
         headline["n_errors"] = len(errors)

@@ -1,3 +1,6 @@
 """Composed pipeline plans (synthetic corpus builders, bench pipelines)."""
 
-from impresso_ta.plans.synthetic import synthetic_canonical_corpus  # noqa: F401
+from impresso_ta.plans.synthetic import (  # noqa: F401
+    synthetic_audio_corpus,
+    synthetic_canonical_corpus,
+)
