@@ -250,8 +250,8 @@ def main() -> None:
         # comparable to r1-r7
         from impresso_ta.plans import synthetic_audio_corpus
 
-        a_issues, a_records = synthetic_audio_corpus(docs)
         try:
+            a_issues, a_records = synthetic_audio_corpus(docs)
             detail_extras["rebuild_solr_audio_synthetic:" + at_dir] = timed(
                 lambda: rebuild_issues_solr(a_issues, a_records)
             )

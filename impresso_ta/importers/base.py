@@ -206,33 +206,41 @@ def _import_files_udtf(ts: Optional[str]):
                     seq += 1
                     tmpdir = os.path.join(parent, str(seq))
                     try:
-                        for f in row.files:
-                            rp = f["relpath"]
-                            if rp.startswith(("/", "..")) or "/../" in rp:
-                                raise ValueError(f"unsafe relpath {rp!r}")
-                            dest = os.path.join(tmpdir, rp)
-                            os.makedirs(os.path.dirname(dest), exist_ok=True)
-                            with open(dest, "wb") as fh:
-                                fh.write(f["content"])
-                    except Exception as exc:  # noqa: BLE001 errors-as-data
+                        try:
+                            for f in row.files:
+                                rp = f["relpath"]
+                                if rp.startswith(("/", "..")) or "/../" in rp:
+                                    raise ValueError(f"unsafe relpath {rp!r}")
+                                dest = os.path.join(tmpdir, rp)
+                                os.makedirs(
+                                    os.path.dirname(dest), exist_ok=True
+                                )
+                                with open(dest, "wb") as fh:
+                                    fh.write(f["content"])
+                        except Exception as exc:  # noqa: BLE001
+                            out.append(
+                                {
+                                    "issue": None,
+                                    "pages": None,
+                                    "records": None,
+                                    "canonical_path": (
+                                        f"{row.alias}-{date_str}-{row.edition}"
+                                    ),
+                                    "error": f"{type(exc).__name__}: {exc}",
+                                }
+                            )
+                            continue
                         out.append(
-                            {
-                                "issue": None,
-                                "pages": None,
-                                "records": None,
-                                "canonical_path": (
-                                    f"{row.alias}-{date_str}-{row.edition}"
-                                ),
-                                "error": f"{type(exc).__name__}: {exc}",
-                            }
+                            _parse_one(
+                                row.format, row.alias, date_str, row.edition,
+                                tmpdir, ts,
+                            )
                         )
-                        continue
-                    out.append(
-                        _parse_one(
-                            row.format, row.alias, date_str, row.edition,
-                            tmpdir, ts,
-                        )
-                    )
+                    finally:
+                        # scratch is bounded by ONE issue, not the task's
+                        # whole partition: a 100 TB run must never
+                        # accumulate its partition's bytes on local disk
+                        shutil.rmtree(tmpdir, ignore_errors=True)
                 yield pd.DataFrame(
                     out,
                     columns=[
@@ -274,56 +282,44 @@ def import_issues_distributed(
     ``ina_metadata.json``) need their dedicated detect + ``import_issues``
     instead — this twin covers self-contained issue dirs.
     """
-    import re as _re
-
-    from impresso_ta.sources.discovery import _strip_scheme
-
-    base = base_uri.rstrip("/")
-    base_path = _strip_scheme(base)
-    pat = (
-        "^"
-        + _re.escape(base_path)
-        + r"/([^/]+)/(\d{4})/(\d{2})/(\d{2})/(?:([a-z])/)?(.+)$"
+    from impresso_ta.sources.discovery import (
+        _normalize_base,
+        assert_listing_matched,
+        issue_listing_parts,
     )
+
+    base = _normalize_base(base_uri)
     listing = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
         .load(base)
     )
-    rel = F.regexp_replace(
-        "path", r"^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?", ""
-    )
-    key_cols = [
-        F.regexp_extract(rel, pat, 1).alias("alias"),
-        F.regexp_extract(rel, pat, 2).alias("yyyy"),
-        F.regexp_extract(rel, pat, 3).alias("mm"),
-        F.regexp_extract(rel, pat, 4).alias("dd"),
-        F.nullif(F.regexp_extract(rel, pat, 5), F.lit("")).alias("ed"),
-    ]
     # walker parity: once a date level has ANY edition dir, files sitting
     # directly under the date dir belong to no issue. The election runs
     # on a BYTES-FREE second listing (content pruned — a listing is
     # paths + sizes, cheap at any corpus size) and joins back as a
     # broadcast, so the byte rows never cross a window sort — their only
-    # exchange is the per-issue groupBy (plan-tested).
+    # exchange is the per-issue groupBy (plan-tested). Both sides share
+    # ONE path grammar (issue_listing_parts) with discovery's
+    # detect_issues_distributed, so detect and import cannot disagree.
+    paths_only = issue_listing_parts(listing.select("path"), base)
+    assert_listing_matched(listing.select("path"), paths_only, base_uri)
     election = (
-        listing.select(*key_cols)
-        .filter(F.col("alias") != "")
+        paths_only.filter((F.col("alias") != "") & F.col("date").isNotNull())
         .groupBy("alias", "yyyy", "mm", "dd")
         .agg(
             (F.max(F.col("ed").isNotNull().cast("int")) == 1).alias("_any_ed")
         )
     )
-    parts = listing.select(
-        *key_cols,
-        F.regexp_extract(rel, pat, 6).alias("relpath"),
-        "content",
-    ).filter(F.col("alias") != "")
+    parts = issue_listing_parts(listing.select("path", "content"), base)
+    parts = parts.filter(
+        (F.col("alias") != "") & F.col("date").isNotNull()
+    )
     parts = parts.join(
         F.broadcast(election), ["alias", "yyyy", "mm", "dd"], "inner"
     ).filter(F.col("ed").isNotNull() | ~F.col("_any_ed"))
     grouped = (
-        parts.groupBy("alias", "yyyy", "mm", "dd", "ed")
+        parts.groupBy("alias", "yyyy", "mm", "dd", "ed", "date")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("relpath", "content"))
@@ -331,7 +327,7 @@ def import_issues_distributed(
         )
         .select(
             "alias",
-            F.to_date(F.concat_ws("-", "yyyy", "mm", "dd")).alias("date"),
+            "date",
             F.coalesce("ed", F.lit(default_edition)).alias("edition"),
             F.lit(fmt).alias("format"),
             "files",

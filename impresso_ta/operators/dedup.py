@@ -370,9 +370,12 @@ def minhash_lsh_pairs(
             .filter(F.col("_bn") <= max_bucket_size)
             .drop("_bn")
         )
-    if guard_bucket_size is not None and (
-        max_bucket_size is None or max_bucket_size > guard_bucket_size
-    ):
+    # an EXPLICIT max_bucket_size is the caller accepting larger buckets:
+    # the cap above already bounds candidate volume, so the tripwire must
+    # not re-raise under it (round-8 review: the old condition made the
+    # error message's own 'set max_bucket_size' remedy impossible for
+    # caps above the guard)
+    if guard_bucket_size is not None and max_bucket_size is None:
         from pyspark.sql.window import Window
 
         gw = Window.partitionBy("band", "bh")

@@ -5981,9 +5981,13 @@ def corpus_semantic_decontamination(
     e = t(spark, sf_dir, "embeddings")
     bench = e.filter(F.col("vec_id") % 23 == 0)
     train = e.filter(F.col("vec_id") % 23 != 0)
-    return semantic_decontamination(train, bench, threshold=0.35).select(
-        "vec_id", "label"
-    )
+    # lsh_bench_threshold=None pins the EXACT screen: this query's oracle
+    # is the all-pairs form, and exactness must not silently flip to the
+    # one-sided LSH superset when a bigger sf pushes bench past the
+    # default auto-route threshold (round-8 review)
+    return semantic_decontamination(
+        train, bench, threshold=0.35, lsh_bench_threshold=None
+    ).select("vec_id", "label")
 
 
 _DECON_WTS_SQL = """

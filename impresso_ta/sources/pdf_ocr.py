@@ -50,6 +50,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import re
 from collections.abc import Callable, Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -358,9 +359,12 @@ def extract_pdf_ocr(
     failure.
     """
     extractor = page_extractor or _default_page_extractor
-    scheme = in_dir.split("://", 1)[0] if "://" in in_dir else (
-        in_dir.split(":", 1)[0] if in_dir.startswith("file:") else None
-    )
+    # any RFC-3986 scheme prefix counts — single-slash spellings like
+    # hdfs:/nn/x are legal Hadoop URIs and must hit the guard too
+    # (round-8 review: the old '://'-only check let them through into
+    # the exact silent-error-row mode the guard exists to refuse)
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", in_dir)
+    scheme = m.group(1) if m else None
     if local_read and scheme not in (None, "file"):
         raise ValueError(
             f"local_read=True requires a local/NFS-mounted in_dir, got "

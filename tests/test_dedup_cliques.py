@@ -242,3 +242,28 @@ def test_minhash_lsh_pairs_guard_trips_on_clone_cliques(spark):
     pairs = minhash_lsh_pairs(docs, guard_bucket_size=50).collect()
     assert len(pairs) == 45  # 10-clique -> C(10,2) true pairs
     assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
+def test_minhash_guard_suppressed_by_explicit_cap(spark):
+    """Setting max_bucket_size IS the explicit acceptance of larger
+    buckets — the tripwire must not re-raise under it, so the error
+    message's own 'set max_bucket_size' remedy actually works even for
+    caps above guard_bucket_size (round-8 review)."""
+    from impresso_ta.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the same cloned boilerplate page text " * 4) for i in range(10)],
+        "doc_id long, text string",
+    )
+    # cap ABOVE the guard: previously raised anyway; now the cap rules
+    pairs = minhash_lsh_pairs(
+        docs, guard_bucket_size=5, max_bucket_size=20
+    ).collect()
+    assert len(pairs) == 45
+    # cap BELOW the clique size still prunes the buckets quietly
+    assert (
+        minhash_lsh_pairs(
+            docs, guard_bucket_size=5, max_bucket_size=3
+        ).count()
+        == 0
+    )

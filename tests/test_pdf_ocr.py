@@ -250,6 +250,13 @@ def test_local_read_refuses_object_store_schemes(spark):
             spark, "s3a://bucket/pdfs", page_extractor=_fake_extractor,
             local_read=True,
         )
+    # single-slash Hadoop URI spellings are schemes too (round-8 review:
+    # hdfs:/nn/x slipping through reproduced the silent error-row mode)
+    with pytest.raises(ValueError, match="local_read"):
+        extract_pdf_ocr(
+            spark, "hdfs:/namenode/pdfs", page_extractor=_fake_extractor,
+            local_read=True,
+        )
 
 
 def test_local_read_opt_in_still_works(spark, tmp_path):
