@@ -124,6 +124,8 @@ EXTENDED_QUERIES = [
     "text_lr_classifier_rowlocal",
     "corpus_pack_concat",
     "corpus_token_budget_select",
+    # r8: integer-exact PMI collocations (vocabulary analysis pass)
+    "corpus_pmi_collocations",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]

@@ -95,3 +95,56 @@ def fuzzy_locate(
     return df.select(id_col, text_col, needle_col).mapInPandas(
         fn, schema=FUZZY_MATCH_SCHEMA
     )
+
+
+def fuzzy_blocked_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 2,
+    block_expr=None,
+) -> DataFrame:
+    """Record-linkage fuzzy join: BLOCK (equi-join on a cheap normalized
+    key) then VERIFY (exact Levenshtein <= ``max_dist``) — the standard
+    blocking scheme that keeps approximate string matching off the
+    all-pairs cliff (Christen 2012; same candidate->verify staging as
+    the MinHash band join).
+
+    ``block_expr`` maps a string column to its blocking key; the default
+    is the lowercased first alphanumeric token (fast, JVM-side). Two
+    strings in different blocks are never compared — blocking recall is
+    the caller's modeling decision, exactly as in record-linkage
+    practice.
+
+    Scale shape: ONE equi-join on the block key (broadcast when a side
+    is small, shuffle otherwise — Catalyst's choice), with the
+    |len(a)-len(b)| <= max_dist prefilter fused into the join condition
+    so the O(len^2) edit-distance DP only runs on length-compatible
+    pairs (levenshtein >= length difference, so the filter is lossless).
+    A pathological block (every row sharing one key) degrades to that
+    block's cross product — cap or salt upstream if the key distribution
+    is clone-heavy, as with any blocking scheme.
+    """
+    from pyspark.sql import functions as F
+
+    def default_block(col):
+        return F.lower(
+            F.regexp_extract(col, r"([A-Za-z0-9]+)", 1)
+        )
+
+    blk = block_expr or default_block
+    l = left.withColumn("_blk", blk(F.col(left_col)))
+    r = right.withColumn("_blk", blk(F.col(right_col)))
+    lc, rc = F.col(f"l.{left_col}"), F.col(f"r.{right_col}")
+    joined = l.alias("l").join(
+        r.alias("r"),
+        (F.col("l._blk") == F.col("r._blk"))
+        & (
+            F.abs(F.length(lc) - F.length(rc)) <= F.lit(max_dist)
+        )
+        & (F.levenshtein(lc, rc) <= F.lit(max_dist)),
+    )
+    return joined.select(
+        "l.*", "r.*", F.levenshtein(lc, rc).alias("edit_dist")
+    ).drop("_blk")

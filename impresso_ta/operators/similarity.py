@@ -126,7 +126,10 @@ def semantic_decontamination(
     scores its own cell's benchmark slice.
     """
     if lsh_bench_threshold is not None:
-        if bench.count() >= lsh_bench_threshold:
+        # bounded probe: the route only needs "is bench >= threshold",
+        # so cap the count's scan at threshold rows instead of counting
+        # the benchmark's full lineage (round-8 review nit)
+        if bench.limit(lsh_bench_threshold).count() >= lsh_bench_threshold:
             return semantic_decontamination_lsh(
                 train,
                 bench,

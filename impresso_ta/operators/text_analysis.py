@@ -641,3 +641,73 @@ def repetition_features(
         sig["dup_3gram_frac"].alias("dup_3gram_frac"),
         sig["keep"].alias("keep"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus-level bigram collocations ranked by pointwise mutual
+    information — the classic corpus-analysis op (Church & Hanks 1990)
+    a vocabulary/tokenizer pipeline runs to decide merge-worthy pairs.
+
+    Determinism contract: PMI is kept in EXACT integer space —
+    ``pmi_scaled = ((c_xy*1_000_000) div c_x) * n_tokens div c_y``
+    (a 1e6-scaled c_xy*N/(c_x*c_y) with a fixed association order), so
+    Spark and any SQL oracle produce bit-identical ranks with no float
+    log anywhere; callers wanting the log-PMI apply ln(pmi_scaled/1e6)
+    row-locally on top. Ties rank lexicographically.
+
+    Scale shape: one token explode -> TWO map-side-combined groupBys
+    (unigrams, bigrams), unigram counts joined back twice (a vocabulary
+    is tiny next to the corpus — Catalyst broadcasts it), top-n via
+    TakeOrderedAndProject (no global sort materialization).
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = docs.select(words.alias("w")).filter(F.size("w") > 0)
+    uni = (
+        toks.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n_tokens = uni.select(F.sum("c").alias("n"))
+    bi = (
+        # >=2 tokens: Spark's sequence(1, size-1) would DESCEND for a
+        # single-token doc (sequence auto-steps -1) and index 0
+        toks.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("x"),
+                        F.element_at("w", i + 1).alias("y"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.x", "b.y")
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    scored = (
+        bi.join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(n_tokens))
+        .withColumn(
+            "pmi_scaled",
+            F.expr("((c_xy * 1000000L) div c_x) * n div c_y"),
+        )
+    )
+    return (
+        scored.select("x", "y", "c_xy", "c_x", "c_y", "pmi_scaled")
+        .orderBy(
+            F.col("pmi_scaled").desc(), F.col("x"), F.col("y")
+        )
+        .limit(top_n)
+    )

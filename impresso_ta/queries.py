@@ -5787,6 +5787,87 @@ def rebuild_reference_canonical(
     )
 
 
+@q(
+    "j17_fuzzy_blocked_join",
+    """
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON lower(regexp_extract(a.p_name, '([A-Za-z0-9]+)', 1))
+         = lower(regexp_extract(b.p_name, '([A-Za-z0-9]+)', 1))
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+     AND levenshtein(a.p_name, b.p_name) <= 2
+     AND a.p_partkey < b.p_partkey
+    """,
+    "Record-linkage fuzzy join (Christen blocking): equality on the "
+    "lowercased first token prunes the cross product to same-block "
+    "pairs, a lossless |len diff| <= k prefilter fuses into the join "
+    "condition, exact Levenshtein verifies — approximate string "
+    "matching with NO all-pairs stage, the same candidate→verify "
+    "discipline as the MinHash band join. X11's importer-side fuzzy "
+    "title search generalized to a first-class relational operator.",
+)
+def j17_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.fuzzy import fuzzy_blocked_join
+
+    p = t(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("a_key"), F.col("p_name").alias("a_name")
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b_key"), F.col("p_name").alias("b_name")
+    )
+    return (
+        fuzzy_blocked_join(a, b, "a_name", "b_name", max_dist=2)
+        .filter(F.col("a_key") < F.col("b_key"))
+        .select(
+            "a_key", "b_key", F.col("edit_dist").cast("int").alias("edit_dist")
+        )
+    )
+
+
+@q(
+    "corpus_pmi_collocations",
+    """
+    WITH toks AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) > 0
+    ),
+    uni AS (
+        SELECT tok, count(*)::BIGINT AS c
+        FROM toks, unnest(w) AS t(tok) GROUP BY tok
+    ),
+    tot AS (SELECT sum(c)::BIGINT AS n FROM uni),
+    bi AS (
+        SELECT w[i] AS x, w[i + 1] AS y, count(*)::BIGINT AS c_xy
+        FROM toks, unnest(range(1, len(w))) AS t(i)
+        GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT x, y, c_xy, ux.c AS c_x, uy.c AS c_y,
+           ((c_xy * 1000000) // ux.c) * tot.n // uy.c AS pmi_scaled
+    FROM bi JOIN uni ux ON bi.x = ux.tok
+            JOIN uni uy ON bi.y = uy.tok
+            CROSS JOIN tot
+    ORDER BY pmi_scaled DESC, x, y LIMIT 100
+    """,
+    "Top bigram collocations by pointwise mutual information (Church & "
+    "Hanks) — the vocabulary-analysis pass a tokenizer pipeline runs to "
+    "find merge-worthy pairs. PMI stays in EXACT integer space "
+    "(1e6-scaled c_xy*N/(c_x*c_y) with fixed association order), so "
+    "ranks are bit-identical across engines with no float log anywhere. "
+    "Spark shape: one explode, two map-side-combined groupBys, the tiny "
+    "unigram vocabulary broadcast back twice, top-n as "
+    "TakeOrderedAndProject.",
+)
+def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.text_analysis import pmi_collocations
+
+    return pmi_collocations(
+        t(spark, sf_dir, "documents"), min_count=5, top_n=100
+    )
+
+
 # The reference's shipped INA ASR sample (3 broadcasts: CFCE ×2, RDN ×1)
 # imported end-to-end (manifest-driven discovery → utterance grouping →
 # audio rebuild) and digested per title. The per-CI digest hashes the
