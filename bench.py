@@ -124,8 +124,10 @@ EXTENDED_QUERIES = [
     "text_lr_classifier_rowlocal",
     "corpus_pack_concat",
     "corpus_token_budget_select",
-    # r8: integer-exact PMI collocations (vocabulary analysis pass)
+    # r8: integer-exact PMI collocations (vocabulary analysis pass) and
+    # the prefix-filtered EXACT Jaccard join (no hot-shingle df² blowup)
     "corpus_pmi_collocations",
+    "dedup_jaccard_prefix",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]

@@ -1487,3 +1487,104 @@ def semantic_dedup_lsh(
         )
         .unionByName(clones)
     )
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via PREFIX FILTERING
+    (AllPairs/PPJoin, Bayardo et al. 2007 / Xiao et al. 2008) — same
+    output contract as :func:`jaccard_pairs` (a < b, round(j,4) >=
+    threshold), different candidate generator:
+
+    every doc's shingles are ordered by GLOBAL rarity (document
+    frequency asc, hash tiebreak) and only the first
+    ``n - ceil(t*n) + 1`` shingles — the prefix — generate candidates;
+    the prefix-filter theorem guarantees two docs with J >= t share a
+    prefix shingle under any consistent global order. Candidate volume
+    is Σ_shingle df_prefix² over RARE shingles only, so a boilerplate
+    shingle shared by 10⁵ docs contributes nothing unless it is rare
+    enough to sit in someone's prefix — the hot-shingle blowup that
+    forces ``jaccard_pairs``' ``max_shingle_df`` cap (which trades
+    exactness) simply doesn't arise; this form stays EXACT at scale.
+
+    The prefix bound is computed for ``threshold - 0.001`` in exact
+    integer arithmetic, so pairs admitted by the oracle's round(j,4)
+    edge (j >= t - 5e-5) are still guaranteed a shared prefix shingle.
+
+    Verification joins each candidate pair to its two sorted shingle-set
+    arrays and intersects them row-locally (array_intersect over 48-bit
+    hashes) — exact, no re-shuffle of the exploded frame.
+    """
+    sh = _explode_shingle_hashes(docs, id_col, text_col, k)
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    ranked = sh.join(dfreq, "h")
+    sets = ranked.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("df", "h"))),
+            lambda s: s["h"],
+        ).alias("hs_ranked"),
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.count("*").alias("n"),
+    )
+    # integer-exact prefix length for t' = (threshold*1000 - 1)/1000:
+    # L = n - ceil(t'*n) + 1 = n - ((a*n + 999) div 1000) + 1
+    a_num = int(round(threshold * 1000)) - 1
+    prefix = sets.select(
+        "doc_id",
+        F.explode(
+            F.slice(
+                "hs_ranked",
+                1,
+                (
+                    F.col("n")
+                    - ((F.col("n") * a_num + 999) / 1000).cast("long")
+                    + 1
+                ).cast("int"),
+            )
+        ).alias("h"),
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sides = sets.select("doc_id", "hs", "n")
+    return (
+        cand.join(
+            sides.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("hs").alias("hs_a"),
+                F.col("n").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sides.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("hs").alias("hs_b"),
+                F.col("n").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

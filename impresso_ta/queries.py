@@ -890,6 +890,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_jaccard_prefix",
+    _JACCARD_ORACLE.format(thr=0.7),
+    "EXACT Jaccard near-dup pairs via PREFIX FILTERING (AllPairs/PPJoin, "
+    "Bayardo 2007): each doc's shingles globally ordered by rarity, only "
+    "the first n-ceil(t*n)+1 generate candidates — two docs with J>=t "
+    "provably share a prefix shingle, so recall is exact while a "
+    "boilerplate shingle shared by 10^5 docs contributes NOTHING to the "
+    "candidate join (the hot-shingle df^2 blowup that forces "
+    "jaccard_pairs' exactness-trading cap never arises). Same oracle as "
+    "dedup_ngram_jaccard — identical answers, scale-safe plan.",
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_prefix_pairs(
+        t(spark, sf_dir, "documents"), k=3, threshold=0.7
+    )
+
+
+@q(
     "dedup_minhash_lsh",
     _JACCARD_ORACLE.format(thr=0.8),
     "MinHash-LSH (24 perm, 8 bands × 3 rows) + exact-Jaccard verify — "

@@ -63,3 +63,42 @@ def test_pmi_plan_broadcasts_vocabulary(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_jaccard_prefix_matches_full_join(spark):
+    """Prefix filtering is EXACT: same pairs as the all-shared-shingle
+    join on the same corpus."""
+    from impresso_ta.operators.dedup import jaccard_pairs, jaccard_prefix_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "a completely different document about spark engines"),
+        (4, "a completely different document about spark engines"),
+        (5, "the quick brown fox sleeps under the lazy dog today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    pref = {(r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in jaccard_prefix_pairs(docs, k=3, threshold=0.5).collect()}
+    assert pref == full and (3, 4, 1.0) in pref
+
+
+def test_jaccard_prefix_prunes_boilerplate_candidates(spark):
+    """A shingle shared by EVERY doc must generate no candidate pairs
+    when it's not in anyone's prefix: N docs sharing only boilerplate
+    produce zero candidates (the df² blowup the full join suffers)."""
+    from impresso_ta.operators.dedup import jaccard_prefix_pairs
+
+    # each doc: unique body + one boilerplate tail shared by all.
+    # Unique shingles are rare (df=1) -> fill every prefix; the shared
+    # shingle (df=N) sorts last and stays OUT of every prefix.
+    rows = [
+        (i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h "
+            "shared boiler plate")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = jaccard_prefix_pairs(docs, k=3, threshold=0.7)
+    assert out.count() == 0  # no true pairs at 0.7 (and none leaked)
