@@ -38,6 +38,12 @@ QUERIES = [
      "aggregates partial_ map-side"),
     ("corpus_dsir_selection", "Gumbel top-k as TakeOrderedAndProject — no "
      "global sort exchange"),
+    ("dedup_jaccard_prefix", "prefix filter: candidates only from the "
+     "rare-shingle prefix; verify is row-local array_intersect"),
+    ("corpus_pmi_collocations", "two map-side-combined groupBys; vocabulary "
+     "broadcast back; top-n TakeOrderedAndProject"),
+    ("j17_fuzzy_blocked_join", "block-key equi-join with the length "
+     "prefilter fused into the join condition; no cartesian"),
     ("events_attribution_join", "stream-stream twin in batch: key-equi join "
      "with time-range residual, no BNLJ"),
     ("q9_product_profit", "five-table star: supplier/nation/part broadcast, "
