@@ -132,6 +132,17 @@ EXTENDED_QUERIES = [
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]
 
+# Extended entries skipped at the sf1 pass, each with a measured reason.
+# dedup_jaccard_prefix: the sf1 corpus holds 250,582 TRUE j>=0.7 pairs
+# (gen_bigsf 10x near-copies x template clusters) — an EXACT pairs join
+# must verify and emit all of them (186 s measured, candidate:true 78:1
+# even with the PPJoin length filter). The output itself is quadratic in
+# clique size; a dedup run at this clone rate routes to
+# dedup_minhash_survivors (linear output), the exact pairs form is the
+# precision tool for sparse-similarity corpora — tracked at sf0.1 where
+# the corpus's pair mass (256) matches that use case.
+EXTENDED_SF1_SKIP = {"dedup_jaccard_prefix"}
+
 YARDSTICK = ["q1_pricing_summary", "w3_running_offsets"]
 
 
@@ -377,7 +388,15 @@ def main() -> None:
                 "queries": sf1_timings,
                 # the corpus-text operators at 10x data: the scaling
                 # evidence for the newest perf surface (VERDICT r2 item 6)
-                "extended": run_names(EXTENDED_QUERIES, sf1_dir),
+                "extended": run_names(
+                    [
+                        q
+                        for q in EXTENDED_QUERIES
+                        if q not in EXTENDED_SF1_SKIP
+                    ],
+                    sf1_dir,
+                ),
+                "extended_skipped": sorted(EXTENDED_SF1_SKIP),
             }
             if os.environ.get("SPARK_GRAFT_DEEP", "1") != "0":
                 spark.catalog.clearCache()
