@@ -1039,3 +1039,53 @@ def token_budget_select(
         .filter(F.col("_b") >= F.col("_cut"))
         .drop("_ntok", "_si", "_mn", "_mx", "_b", "_cut")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weight-biased sample of ``n`` rows without
+    replacement: rows with k× the weight are ~k× as likely to be kept
+    (the data-mixing primitive when the mixture is per-ROW — quality
+    scores, token counts — rather than per-GROUP, which
+    ``temperature_sample`` covers).
+
+    Priority = hash48(salt:id) div weight — the integer-arithmetic
+    analogue of the A-ES exponential-jump key u^(1/w): a row's 48-bit
+    md5 draw is uniform on [0, 2^48), dividing by its weight shrinks
+    the expected priority of heavy rows proportionally, and the n
+    SMALLEST priorities win. All-BIGINT (no float pow/log), so
+    selection is reproducible across runs, engines, and partitionings,
+    and the DuckDB oracle matches exactly. Weights must be positive
+    integers (raise-guarded via assert-in-expression: a zero/negative
+    weight poisons the division silently otherwise).
+
+    Plan: priority is row-local (zero shuffle); the top-n is a
+    TakeOrderedAndProject (per-partition heaps + driver merge of
+    n·partitions rows) — no global sort. Ties broken by id.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    draw = _md5_long(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    staged = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("weight"),
+        draw.alias("_draw"),
+    )
+    # assert_true returns NULL on success and raises otherwise; riding it
+    # inside the priority expression (same trick as token_budget_select's
+    # range guard) means the check cannot be pruned and costs no extra job.
+    pri = F.expr(
+        "CASE WHEN assert_true(weight > 0, "
+        "'weighted_sample: weights must be positive integers') IS NULL "
+        "THEN _draw div weight END"
+    )
+    return (
+        staged.select(id_col, "weight", pri.alias("priority"))
+        .orderBy(F.col("priority"), F.col(id_col))
+        .limit(n)
+    )

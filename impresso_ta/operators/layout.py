@@ -66,3 +66,71 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compaction_plan(
+    listing: DataFrame,
+    partition_cols: list[str],
+    size_col: str = "bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+    small_threshold_pct: int = 50,
+) -> DataFrame:
+    """Small-file compaction planner — the maintenance pass a 100 TB
+    lake needs continuously (streaming sinks and per-issue writers
+    emit KB–MB files; scans then pay per-file open/seek latency and
+    the driver pays per-file listing memory).
+
+    Input: a file listing (path + size + partition columns) — e.g.
+    from a `binaryFile` scan with content PRUNED, the same
+    listing-only trick `detect_issues_distributed` uses. Output: one
+    row per partition with the merge decision, all integer
+    arithmetic (engine-exact):
+
+      n_files, total_bytes,
+      n_small_files    — files under small_threshold_pct% of target
+      target_files     — ceil(total_bytes / target_bytes), min 1
+      files_to_merge   — n_files - target_files when compaction wins,
+                         else 0
+      needs_compaction — true iff files_to_merge > 0 AND the partition
+                         actually has small files (an already-compacted
+                         partition of target-sized files is left alone)
+
+    The plan is one map-side-combined groupBy over the listing —
+    METADATA-sized work; executing the plan is a separate
+    repartition-and-rewrite per flagged partition. Integer ceil is
+    (total + target - 1) div target.
+    """
+    small = F.lit(target_bytes * small_threshold_pct)
+    sz = F.col(size_col).cast("long")
+    agg = (
+        listing.groupBy(*[F.col(c) for c in partition_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(sz).alias("total_bytes"),
+            F.sum(
+                F.when(sz * 100 < small, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_small_files"),
+        )
+    )
+    target_files = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(f"(total_bytes + {target_bytes} - 1) div {target_bytes}"),
+    )
+    plan = agg.select(
+        *partition_cols,
+        "n_files",
+        "total_bytes",
+        "n_small_files",
+        target_files.alias("target_files"),
+    ).select(
+        "*",
+        F.greatest(
+            F.lit(0).cast("long"), F.col("n_files") - F.col("target_files")
+        ).alias("files_to_merge"),
+    )
+    return plan.select(
+        "*",
+        (
+            (F.col("files_to_merge") > 0) & (F.col("n_small_files") > 0)
+        ).alias("needs_compaction"),
+    )

@@ -171,3 +171,59 @@ def replicated_skew_join(
         F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")),
     )
     return salted_big.join(replicated, [key, "_salt"]).drop("_salt")
+
+
+def profile_key_skew(
+    df: DataFrame,
+    key: str,
+    n_partitions: int = 32,
+    top_k: int = 20,
+) -> DataFrame:
+    """Join/agg-key skew diagnostics: the measurement you run BEFORE
+    choosing between a plain shuffle, `salted_agg`, and
+    `replicated_skew_join` (SURVEY §7 risk 4 says WHICH keys are hot;
+    this op says HOW hot, in one aggregate pass).
+
+    Returns the ``top_k`` heaviest keys with
+      n_rows      — exact count
+      share_ppm   — exact integer parts-per-million of the table
+                    ((n_rows·1e6) div total — no float division, so the
+                    oracle matches bit-for-bit)
+      hash_partition — the reducer this key lands on under an
+                    ``n_partitions``-way deterministic hash shuffle
+                    (48-bit md5 mod — an engine-portable stand-in for
+                    Spark's murmur3 pmod; two heavy keys sharing a
+                    partition compound the straggler)
+      rank        — 1-based, count desc, key asc tie-break
+
+    Plan: ONE map-side-combined groupBy(key) (the profile never
+    shuffles raw rows — partial counts only), a broadcast one-row
+    total, and a TakeOrderedAndProject for the top-k. Cost is
+    |distinct keys| regardless of table size.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    pm = F.expr("(n_rows * 1000000) div _total")
+    part = (
+        F.conv(F.substring(F.md5(F.col("key")), 1, 12), 16, 10).cast("long")
+        % n_partitions
+    ).cast("int")
+    ranked = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_rows",
+            pm.alias("share_ppm"),
+            part.alias("hash_partition"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key"))
+    return ranked.select(
+        "*", F.row_number().over(w).cast("long").alias("rank")
+    )

@@ -6683,3 +6683,228 @@ def events_attribution_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_lag="2 hours",
         how="left_outer",
     )
+
+
+# =====================================================================
+# Graph operators (operators/graph.py): entity-resolution clustering
+# and link-analysis over edge tables
+# =====================================================================
+
+# Thinned bipartite user↔item graph from click events: dense enough for
+# multiple non-trivial components, sparse enough that the oracle's
+# recursive transitive closure stays tiny at sf0.01.
+_GRAPH_CC_EDGES_SQL = """
+    SELECT CAST(user_id AS BIGINT) AS u,
+           100000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+    FROM events
+    WHERE event_type = 'click' AND event_id % 17 = 0
+"""
+
+
+@q(
+    "graph_connected_components",
+    f"""
+    WITH RECURSIVE
+    raw AS ({_GRAPH_CC_EDGES_SQL}),
+    e0 AS (SELECT DISTINCT u, v FROM raw
+           WHERE u <> v AND u IS NOT NULL AND v IS NOT NULL),
+    bidir AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+    reach(node, r) AS (
+        SELECT u, v FROM bidir
+        UNION
+        SELECT reach.node, bidir.v FROM reach JOIN bidir ON reach.r = bidir.u
+    )
+    SELECT node, least(node, min(r)) AS component
+    FROM reach GROUP BY node
+    """,
+    "Connected components via alternating Large-Star/Small-Star "
+    "(Kiveris et al. SoCC'14): O(log n) window-aggregate rounds "
+    "regardless of component diameter, edge set never collected — the "
+    "distributed generalization of the union-find inside "
+    "minhash_dedup_survivors (which collects its edges driver-side). "
+    "Labels = min node id per component, engine-portable by contract; "
+    "the oracle computes the same min over a recursive transitive "
+    "closure (fine at sf0.01, quadratic-in-component — exactly why the "
+    "Spark side does NOT use closure). Graph: users↔items from thinned "
+    "click events (item nodes offset by 100000).",
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.graph import connected_components
+
+    ev = t(spark, sf_dir, "events")
+    edges = ev.filter(
+        (F.col("event_type") == "click") & (F.col("event_id") % 17 == 0)
+    ).select(
+        F.col("user_id").cast("long").alias("src"),
+        (100000 + F.get_json_object("props", "$.k").cast("long")).alias("dst"),
+    )
+    return connected_components(edges)
+
+
+def _pagerank_oracle_sql(k: int) -> str:
+    """Unrolled k-step integer PageRank recurrence (chained CTEs) —
+    identical BIGINT arithmetic to operators/graph.pagerank, so the
+    match is exact, not tolerance-based."""
+    body = """
+    WITH
+    raw AS (
+        SELECT CAST(user_id AS BIGINT) AS src,
+               100000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT 100000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS src,
+               CAST(user_id AS BIGINT) AS dst
+        FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (SELECT DISTINCT src, dst FROM raw
+          WHERE src IS NOT NULL AND dst IS NOT NULL),
+    nodes AS (SELECT DISTINCT n AS node FROM
+              (SELECT src AS n FROM e UNION SELECT dst FROM e)),
+    params AS (SELECT 1000000000000 // count(*) AS base FROM nodes),
+    outdeg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    r0 AS (SELECT node, (SELECT base FROM params) AS r FROM nodes)"""
+    for i in range(1, k + 1):
+        body += f""",
+    s{i} AS (SELECT e.dst AS node, sum(r{i - 1}.r // outdeg.d) AS s
+             FROM e JOIN r{i - 1} ON e.src = r{i - 1}.node
+                    JOIN outdeg ON e.src = outdeg.src
+             GROUP BY e.dst),
+    r{i} AS (SELECT nodes.node,
+                    CAST((15 * (SELECT base FROM params)) // 100
+                         + (85 * coalesce(s{i}.s, 0)) // 100 AS BIGINT) AS r
+             FROM nodes LEFT JOIN s{i} ON nodes.node = s{i}.node)"""
+    body += f"\n    SELECT node, r AS rank_scaled FROM r{k}"
+    return body
+
+
+@q(
+    "graph_pagerank",
+    _pagerank_oracle_sql(4),
+    "PageRank (4 power steps, damping 0.85) in EXACT BIGINT fixed-point "
+    "(scale 1e12): per-edge contribution is rank div outdeg, damping is "
+    "(85*s) div 100 — no float anywhere, so the result is independent "
+    "of summation order/partitioning and the oracle (the same "
+    "recurrence unrolled as chained CTEs) matches bit-for-bit, the "
+    "same integer-scaling discipline as the DSIR/PMI oracles. Plan: "
+    "edges⋈outdeg ONCE before the loop; each step = one shuffle join "
+    "on src + one map-side-combined groupBy(dst); rank state is "
+    "node-sized, never collected. Graph: clicks user→item, purchases "
+    "item→user.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.graph import pagerank
+
+    ev = t(spark, sf_dir, "events")
+    k_node = 100000 + F.get_json_object("props", "$.k").cast("long")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").cast("long").alias("src"), k_node.alias("dst")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        k_node.alias("src"), F.col("user_id").cast("long").alias("dst")
+    )
+    return pagerank(clicks.unionByName(purchases), iterations=4)
+
+
+# =====================================================================
+# Lake maintenance + shuffle diagnostics (operators/layout.py, skew.py)
+# =====================================================================
+
+@q(
+    "layout_compaction_plan",
+    """
+    SELECT lang, source, n_files, total_bytes, n_small_files,
+           target_files,
+           CASE WHEN n_files - target_files > 0
+                THEN n_files - target_files ELSE 0 END AS files_to_merge,
+           (n_files - target_files > 0 AND n_small_files > 0)
+               AS needs_compaction
+    FROM (
+        SELECT lang, source,
+               count(*) AS n_files,
+               sum(CAST(n_chars AS BIGINT)) AS total_bytes,
+               sum(CASE WHEN n_chars * 100 < 4000 * 50 THEN 1 ELSE 0 END)
+                   AS n_small_files,
+               greatest(1, (sum(CAST(n_chars AS BIGINT)) + 4000 - 1) // 4000)
+                   AS target_files
+        FROM documents GROUP BY lang, source
+    )
+    """,
+    "Small-file compaction planner (lake maintenance at 100 TB: "
+    "streaming sinks emit KB files; scans pay per-file open cost). One "
+    "map-side-combined groupBy over a content-PRUNED listing — "
+    "metadata-sized work; integer ceil (n + t - 1) div t so the plan "
+    "is engine-exact. Documents stand in for the file listing "
+    "(doc_id=path, n_chars=bytes, lang/source=partition).",
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.layout import compaction_plan
+
+    listing = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("n_chars").cast("long").alias("bytes"),
+        "lang",
+        "source",
+    )
+    return compaction_plan(
+        listing, ["lang", "source"], size_col="bytes", target_bytes=4000
+    )
+
+
+@q(
+    "a17_key_skew_profile",
+    f"""
+    SELECT key, n_rows, share_ppm, hash_partition,
+           CAST(row_number() OVER (ORDER BY n_rows DESC, key) AS BIGINT)
+               AS rank
+    FROM (
+        SELECT key, n_rows,
+               (n_rows * 1000000) // _total AS share_ppm,
+               CAST({_MD5_48_SQL.format(x="key")} % 8 AS INT)
+                   AS hash_partition
+        FROM (
+            SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+            FROM events GROUP BY 1
+        ), (SELECT count(*) AS _total FROM events)
+    )
+    ORDER BY n_rows DESC, key LIMIT 15
+    """,
+    "Join/agg-key skew profiler: the measurement BEFORE choosing plain "
+    "shuffle vs salted_agg vs replicated_skew_join. ONE map-side-"
+    "combined groupBy (raw rows never shuffle — partial counts only), "
+    "broadcast one-row total, TakeOrderedAndProject top-k; share_ppm "
+    "in exact integer parts-per-million, reducer assignment via the "
+    "engine-portable 48-bit-md5 mod stand-in for murmur3 pmod.",
+)
+def a17_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.skew import profile_key_skew
+
+    return profile_key_skew(
+        t(spark, sf_dir, "events"), key="user_id", n_partitions=8, top_k=15
+    )
+
+
+@q(
+    "corpus_weighted_sample",
+    """
+    SELECT doc_id, weight,
+           ('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 1, 12))::BIGINT
+               // weight AS priority
+    FROM (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight FROM documents)
+    ORDER BY priority, doc_id LIMIT 100
+    """,
+    "Deterministic weight-biased sampling without replacement (per-ROW "
+    "mixing weights — quality scores, token counts; temperature_sample "
+    "covers per-GROUP): priority = hash48(salt:id) div weight, n "
+    "smallest win — the integer-arithmetic analogue of A-ES u^(1/w), "
+    "reproducible across runs/engines/partitionings (no float pow). "
+    "Row-local priority (zero shuffle) + TakeOrderedAndProject; "
+    "positive-weight contract enforced by an assert riding inside the "
+    "priority expression.",
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.corpus import weighted_sample
+
+    return weighted_sample(
+        t(spark, sf_dir, "documents"), id_col="doc_id",
+        weight_col="n_chars", n=100,
+    )
