@@ -101,3 +101,34 @@ def test_pagerank_deterministic_across_partitionings(spark):
     a = sorted(pagerank(edges1, iterations=3).collect())
     b = sorted(pagerank(edges2, iterations=3).collect())
     assert a == b
+
+
+def _tri(spark, pairs):
+    from impresso_ta.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    return {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+
+
+def test_triangles_k4_complete_graph(spark):
+    # K4: every node is in C(3,2)=3 triangles, 4 triangles total
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = _tri(spark, k4)
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_none_in_bipartite_or_tree(spark):
+    assert _tri(spark, [(1, 10), (2, 10), (1, 20), (2, 20)]) == {}
+    assert _tri(spark, [(1, 2), (2, 3), (3, 4)]) == {}
+
+
+def test_triangles_direction_duplicates_self_loops_ignored(spark):
+    # triangle given with mixed directions, dup edges, and a self loop
+    got = _tri(spark, [(1, 2), (2, 1), (3, 2), (1, 3), (3, 3), (1, 2)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_shared_edge(spark):
+    # two triangles sharing edge (1,2): 1 and 2 in both, 3/4 in one
+    got = _tri(spark, [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)])
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
