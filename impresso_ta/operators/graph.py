@@ -97,6 +97,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 60,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components of the undirected graph in ``edges``.
 
@@ -115,11 +116,14 @@ def connected_components(
     Kiveris et al. prove the stable state is a star forest (every node
     points at its component min) in O(log n) rounds. ``max_rounds`` is
     a bug tripwire, not a tuning knob: hitting it raises rather than
-    returning a half-converged labeling.
+    returning a half-converged labeling. Pass ``stats={}`` to receive
+    the executed round count (scale-probe instrumentation).
     """
     cur = _norm_edges(edges, src, dst).localCheckpoint()
     prev_sig: tuple[int, int] | None = None
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         nxt = _small_star(_large_star(cur)).localCheckpoint()
         # (count, xor-of-hashes): order-immune set signature that cannot
         # overflow (bit_xor, unlike sum, is closed over BIGINT).
@@ -136,6 +140,8 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     # Stable state is a star forest oriented high→low: (node, root).
     # Defensive min-reduce in case a node carries duplicate star edges,
     # then add the roots themselves (they appear only as dst).

@@ -1,0 +1,208 @@
+"""Product quantization (PQ) for compressed-domain similarity search.
+
+IVF (similarity.py) prunes WHICH vectors a query scores; PQ shrinks
+WHAT each score costs: a 64-dim float32 vector (256 B) becomes m
+one-byte codes (here m=4 ints for engine portability), and query↔vector
+distance is approximated by m table lookups instead of a 64-term dot
+product. At 100 TB of embeddings the scan is memory-bandwidth-bound, so
+a 64× smaller representation is a ~64× cheaper linear scan — and the
+codes column is what you'd persist alongside the parquet to make every
+subsequent ANN query cheap (FAISS's IVF-PQ architecture = ivf_assign
+for the candidate cells + these codes for the in-cell scoring).
+
+Determinism discipline (same as IVF/DSIR/PMI): the codebook is seeded
+from the first ``ksub`` corpus vectors by id (model-sized, collected
+once), per-subspace distances are rounded to ``round_to`` BEFORE the
+argmin with ties to the smallest code, and the ADC sum adds the m
+rounded lookups in fixed subspace order — so encodes and rankings are
+bit-identical across runs, partitionings, and engines (the DuckDB
+oracle recomputes the same pipeline).
+
+Approximation contract: PQ distances are estimates; recall against the
+exact scan is measured by the ``similarity_pq_recall`` oracle the same
+way the IVF/LSH paths are.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from impresso_ta.operators.partitioning import spread_small_input
+
+Codebook = list[list[list[float]]]  # [m][ksub][sub_dim]
+
+
+def _sub_sq_l2(
+    vec: Column, centroid: list[float], offset: int, round_to: int
+) -> Column:
+    """Rounded squared L2 between vec[offset : offset+len(centroid)] and
+    a literal centroid — fixed-order double arithmetic, codegen'd."""
+    terms = None
+    for i, c in enumerate(centroid):
+        d = F.element_at(vec, offset + i + 1).cast("double") - F.lit(float(c))
+        t = d * d
+        terms = t if terms is None else terms + t
+    return F.round(terms, round_to)
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+    round_to: int = 6,
+) -> Codebook:
+    """Deterministic PQ codebook: subspace j's centroids are the j-th
+    sub-vectors of the ``ksub`` smallest-id corpus vectors (the IVF
+    seeding convention), optionally refined with per-subspace Lloyd
+    steps (posexplode → groupBy(subspace, code, pos) avg — the shuffle
+    carries m·ksub·sub_dim running sums, independent of corpus size).
+    Collect is model-sized: ksub rows."""
+    seed_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col))
+        .limit(ksub)
+        .collect()
+    )
+    if len(seed_rows) < ksub:
+        raise ValueError(f"corpus has fewer than ksub={ksub} vectors")
+    dims = len(seed_rows[0][vec_col])
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    sub = dims // m
+    book: Codebook = [
+        [[float(r[vec_col][j * sub + i]) for i in range(sub)] for r in seed_rows]
+        for j in range(m)
+    ]
+    for _ in range(refine_iters):
+        enc = pq_encode(corpus, book, id_col=id_col, vec_col=vec_col)
+        per_dim = (
+            enc.join(corpus.select(id_col, vec_col), id_col)
+            .select(
+                F.posexplode("codes").alias("j", "code"),
+                F.col(vec_col).alias("_v"),
+            )
+            .select(
+                "j",
+                "code",
+                F.posexplode(
+                    F.slice(F.col("_v"), F.col("j") * sub + 1, sub)
+                ).alias("pos", "x"),
+            )
+            .groupBy("j", "code", "pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")), round_to).alias("c"))
+            .collect()
+        )
+        new_book = [[list(book[j][c]) for c in range(ksub)] for j in range(m)]
+        for r in per_dim:
+            new_book[r["j"]][r["code"]][r["pos"]] = float(r["c"])
+        book = new_book
+    return book
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: Codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Encode each vector as m subspace codes: code_j = argmin of the
+    ROUNDED squared L2 to subspace j's centroids, ties → smallest code.
+    Pure row-local literal expressions (zero shuffle, whole-stage
+    codegen); output (id, codes array<int>) is the 64×-compressed
+    representation to persist."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    code_cols = []
+    for j in range(m):
+        cands = F.array(
+            *[
+                F.struct(
+                    _sub_sq_l2(F.col(vec_col), cent, j * sub, round_to).alias(
+                        "d"
+                    ),
+                    F.lit(c).alias("c"),
+                )
+                for c, cent in enumerate(codebook[j])
+            ]
+        )
+        code_cols.append(F.array_min(cands)["c"])
+    return spread_small_input(corpus).select(
+        F.col(id_col), F.array(*code_cols).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: Codebook | None = None,
+    m: int = 4,
+    ksub: int = 8,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: every query precomputes its
+    m×ksub table of rounded sub-distances row-locally, the corpus is
+    scanned as CODES ONLY (the compressed column), and each pair costs
+    m array lookups + a fixed-order sum of m rounded doubles.
+
+    Plan: encode = zero-shuffle map over the corpus; queries (with
+    their tables inlined as array columns) BROADCAST against the code
+    scan — no corpus shuffle, no row explosion beyond |queries| per
+    code row; per-query top-k via window over the scored pairs. At
+    scale, compose with ivf_assign to scan only probed cells (IVF-PQ).
+
+    Returns (query_id, neighbor_id, approx_dist, rnk).
+    """
+    if codebook is None:
+        codebook = pq_codebook(
+            corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+        )
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    codes = pq_encode(
+        corpus, codebook, id_col=id_col, vec_col=vec_col, round_to=round_to
+    )
+    # Table entries are 1e4-scaled BIGINTs (the DSIR/PMI integer-exact
+    # discipline): the m-term ADC sum is then order-immune across
+    # engines instead of relying on fixed-order double addition.
+    scale = 10 ** round_to
+    qtabs = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[
+            F.array(
+                *[
+                    F.round(
+                        _sub_sq_l2(F.col(vec_col), cent, j * sub, round_to)
+                        * scale
+                    ).cast("long")
+                    for cent in codebook[j]
+                ]
+            ).alias(f"_qt{j}")
+            for j in range(m)
+        ],
+    )
+    approx = None
+    for j in range(m):
+        term = F.element_at(
+            F.col(f"_qt{j}"), F.element_at("codes", j + 1) + 1
+        )
+        approx = term if approx is None else approx + term
+    scored = codes.crossJoin(F.broadcast(qtabs)).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(approx / scale, round_to).alias("approx_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.select(
+        "*", F.row_number().over(w).cast("int").alias("rnk")
+    ).where(F.col("rnk") <= k)

@@ -6956,3 +6956,162 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_counts(edges)
+
+
+# =====================================================================
+# Product quantization ANN (operators/pq.py)
+# =====================================================================
+
+_PQ_D2 = (
+    "(CAST({v}.embedding[i] AS DOUBLE) - CAST({s}.embedding[i] AS DOUBLE))"
+    " * (CAST({v}.embedding[i] AS DOUBLE) - CAST({s}.embedding[i] AS DOUBLE))"
+)
+
+
+def _pq_d_sql(v: str, s: str, j: str) -> str:
+    """Rounded squared-L2 in subspace j (16 dims) — same fixed-order
+    double arithmetic as operators/pq._sub_sq_l2."""
+    return (
+        f"round(list_sum(list_transform(range({j}*16 + 1, {j}*16 + 17), "
+        f"i -> {_PQ_D2.format(v=v, s=s)})), 4)"
+    )
+
+
+_PQ_CTES = f"""
+    seeds AS (SELECT vec_id AS code, embedding FROM embeddings
+              WHERE vec_id < 8),
+    jj AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    enc AS (
+        SELECT vec_id, j, code FROM (
+            SELECT e.vec_id, jj.j, s.code,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, jj.j
+                       ORDER BY {_pq_d_sql('e', 's', 'jj.j')} ASC, s.code ASC
+                   ) AS rk
+            FROM embeddings e CROSS JOIN jj CROSS JOIN seeds s
+        ) WHERE rk = 1
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id,
+               round(sum(CAST(round({_pq_d_sql('q', 's', 'enc.j')} * 10000)
+                              AS BIGINT)) / 10000.0, 4) AS approx_dist
+        FROM (SELECT * FROM embeddings WHERE vec_id % 97 = 0) q
+        CROSS JOIN enc JOIN seeds s ON s.code = enc.code
+        GROUP BY 1, 2
+    )"""
+
+
+@q(
+    "similarity_pq_topk",
+    f"""
+    WITH
+    {_PQ_CTES.lstrip()}
+    SELECT query_id, neighbor_id, approx_dist, CAST(rk AS INT) AS rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY approx_dist ASC, neighbor_id ASC
+        ) AS rk FROM pairs
+    ) WHERE rk <= 3
+    """,
+    "Product-quantization ANN (ADC): 64-dim float32 vectors compressed "
+    "to m=4 subspace codes (64× smaller — at 100 TB the linear scan is "
+    "memory-bandwidth-bound, so the compressed scan is ~64× cheaper "
+    "and composes with ivf_assign into FAISS-style IVF-PQ); encode is "
+    "zero-shuffle literal argmin per subspace, queries broadcast their "
+    "m×ksub distance tables as 1e4-scaled BIGINTs so the ADC sum is "
+    "order-immune (the DSIR/PMI integer discipline), per-query top-k "
+    "via window. Codebook = sub-vectors of the 8 smallest-id corpus "
+    "rows (the IVF seeding convention).",
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.pq import pq_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 97 == 0)
+    return pq_topk(e, qs, m=4, ksub=8, k=3)
+
+
+@q(
+    "similarity_pq_recall",
+    f"""
+    WITH
+    {_PQ_CTES.lstrip()},
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_sum(list_transform(range(1, 65),
+                                    i -> {_PQ_D2.format(v='q', s='c')})), 4)
+                                    ASC,
+                                c.vec_id ASC
+                   ) AS rk
+            FROM embeddings q CROSS JOIN embeddings c
+            WHERE q.vec_id % 97 = 0
+        ) WHERE rk <= 3
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY approx_dist ASC, neighbor_id ASC
+            ) AS rk FROM pairs
+        ) WHERE rk <= 3
+    )
+    SELECT n_truth, n_hits, round(n_hits::DOUBLE / n_truth, 4) AS recall
+    FROM (
+        SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+               count(t.query_id)::BIGINT AS n_hits
+        FROM approx a LEFT JOIN truth t USING (query_id, neighbor_id)
+    )
+    """,
+    "Measured recall@3 of the PQ compressed scan vs exact squared-L2 "
+    "ground truth — the accuracy price of the 64× compression, as an "
+    "oracled number (quantization with a seed codebook is lossy; the "
+    "recall row makes the trade explicit the same way the IVF/LSH "
+    "recall oracles do).",
+)
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.pq import pq_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 97 == 0)
+    exact_d = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("q.embedding"),
+                F.col("c.embedding"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("neighbor_id").asc()
+    )
+    truth = (
+        qs.alias("q")
+        .crossJoin(e.alias("c"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            exact_d.alias("d"),
+        )
+        .select("*", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    approx = pq_topk(e, qs, m=4, ksub=8, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    truth_n = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    return hits.crossJoin(F.broadcast(truth_n)).select(
+        "n_truth",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall"),
+    )

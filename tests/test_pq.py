@@ -1,0 +1,83 @@
+"""Product quantization (operators/pq.py): codebook seeding/refine,
+encode argmin parity, ADC top-k determinism."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from impresso_ta.operators.pq import pq_codebook, pq_encode, pq_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _sub_l2(v, cent, off):
+    return round(sum((float(v[off + i]) - cent[i]) ** 2 for i in range(len(cent))), 4)
+
+
+def test_codebook_shape_and_seeding(spark, emb):
+    book = pq_codebook(emb, m=4, ksub=8)
+    assert len(book) == 4 and len(book[0]) == 8 and len(book[0][0]) == 16
+    # subspace j centroids = sub-vectors of the 8 smallest-id rows
+    seeds = {r.vec_id: list(r.embedding) for r in emb.filter("vec_id < 8").collect()}
+    for j in range(4):
+        for c in range(8):
+            assert book[j][c] == pytest.approx(
+                [float(x) for x in seeds[c][j * 16 : (j + 1) * 16]]
+            )
+
+
+def test_codebook_guards(spark, emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebook(emb, m=5, ksub=4)
+    with pytest.raises(ValueError, match="fewer than ksub"):
+        pq_codebook(emb.limit(3), m=4, ksub=8)
+
+
+def test_encode_matches_python_argmin(spark, emb):
+    book = pq_codebook(emb, m=4, ksub=8)
+    sample = emb.limit(40)
+    got = {r.vec_id: list(r.codes) for r in pq_encode(sample, book).collect()}
+    for r in sample.collect():
+        v = [float(x) for x in r.embedding]
+        want = [
+            min(((_sub_l2(v, book[j][c], j * 16)), c) for c in range(8))[1]
+            for j in range(4)
+        ]
+        assert got[r.vec_id] == want
+    assert all(0 <= c < 8 for codes in got.values() for c in codes)
+
+
+def test_topk_partitioning_invariant_and_k_bound(spark, emb):
+    qs = emb.filter(F.col("vec_id") % 17 == 0)
+    a = sorted(map(tuple, pq_topk(emb, qs, k=3).collect()))
+    b = sorted(map(tuple, pq_topk(emb.repartition(7), qs, k=3).collect()))
+    assert a == b
+    per_q = {}
+    for row in a:
+        per_q.setdefault(row[0], []).append(row[3])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3
+               for v in per_q.values())
+
+
+def test_refine_reduces_quantization_error(spark, emb):
+    def mean_err(book):
+        enc = pq_encode(emb, book)
+        joined = enc.join(emb, "vec_id").collect()
+        tot = 0.0
+        for r in joined:
+            v = [float(x) for x in r.embedding]
+            tot += sum(
+                _sub_l2(v, book[j][r.codes[j]], j * 16) for j in range(4)
+            )
+        return tot / len(joined)
+
+    base = pq_codebook(emb, m=4, ksub=8)
+    refined = pq_codebook(emb, m=4, ksub=8, refine_iters=2)
+    assert refined != base
+    # Lloyd steps are non-increasing in reconstruction error
+    assert mean_err(refined) <= mean_err(base) + 1e-9
