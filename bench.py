@@ -128,6 +128,17 @@ EXTENDED_QUERIES = [
     # the prefix-filtered EXACT Jaccard join (no hot-shingle df² blowup)
     "corpus_pmi_collocations",
     "dedup_jaccard_prefix",
+    # r8 second wave: the graph family (log-round CC, integer PageRank,
+    # degree-oriented triangles), lake maintenance + diagnostics, the
+    # per-row weighted sampler, and the PQ compressed-domain ANN scan
+    "graph_connected_components",
+    "graph_pagerank",
+    "graph_triangle_counts",
+    "layout_compaction_plan",
+    "a17_key_skew_profile",
+    "corpus_weighted_sample",
+    "similarity_pq_topk",
+    "similarity_ivfpq_topk",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]

@@ -7115,3 +7115,77 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall"),
     )
+
+
+@q(
+    "similarity_ivfpq_topk",
+    f"""
+    WITH
+    cseeds AS (SELECT vec_id AS cell, embedding AS sv FROM embeddings
+               WHERE vec_id < 8),
+    seeds AS (SELECT vec_id AS code, embedding FROM embeddings
+              WHERE vec_id < 8),
+    jj AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    enc AS (
+        SELECT vec_id, j, code FROM (
+            SELECT e.vec_id, jj.j, s.code,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, jj.j
+                       ORDER BY {_pq_d_sql('e', 's', 'jj.j')} ASC, s.code ASC
+                   ) AS rk
+            FROM embeddings e CROSS JOIN jj CROSS JOIN seeds s
+        ) WHERE rk = 1
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, s.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql('e.embedding', 's.sv')} DESC,
+                                s.cell ASC
+                   ) AS rk
+            FROM embeddings e CROSS JOIN cseeds s
+        ) WHERE rk = 1
+    ),
+    probes AS (
+        SELECT query_id, embedding, cell FROM (
+            SELECT q.vec_id AS query_id, q.embedding, s.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_cos_sql('q.embedding', 's.sv')} DESC,
+                                s.cell ASC
+                   ) AS rk
+            FROM embeddings q CROSS JOIN cseeds s WHERE q.vec_id % 97 = 0
+        ) WHERE rk <= 2
+    ),
+    pairs AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               round(sum(CAST(round({_pq_d_sql('p', 's', 'enc.j')} * 10000)
+                              AS BIGINT)) / 10000.0, 4) AS approx_dist
+        FROM probes p JOIN assigned a USING (cell)
+        JOIN enc ON enc.vec_id = a.vec_id
+        JOIN seeds s ON s.code = enc.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, approx_dist, CAST(rk AS INT) AS rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY approx_dist ASC, neighbor_id ASC
+        ) AS rk FROM pairs
+    ) WHERE rk <= 3
+    """,
+    "IVF-PQ (the FAISS architecture composed from the repo's two "
+    "halves): coarse Voronoi cells (nlist=8, nprobe=2 — candidate "
+    "volume ~corpus·nprobe/nlist) prune WHICH rows each query scores, "
+    "PQ codes (m=4, 64× smaller) bound the BYTES per surviving row. "
+    "Assignment + encode are zero-shuffle map passes; queries carry "
+    "probe cells AND scaled-BIGINT ADC tables row-locally and "
+    "broadcast; the only corpus-sized operation is the equi-join on "
+    "cell. At 100 TB both levers matter: rows touched AND bytes per "
+    "row.",
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.pq import ivf_pq_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 97 == 0)
+    return ivf_pq_topk(e, qs, nlist=8, nprobe=2, m=4, ksub=8, k=3)

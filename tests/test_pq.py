@@ -81,3 +81,33 @@ def test_refine_reduces_quantization_error(spark, emb):
     assert refined != base
     # Lloyd steps are non-increasing in reconstruction error
     assert mean_err(refined) <= mean_err(base) + 1e-9
+
+
+def test_ivfpq_full_probe_equals_plain_pq(spark, emb):
+    from impresso_ta.operators.pq import ivf_pq_topk
+
+    qs = emb.filter(F.col("vec_id") % 29 == 0)
+    # probing ALL nlist cells = unpruned compressed scan = pq_topk
+    # (small nlist/ksub keep the literal-expression codegen cheap here;
+    # the catalog oracle covers the 8/8 shape)
+    full = sorted(
+        map(tuple, ivf_pq_topk(emb, qs, nlist=4, nprobe=4, ksub=4, k=3).collect())
+    )
+    plain = sorted(map(tuple, pq_topk(emb, qs, m=4, ksub=4, k=3).collect()))
+    assert full == plain
+
+
+def test_ivfpq_pruning_returns_subset_ranking(spark, emb):
+    from impresso_ta.operators.pq import ivf_pq_topk
+
+    qs = emb.filter(F.col("vec_id") % 29 == 0)
+    pruned = ivf_pq_topk(emb, qs, nlist=4, nprobe=2, ksub=4, k=3).collect()
+    # ranks well-formed per query and approx_dist non-decreasing in rank
+    per_q = {}
+    for r in pruned:
+        per_q.setdefault(r.query_id, []).append((r.rnk, r.approx_dist))
+    for rows in per_q.values():
+        rows.sort()
+        assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
+        dists = [d for _, d in rows]
+        assert dists == sorted(dists)
