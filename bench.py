@@ -139,6 +139,8 @@ EXTENDED_QUERIES = [
     "corpus_weighted_sample",
     "similarity_pq_topk",
     "similarity_ivfpq_topk",
+    "cdc_latest_snapshot",
+    "cdc_scd2_history",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]

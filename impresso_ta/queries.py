@@ -7189,3 +7189,84 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") % 97 == 0)
     return ivf_pq_topk(e, qs, nlist=8, nprobe=2, m=4, ksub=8, k=3)
+
+
+# =====================================================================
+# CDC materialization (operators/cdc.py): latest-wins snapshot + SCD2
+# =====================================================================
+
+@q(
+    "cdc_latest_snapshot",
+    """
+    SELECT user_id, last_event_id, last_type, round(last_value, 4) AS last_value
+    FROM (
+        SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+               value AS last_value,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts) DESC, event_id DESC
+               ) AS rk
+        FROM events
+    ) WHERE rk = 1 AND last_type <> 'error'
+    """,
+    "Latest-wins snapshot from an append-only change log (Delta MERGE "
+    "replayed): highest-(ts, event_id) row per key wins, keys whose "
+    "winning row is a tombstone ('error' here) drop out. ONE window "
+    "shuffle on the key; version ties broken by the log sequence "
+    "number, never arrival order, so the snapshot is engine/"
+    "partitioning-immune. (Oracle orders by epoch_us — events carry "
+    "nanosecond timestamps, Spark reads micros; both engines must rank "
+    "on the same truncation.)",
+)
+def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.cdc import latest_snapshot
+
+    ev = t(spark, sf_dir, "events")
+    return latest_snapshot(
+        ev,
+        keys=["user_id"],
+        version_cols=["ts", "event_id"],
+        op_col="event_type",
+        delete_value="error",
+    ).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+@q(
+    "cdc_scd2_history",
+    """
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(next_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (next_ts IS NULL) AS is_current
+    FROM (
+        SELECT user_id, event_id, ts,
+               lead(ts) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts) ASC, event_id ASC
+               ) AS next_ts
+        FROM events WHERE user_id % 10 = 0
+    )
+    """,
+    "SCD2 history from the change log: every version gets "
+    "[valid_from, valid_to) via ONE lead window per key (null "
+    "valid_to = is_current) — point-in-time joins then run through "
+    "the existing range-join operator. Same epoch_us ordering contract "
+    "as the snapshot twin.",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.cdc import scd2_history
+
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
+    hist = scd2_history(ev, keys=["user_id"], version_cols=["ts", "event_id"])
+    return hist.select(
+        "user_id",
+        "event_id",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
