@@ -347,3 +347,60 @@ def test_dsir_bigram_stream_adds_no_exchange(spark):
     uni = dsir_log_weights(raw, tgt, ngram=1)
     bi = dsir_log_weights(raw, tgt, ngram=2)
     assert _shuffles(bi) == _shuffles(uni)
+
+
+def test_pq_encode_zero_shuffle(spark):
+    from impresso_ta.operators.pq import pq_codebook, pq_encode
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    book = pq_codebook(emb, m=4, ksub=4)
+    assert _shuffles(pq_encode(emb, book)) == 0
+
+
+def test_pq_topk_corpus_never_shuffled_before_scoring(spark):
+    from impresso_ta.operators.pq import pq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 29 == 0)
+    plan = _plan(pq_topk(emb, qs, m=4, ksub=4, k=3))
+    # queries+tables broadcast; the only hash exchange is the final
+    # per-query window over scored pairs
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_compaction_plan_single_aggregate_exchange(spark):
+    from impresso_ta.operators.layout import compaction_plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("n_chars").cast("long").alias("bytes"),
+        "lang",
+        "source",
+    )
+    plan_df = compaction_plan(docs, ["lang", "source"], target_bytes=4000)
+    assert _shuffles(plan_df) == 1  # one groupBy; decisions are row-local
+    assert "partial" in _plan(plan_df).lower()  # map-side combine
+
+
+def test_profile_key_skew_never_shuffles_raw_rows(spark):
+    from impresso_ta.operators.skew import profile_key_skew
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(profile_key_skew(ev, "user_id", top_k=5))
+    # raw rows combine map-side (partial_count feeds every exchange) and
+    # the scan never reads payload columns — only the key
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    for read_schema in plan.split("ReadSchema:")[1:]:
+        assert read_schema.splitlines()[0].strip() == "struct<user_id:bigint>"
+
+
+def test_cdc_ops_single_window_exchange(spark):
+    from impresso_ta.operators.cdc import latest_snapshot, scd2_history
+
+    log = spark.createDataFrame(
+        [(1, 1, "upsert")], "k long, seq long, op string"
+    )
+    assert _shuffles(latest_snapshot(log, ["k"], ["seq"], op_col="op")) == 1
+    assert _shuffles(scd2_history(log, ["k"], ["seq"])) == 1
