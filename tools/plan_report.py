@@ -54,6 +54,18 @@ QUERIES = [
      "broadcast, row-local margin — zero exchanges added over the scan"),
     ("corpus_dsir_weights_bigram", "n<=2 feature stream is a row-local "
      "zip — same two partial_ aggregates as unigrams, no extra exchange"),
+    ("graph_pagerank", "per-step: ONE shuffle join (edges ⋈ ranks on src) "
+     "+ map-side-combined groupBy(dst); edges⋈outdeg hoisted before the "
+     "loop; BIGINT fixed-point, no float"),
+    ("graph_triangle_counts", "degree-oriented wedge self-join + closure "
+     "equi-join — all equi, no cartesian; O(m^1.5) candidate bound"),
+    ("similarity_ivfpq_topk", "IVF-PQ: zero-shuffle cell assignment AND "
+     "PQ encode; probe cells + scaled-BIGINT ADC tables broadcast; only "
+     "corpus-sized op is the cell equi-join"),
+    ("cdc_latest_snapshot", "MERGE replay as one window exchange; key-only "
+     "version ranking, tombstones filtered post-rank"),
+    ("layout_compaction_plan", "metadata-sized: one map-side-combined "
+     "groupBy over the listing; merge decisions row-local"),
 ]
 
 
