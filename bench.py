@@ -141,6 +141,9 @@ EXTENDED_QUERIES = [
     "similarity_ivfpq_topk",
     "cdc_latest_snapshot",
     "cdc_scd2_history",
+    "table_profile_columns",
+    "cdc_point_in_time_join",
+    "events_debounce",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]

@@ -343,3 +343,39 @@ def split_valid(validated_df: DataFrame, stage: str) -> tuple[DataFrame, DataFra
         )
     )
     return ok, errors
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-quality column profile (the deequ/great-expectations summary
+    pass): one row per column with exact n_rows / n_null / n_distinct
+    and lexicographic min/max of the string form.
+
+    ONE pass over the data: rows explode to (column, value_str) pairs —
+    a |cols|× row expansion of only the profiled columns (unprofiled
+    payload is pruned at the scan) — then a single map-side-combined
+    groupBy(column). Exact distinct counts are what the oracle can
+    check; at 100 TB swap count_distinct for approx_count_distinct and
+    drop the oracle row (the plan shape is unchanged). String-form
+    min/max is deliberate: one output schema for heterogeneous columns,
+    deterministic across engines.
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.v")
+    return pairs.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+    )

@@ -36,3 +36,37 @@ def assign_reading_order(issues_df: DataFrame) -> DataFrame:
         lambda entry, idx: entry["ci"].withField("m.ro", idx + 1),
     )
     return issues_df.withColumn("i", renumbered)
+
+
+def debounce(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    min_gap_seconds: int = 60,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Drop rapid-fire repeats: keep a row only if it arrives more than
+    ``min_gap_seconds`` after the PREVIOUS row of the same key (first
+    row per key always kept).
+
+    This is the lag-based form — each row is judged against its
+    immediate predecessor, not against the last KEPT row (that chained
+    suppression is a running state, i.e. ``streaming/ingest.py``'s
+    sessionize gap logic; the lag form is the stateless one-window
+    batch primitive, and the two agree whenever bursts are shorter
+    than the gap). ONE window shuffle; ``tie_cols`` (default: nothing)
+    break equal-timestamp ordering deterministically — pass the log
+    sequence column when timestamps can collide.
+    """
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tie_cols or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    # integer-micros gap (no float; the NTZ→TIMESTAMP cast is a no-op on
+    # plain timestamps and pins the comparison to micros either way)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    gap_ok = prev.isNull() | (
+        us - prev > F.lit(int(min_gap_seconds) * 1_000_000)
+    )
+    return df.select("*", gap_ok.alias("_keep")).where("_keep").drop("_keep")

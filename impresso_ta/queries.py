@@ -7270,3 +7270,128 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         "is_current",
     )
+
+
+@q(
+    "table_profile_columns",
+    """
+    SELECT 'doc_id' AS "column", count(*) AS n_rows,
+           count(*) - count(doc_id) AS n_null,
+           count(DISTINCT CAST(doc_id AS VARCHAR)) AS n_distinct,
+           min(CAST(doc_id AS VARCHAR)) AS min_val,
+           max(CAST(doc_id AS VARCHAR)) AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), count(*) - count(lang),
+           count(DISTINCT lang), min(lang), max(lang) FROM documents
+    UNION ALL
+    SELECT 'source', count(*), count(*) - count(source),
+           count(DISTINCT source), min(source), max(source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*), count(*) - count(n_chars),
+           count(DISTINCT CAST(n_chars AS VARCHAR)),
+           min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR))
+    FROM documents
+    """,
+    "Data-quality column profiler (the deequ summary pass): exact "
+    "n_rows/n_null/n_distinct + lexicographic string min/max per "
+    "column, in ONE data pass — profiled columns explode to (column, "
+    "value) pairs (unprofiled payload pruned at the scan), one "
+    "map-side-combined groupBy(column). At 100 TB swap countDistinct "
+    "for approx_count_distinct, same plan shape. Oracle: per-column "
+    "scalar aggregates UNION ALLed.",
+)
+def table_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.validate import profile_columns
+
+    docs = t(spark, sf_dir, "documents")
+    return profile_columns(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+@q(
+    "cdc_point_in_time_join",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           s.event_id AS state_event_id
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN (
+        SELECT user_id, event_id, epoch_us(ts) AS vf,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts) ASC, event_id ASC
+               ) AS vt
+        FROM events WHERE event_type = 'click'
+    ) s
+      ON p.user_id = s.user_id
+     AND epoch_us(p.ts) >= s.vf
+     AND (s.vt IS NULL OR epoch_us(p.ts) < s.vt)
+    """,
+    "Point-in-time dimension lookup — the composition the CDC ops "
+    "exist for: each purchase joined to the click-state version VALID "
+    "AT ITS TIMESTAMP. Spark side runs scd2_history (one lead window) "
+    "+ the backward as-of join (union + one window — never an "
+    "inequality BNLJ); the oracle states the same thing as interval "
+    "containment over the SCD2 CTE. Both sides compare epoch_us (the "
+    "nanos-parquet/micros-engine truncation contract). Purchases with "
+    "no prior click keep NULL state.",
+)
+def cdc_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    state = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("state_event_id")
+    )
+    joined = asof_join(
+        purchases,
+        state,
+        key="user_id",
+        value_col="state_event_id",
+        out_col="state_event_id",
+    )
+    return joined.select("purchase_id", "user_id", "state_event_id")
+
+
+@q(
+    "events_debounce",
+    """
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM (
+        SELECT event_id, user_id, event_type, ts,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts) ASC, event_id ASC
+               ) AS prev_us
+        FROM events
+    )
+    WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > CAST(3600 AS BIGINT) * 1000000
+    """,
+    "Debounce (drop rapid-fire repeats): keep a row only if it arrives "
+    "more than the gap after its immediate predecessor per (user, "
+    "type) — the stateless one-window batch primitive (chained "
+    "suppression against the last KEPT row is running state = the "
+    "streaming sessionize gap). Ties broken by event_id; epoch_us "
+    "ordering contract as in the CDC ops.",
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.windows import debounce
+
+    ev = t(spark, sf_dir, "events")
+    kept = debounce(
+        ev,
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        min_gap_seconds=3600,
+        tie_cols=["event_id"],
+    )
+    return kept.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )

@@ -88,3 +88,53 @@ def test_weighted_sample_rejects_nonpositive_weight(spark):
         weighted_sample(df, "doc_id", "w", n=2).collect()
     with pytest.raises(ValueError):
         weighted_sample(df, "doc_id", "w", n=0)
+
+
+def test_profile_columns_counts(spark):
+    from impresso_ta.operators.validate import profile_columns
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("b", 3), (None, 3)],
+        "s string, x int",
+    )
+    got = {r.column: r for r in profile_columns(df, ["s", "x"]).collect()}
+    assert (got["s"].n_rows, got["s"].n_null, got["s"].n_distinct) == (4, 1, 2)
+    assert (got["s"].min_val, got["s"].max_val) == ("a", "b")
+    assert (got["x"].n_rows, got["x"].n_null, got["x"].n_distinct) == (4, 1, 2)
+    assert (got["x"].min_val, got["x"].max_val) == ("1", "3")
+
+
+def test_debounce_keeps_first_and_gapped(spark):
+    from pyspark.sql import functions as F
+
+    from impresso_ta.operators.windows import debounce
+
+    rows = [(1, "k", 0.0), (2, "k", 30.0), (3, "k", 61.0), (4, "k", 200.0),
+            (5, "other", 1.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, k string, tsec double"
+    ).withColumn("ts", F.timestamp_seconds("tsec"))
+    kept = sorted(
+        r.event_id
+        for r in debounce(
+            df, ["k"], "ts", 60, tie_cols=["event_id"]
+        ).collect()
+    )
+    # 1 kept (first); 2 dropped (30s after 1); 3 dropped (31s after 2 —
+    # lag-based: judged vs IMMEDIATE predecessor, not last kept, so a
+    # burst suppresses its own tail); 4 kept (139s); 'other' independent
+    assert kept == [1, 4, 5]
+
+
+def test_debounce_partitioning_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from impresso_ta.operators.windows import debounce
+
+    rows = [(i, "k", float(i * 37 % 500)) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "event_id long, k string, tsec double"
+    ).withColumn("ts", F.timestamp_seconds("tsec"))
+    a = sorted(r.event_id for r in debounce(df, ["k"], "ts", 10, tie_cols=["event_id"]).collect())
+    b = sorted(r.event_id for r in debounce(df.repartition(9), ["k"], "ts", 10, tie_cols=["event_id"]).collect())
+    assert a == b
