@@ -144,6 +144,7 @@ EXTENDED_QUERIES = [
     "table_profile_columns",
     "cdc_point_in_time_join",
     "events_debounce",
+    "er_entity_clusters",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]
