@@ -209,3 +209,95 @@ def stream_dedup_first_seen(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_DEBOUNCE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+# state: last KEPT event time (chained suppression anchor)
+_DEBOUNCE_STATE_SCHEMA = StructType([StructField("last_kept_us", LongType())])
+
+
+def _debounce_fn(gap_us: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            # idle past the gap: any future event is kept regardless, so
+            # the anchor is dead weight — GC it (state stays O(ACTIVE keys))
+            state.remove()
+            return
+        rows: list[tuple[int, int]] = []  # (ts_us, event_id)
+        for pdf in pdfs:
+            rows.extend(
+                zip(
+                    (int(v) // 1000 for v in pdf["ts"].astype("int64")),
+                    (int(v) for v in pdf["event_id"]),
+                )
+            )
+        rows.sort()  # (ts, event_id): deterministic tie-break
+        last = state.get[0] if state.exists else None
+        kept: list[dict] = []
+        for t, eid in rows:
+            if last is None or t - last > gap_us:
+                kept.append(
+                    {"user_id": user_id, "event_id": eid, "ts": _ts(t)}
+                )
+                last = t
+        if last is not None:
+            state.update((last,))
+            state.setTimeoutTimestamp((last + gap_us) // 1000 + 1000)
+        if kept:
+            yield pd.DataFrame(
+                kept, columns=[f.name for f in _DEBOUNCE_SCHEMA]
+            )
+
+    return fn
+
+
+def stream_debounce(
+    events: DataFrame,
+    gap: str = "1 hour",
+    watermark: str = "1 second",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming debounce with CHAINED suppression: an event is kept
+    only if it arrives more than ``gap`` after the last KEPT event of
+    its key — the running-state semantics the batch
+    ``operators/windows.debounce`` docstring defers to streaming (the
+    lag-based batch form judges against the immediate predecessor; the
+    two agree whenever bursts are shorter than the gap).
+
+    State is one BIGINT per ACTIVE key (the last-kept anchor), GC'd by
+    event-time timeout once a key has been idle past the gap — at that
+    point any future event would be kept regardless, so dropping the
+    anchor cannot change results. Exactly the sessionize shuffle: one
+    groupBy(user) to co-locate key state.
+    """
+    n, unit = gap.split()
+    mult = {"second": 1, "minute": 60, "hour": 3600}[unit.rstrip("s")]
+    gap_us = int(n) * mult * _US
+    return (
+        events.selectExpr(
+            f"CAST({user_col} AS LONG) AS user_id",
+            f"CAST({id_col} AS LONG) AS event_id",
+            f"{ts_col} AS ts",
+        )
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _debounce_fn(gap_us),
+            outputStructType=_DEBOUNCE_SCHEMA,
+            stateStructType=_DEBOUNCE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

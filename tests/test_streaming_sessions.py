@@ -175,3 +175,83 @@ def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
 
     # idempotent re-run: nothing new
     assert run() == {("fp1", 1), ("fp2", 3), ("fp3", 5)}
+
+
+def test_stream_debounce_chained_across_batches(spark, tmp_path):
+    import json as _json
+
+    from impresso_ta.streaming.sessions import stream_debounce
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", StringType()),
+        ]
+    )
+    drop = tmp_path / "ev"
+    drop.mkdir()
+    ckpt = tmp_path / "ck"
+
+    def write(name, rows):
+        with open(drop / name, "w") as f:
+            for uid, eid, ts in rows:
+                f.write(
+                    _json.dumps(
+                        {"user_id": uid, "event_id": eid, "ts": ts}
+                    )
+                    + "\n"
+                )
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .json(str(drop))
+            .select(
+                "user_id",
+                "event_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+            )
+        )
+        kept = stream_debounce(stream, gap="1 hour")
+        q = (
+            kept.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+        return sorted(
+            r.event_id
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        )
+
+    # batch 1: chained suppression WITHIN a batch — 1 kept; 2 (+30m)
+    # dropped; 3 (+50m from e1, only 20m after the DROPPED e2) also
+    # dropped because the anchor is the last KEPT event (lag-based batch
+    # debounce would keep judging against e2 here)
+    write(
+        "a.jsonl",
+        [
+            (1, 1, "2024-01-01 10:00:00"),
+            (1, 2, "2024-01-01 10:30:00"),
+            (1, 3, "2024-01-01 10:50:00"),
+        ],
+    )
+    assert run() == [1]
+
+    # batch 2 (same checkpoint): anchor for user 1 is still e1@10:00 in
+    # the state store — 11:30 clears the 1h gap and is kept; 11:45 is
+    # re-suppressed against the NEW anchor
+    write(
+        "b.jsonl",
+        [
+            (1, 4, "2024-01-01 11:30:00"),
+            (1, 5, "2024-01-01 11:45:00"),
+            (2, 6, "2024-01-01 11:00:00"),
+        ],
+    )
+    assert run() == [1, 4, 6]
