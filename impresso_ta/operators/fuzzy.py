@@ -117,14 +117,24 @@ def fuzzy_blocked_join(
     the caller's modeling decision, exactly as in record-linkage
     practice.
 
-    Scale shape: ONE equi-join on the block key (broadcast when a side
-    is small, shuffle otherwise — Catalyst's choice), with the
-    |len(a)-len(b)| <= max_dist prefilter fused into the join condition
-    so the O(len^2) edit-distance DP only runs on length-compatible
-    pairs (levenshtein >= length difference, so the filter is lossless).
-    A pathological block (every row sharing one key) degrades to that
-    block's cross product — cap or salt upstream if the key distribution
-    is clone-heavy, as with any blocking scheme.
+    Scale shape: the equi-join key is (block, LENGTH BUCKET) — the
+    |len(a)-len(b)| <= max_dist constraint is not just a fused filter
+    but part of the SHUFFLE KEY. Buckets have width max_dist+1; the
+    right side lands in its own bucket, the left side probes EVERY
+    bucket its compatible length range [len-k, len+k] touches (a
+    sequence of at most three for width k+1) — lossless by
+    construction, and duplicate-free: a right row's single bucket
+    matches at most one of the left's distinct probe rows. This matters twice at scale:
+    a hot block (one first-token shared by 10^5 rows) splits into
+    per-length-bucket join keys instead of one straggler partition —
+    the round-8 sf1 bench measured exactly that failure (a 200k-part
+    corpus with ~92 first-token blocks serialized ~47 min into ONE
+    task before this fix) — and non-near-length pairs never even MEET
+    in the join, instead of meeting and failing the fused filter.
+    The exact Levenshtein <= k verify is unchanged. A block that is
+    ALSO length-uniform still degrades to its cross product — cap or
+    salt upstream if the key distribution is clone-heavy, as with any
+    blocking scheme.
     """
     from pyspark.sql import functions as F
 
@@ -134,12 +144,24 @@ def fuzzy_blocked_join(
         )
 
     blk = block_expr or default_block
-    l = left.withColumn("_blk", blk(F.col(left_col)))
-    r = right.withColumn("_blk", blk(F.col(right_col)))
+    w = max_dist + 1
+    l = left.withColumn("_blk", blk(F.col(left_col))).withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"(length({left_col}) - {max_dist}) div {w}"),
+                F.expr(f"(length({left_col}) + {max_dist}) div {w}"),
+            )
+        ),
+    )
+    r = right.withColumn("_blk", blk(F.col(right_col))).withColumn(
+        "_bkt", F.expr(f"length({right_col}) div {w}")
+    )
     lc, rc = F.col(f"l.{left_col}"), F.col(f"r.{right_col}")
     joined = l.alias("l").join(
         r.alias("r"),
         (F.col("l._blk") == F.col("r._blk"))
+        & (F.col("l._bkt") == F.col("r._bkt"))
         & (
             F.abs(F.length(lc) - F.length(rc)) <= F.lit(max_dist)
         )
@@ -147,4 +169,4 @@ def fuzzy_blocked_join(
     )
     return joined.select(
         "l.*", "r.*", F.levenshtein(lc, rc).alias("edit_dist")
-    ).drop("_blk")
+    ).drop("_blk", "_bkt")

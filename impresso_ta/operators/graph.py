@@ -294,3 +294,55 @@ def triangle_counts(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Minimum hop distance from ANY source node, bounded at
+    ``max_hops`` (node BIGINT, dist INT; unreached nodes absent) —
+    k-hop neighborhood extraction, the graph-feature primitive
+    (influence radius, contamination blast-radius, spam-seed
+    proximity).
+
+    Level-synchronous frontier expansion over the undirected edge set:
+    each hop is ONE equi-join of the CURRENT frontier against the
+    edges plus one anti-join against the already-settled set — cost is
+    |frontier|-proportional, never |graph|-proportional, and the loop
+    short-circuits when a frontier comes back empty (component
+    exhausted before max_hops). Every hop's frontier is
+    localCheckpoint-truncated, so lineage stays O(1) per hop. BFS
+    levels are exact integers: no rounding discipline needed, the
+    oracle (bounded recursive CTE, min hop per node) matches
+    bit-for-bit.
+    """
+    e = _norm_edges(edges, src, dst)
+    bidir = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    settled = (
+        sources.select(F.col(node_col).cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("dist"))
+        .localCheckpoint()
+    )
+    frontier = settled.select("node")
+    for hop in range(1, max_hops + 1):
+        reached = (
+            frontier.join(bidir, frontier["node"] == bidir["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        fresh = reached.join(settled, "node", "left_anti").select(
+            "node", F.lit(hop).cast("int").alias("dist")
+        ).localCheckpoint()
+        if not fresh.take(1):
+            break
+        settled = settled.union(fresh).localCheckpoint()
+        frontier = fresh.select("node")
+    return settled

@@ -132,3 +132,49 @@ def test_triangles_shared_edge(spark):
     # two triangles sharing edge (1,2): 1 and 2 in both, 3/4 in one
     got = _tri(spark, [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)])
     assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_bfs_distances_levels_and_bound(spark):
+    from impresso_ta.operators.graph import bfs_distances
+
+    # path 0-1-2-3-4-5 plus a branch 2-10
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (2, 10)],
+        "src long, dst long",
+    )
+    sources = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(edges, sources, max_hops=3).collect()
+    }
+    # nodes 4, 5 are beyond 3 hops → absent
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 10: 3}
+
+
+def test_bfs_multi_source_takes_minimum(spark):
+    from impresso_ta.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(0,), (4,)], "node long")
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(edges, sources, max_hops=4).collect()
+    }
+    assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_bfs_short_circuits_on_exhausted_component(spark):
+    from impresso_ta.operators.graph import bfs_distances
+
+    # triangle exhausted in 1 hop; far chain unreachable
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (50, 51)], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(edges, sources, max_hops=40).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1}
