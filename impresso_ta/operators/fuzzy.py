@@ -104,6 +104,8 @@ def fuzzy_blocked_join(
     right_col: str,
     max_dist: int = 2,
     block_expr=None,
+    collapse_clones: bool = True,
+    guard_block_size: int | None = 50_000,
 ) -> DataFrame:
     """Record-linkage fuzzy join: BLOCK (equi-join on a cheap normalized
     key) then VERIFY (exact Levenshtein <= ``max_dist``) — the standard
@@ -131,10 +133,35 @@ def fuzzy_blocked_join(
     corpus with ~92 first-token blocks serialized ~47 min into ONE
     task before this fix) — and non-near-length pairs never even MEET
     in the join, instead of meeting and failing the fused filter.
-    The exact Levenshtein <= k verify is unchanged. A block that is
-    ALSO length-uniform still degrades to its cross product — cap or
-    salt upstream if the key distribution is clone-heavy, as with any
-    blocking scheme.
+    The exact Levenshtein <= k verify is unchanged.
+
+    Clone collapse (``collapse_clones``, default on): the Levenshtein
+    verify runs over DISTINCT string values per side, and matching value
+    pairs are expanded back through two equi-joins on the string value.
+    Output-identical to verifying the raw rows — the join predicate and
+    ``edit_dist`` depend only on the two string VALUES, so every raw row
+    pair (a, b) appears in the expansion iff (value(a), value(b)) passed
+    the verify, with the same distance. This is the join-shaped twin of
+    ``dedup.py _collapse_exact_dups``: a clone-heavy corpus (the round-8
+    sf1 entity-resolution bench held a 200k-part table whose ~92 blocks
+    were built from near-identical name templates) pays Levenshtein on
+    |distinct|² per (block, bucket) instead of |rows|², while the
+    expansion cost is proportional to TRUE OUTPUT pairs — the part no
+    mitigation can remove. Two extra exchanges (one distinct per side)
+    buy a verify-mass collapse that took the sf1 entity-resolution query
+    from >9 min (bench-skipped) to seconds.
+
+    ``guard_block_size`` is the runtime tripwire mirroring
+    ``minhash_lsh_pairs``'s ``guard_bucket_size``: a per-(block,
+    length-bucket) count rides each join input as a window over the SAME
+    key the join shuffles on (shared exchange, no extra job), and an
+    in-plan ``assert_true`` fails LOUDLY the moment one side of a single
+    join key exceeds the bound — after clone collapse, that means >bound
+    DISTINCT near-same-length strings share a first token, a genuine
+    |l|×|r| cross product the verify cannot absorb. The error names the
+    fixes (a finer ``block_expr``, upstream salting/capping, or
+    ``guard_block_size=None`` to accept the cost). Never fires below the
+    bound, so oracle-pinned semantics are unchanged.
     """
     from pyspark.sql import functions as F
 
@@ -145,28 +172,91 @@ def fuzzy_blocked_join(
 
     blk = block_expr or default_block
     w = max_dist + 1
-    l = left.withColumn("_blk", blk(F.col(left_col))).withColumn(
-        "_bkt",
-        F.explode(
-            F.sequence(
-                F.expr(f"(length({left_col}) - {max_dist}) div {w}"),
-                F.expr(f"(length({left_col}) + {max_dist}) div {w}"),
-            )
-        ),
-    )
-    r = right.withColumn("_blk", blk(F.col(right_col))).withColumn(
-        "_bkt", F.expr(f"length({right_col}) div {w}")
-    )
-    lc, rc = F.col(f"l.{left_col}"), F.col(f"r.{right_col}")
-    joined = l.alias("l").join(
-        r.alias("r"),
-        (F.col("l._blk") == F.col("r._blk"))
-        & (F.col("l._bkt") == F.col("r._bkt"))
-        & (
-            F.abs(F.length(lc) - F.length(rc)) <= F.lit(max_dist)
+
+    def blocked_left(df):
+        return df.withColumn("_blk", blk(F.col(left_col))).withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    F.expr(f"(length({left_col}) - {max_dist}) div {w}"),
+                    F.expr(f"(length({left_col}) + {max_dist}) div {w}"),
+                )
+            ),
         )
-        & (F.levenshtein(lc, rc) <= F.lit(max_dist)),
+
+    def blocked_right(df):
+        return df.withColumn("_blk", blk(F.col(right_col))).withColumn(
+            "_bkt", F.expr(f"length({right_col}) div {w}")
+        )
+
+    def guarded(df, side):
+        if guard_block_size is None:
+            return df
+        from pyspark.sql.window import Window
+
+        gw = Window.partitionBy("_blk", "_bkt")
+        tripwire = F.assert_true(
+            F.count("*").over(gw) <= F.lit(guard_block_size),
+            F.concat(
+                F.lit(
+                    f"fuzzy_blocked_join: the {side} side puts more than "
+                    f"{guard_block_size} "
+                    + (
+                        "distinct values"
+                        if collapse_clones
+                        else "rows (collapse_clones=False)"
+                    )
+                    + " into one (block, length-bucket) join key — the "
+                    "Levenshtein verify degrades to that key's cross "
+                    "product. Use a finer block_expr, salt or cap the "
+                    "hot key upstream, or pass guard_block_size=None "
+                    "to accept the cost. key="
+                ),
+                F.col("_blk"),
+                F.lit("/bucket="),
+                F.col("_bkt").cast("string"),
+            ),
+        )
+        return (
+            df.withColumn("_guard", tripwire)
+            .filter(F.col("_guard").isNull())
+            .drop("_guard")
+        )
+
+    def verify_join(l_df, r_df):
+        lc, rc = F.col(f"l.{left_col}"), F.col(f"r.{right_col}")
+        return (
+            guarded(blocked_left(l_df), "left")
+            .alias("l")
+            .join(
+                guarded(blocked_right(r_df), "right").alias("r"),
+                (F.col("l._blk") == F.col("r._blk"))
+                & (F.col("l._bkt") == F.col("r._bkt"))
+                & (F.abs(F.length(lc) - F.length(rc)) <= F.lit(max_dist))
+                & (F.levenshtein(lc, rc) <= F.lit(max_dist)),
+            )
+        )
+
+    if not collapse_clones:
+        lc, rc = F.col(f"l.{left_col}"), F.col(f"r.{right_col}")
+        return verify_join(left, right).select(
+            "l.*", "r.*", F.levenshtein(lc, rc).alias("edit_dist")
+        ).drop("_blk", "_bkt")
+
+    dl = left.select(left_col).distinct()
+    dr = right.select(right_col).distinct()
+    lc, rc = F.col(f"l.{left_col}"), F.col(f"r.{right_col}")
+    pairs = verify_join(dl, dr).select(
+        lc.alias("_fz_lv"),
+        rc.alias("_fz_rv"),
+        F.levenshtein(lc, rc).alias("edit_dist"),
     )
-    return joined.select(
-        "l.*", "r.*", F.levenshtein(lc, rc).alias("edit_dist")
-    ).drop("_blk", "_bkt")
+    return (
+        left.alias("le")
+        .join(pairs.alias("p"), F.col(f"le.{left_col}") == F.col("p._fz_lv"))
+        .join(
+            right.alias("re"),
+            F.col("p._fz_rv") == F.col(f"re.{right_col}"),
+        )
+        .select("le.*", "re.*", "p.edit_dist")
+    )
