@@ -159,15 +159,14 @@ EXTENDED_QUERIES = [
 # dedup_minhash_survivors (linear output), the exact pairs form is the
 # precision tool for sparse-similarity corpora — tracked at sf0.1 where
 # the corpus's pair mass (256) matches that use case.
-# er_entity_clusters: sf1's 200k parts share ~92 first-token blocks of
-# near-identical 5-color-word names; the exact Levenshtein<=1 verify
-# volume is inherent to the data (not a plan defect — the round-8
-# length-bucketed sub-blocking fixed the one-straggler-task stall this
-# query exposed, j17 parity-pinned, but the verify mass stays >9 min
-# measured). Like the jaccard-prefix pairs form, exact fuzzy PAIRS cost
-# their candidate volume; a clustering run at this clone rate belongs on
-# minhash_dedup_survivors. Tracked at sf0.1 (~6 s).
-EXTENDED_SF1_SKIP = {"dedup_jaccard_prefix", "er_entity_clusters"}
+# er_entity_clusters RE-ENTERED in r9: the round-8 stall was clone mass
+# (sf1's 200k parts share only 64 distinct names ≈ 31k clones each; the
+# raw pairwise edge set is 313,223,600 edges — quadratic in clone
+# multiplicity, so CC over raw edges is where the >9 min went).
+# er.resolve_entities contracts exact-value clones to super-nodes before
+# edge generation (provably output-identical, see er.py); measured
+# >9 min (skipped) -> 16.3 s at sf1.
+EXTENDED_SF1_SKIP = {"dedup_jaccard_prefix"}
 
 YARDSTICK = ["q1_pricing_summary", "w3_running_offsets"]
 

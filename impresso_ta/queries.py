@@ -7420,34 +7420,26 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM reach GROUP BY node
     """,
     "Entity resolution end-to-end — the composition the graph family "
-    "exists for: fuzzy_blocked_join (Christen blocking + lossless "
-    "length prefilter + exact Levenshtein<=1 verify, NO all-pairs "
-    "stage) emits match edges, connected_components (Large-Star/"
-    "Small-Star, O(log n) rounds) collapses them into entity clusters "
-    "with min-id canonical labels. The oracle replays the same edges "
-    "through a recursive transitive closure — fine at sf0.01, "
-    "quadratic-in-cluster at scale, which is exactly why the Spark "
-    "side doesn't do that.",
+    "exists for: exact-value clones are CONTRACTED to one super-node "
+    "each (er.resolve_entities — the raw pairwise edge set is "
+    "quadratic in clone multiplicity: 313M edges measured at sf1 where "
+    "200k rows share 64 names), fuzzy_blocked_join (Christen blocking "
+    "+ lossless length prefilter + exact Levenshtein<=1 verify, NO "
+    "all-pairs stage) emits match edges over DISTINCT values, "
+    "connected_components (Large-Star/Small-Star, O(log n) rounds) "
+    "collapses the contracted graph, and one value equi-join expands "
+    "labels back to rows — provably identical output to CC over the "
+    "raw edges (see er.py). The oracle replays the RAW edges through "
+    "a recursive transitive closure — fine at sf0.01, quadratic-in-"
+    "clone at scale, which is exactly what the Spark side avoids.",
 )
 def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from impresso_ta.operators.fuzzy import fuzzy_blocked_join
-    from impresso_ta.operators.graph import connected_components
+    from impresso_ta.operators.er import resolve_entities
 
     p = t(spark, sf_dir, "part")
-    a = p.select(
-        F.col("p_partkey").alias("a_key"), F.col("p_name").alias("a_name")
-    )
-    b = p.select(
-        F.col("p_partkey").alias("b_key"), F.col("p_name").alias("b_name")
-    )
-    edges = (
-        fuzzy_blocked_join(a, b, "a_name", "b_name", max_dist=1)
-        .filter(F.col("a_key") < F.col("b_key"))
-        .select(F.col("a_key").alias("src"), F.col("b_key").alias("dst"))
-    )
-    return connected_components(edges).select(
-        F.col("node").alias("part_key"), F.col("component").alias("cluster")
-    )
+    return resolve_entities(
+        p, key_col="p_partkey", name_col="p_name", max_dist=1
+    ).select(F.col("p_partkey").alias("part_key"), "cluster")
 
 
 @q(
