@@ -63,7 +63,23 @@ def scd2_history(
     One window on the key (lead over version order). Downstream
     point-in-time joins become ordinary range joins
     (``operators/rangejoin.py``) on [valid_from, valid_to).
+
+    Tie semantics: intervals are built from ``version_cols[0]`` ONLY.
+    Versions that tie on the first version column (distinct only in a
+    tiebreaker — e.g. same micros-truncated ts, different event id) get
+    ZERO-WIDTH ``[valid_from, valid_to)`` intervals for all but the
+    last of the tied run; a half-open containment probe then matches
+    only the last — the same winner a latest-wins snapshot at that
+    instant picks. If each tied version must instead keep a visible
+    interval, make ``version_cols[0]`` unique upstream (e.g. a composed
+    sort key column).
     """
+    for c in ("valid_from", "valid_to", "is_current"):
+        if c in log.columns:
+            raise ValueError(
+                f"scd2_history: input already has a {c!r} column — the "
+                "output would carry duplicate names; rename or drop it"
+            )
     w = Window.partitionBy(*keys).orderBy(
         *[F.col(c).asc() for c in version_cols]
     )

@@ -114,10 +114,15 @@ def connected_components(
     Convergence: alternate Large-Star / Small-Star until the edge set's
     (count, xxhash64-sum) checksum is stable across a full round —
     Kiveris et al. prove the stable state is a star forest (every node
-    points at its component min) in O(log n) rounds. ``max_rounds`` is
-    a bug tripwire, not a tuning knob: hitting it raises rather than
-    returning a half-converged labeling. Pass ``stats={}`` to receive
-    the executed round count (scale-probe instrumentation).
+    points at its component min) in O(log n) rounds. A matching
+    checksum is CONFIRMED with one exact set comparison (both rounds
+    are distinct sets of equal count, so ``nxt.exceptAll(cur)`` empty
+    iff equal) — a hash collision on a still-changing edge set can
+    therefore never return a half-converged labeling; it just loops
+    once more. ``max_rounds`` is a bug tripwire, not a tuning knob:
+    hitting it raises rather than returning a half-converged labeling.
+    Pass ``stats={}`` to receive the executed round count (scale-probe
+    instrumentation).
     """
     cur = _norm_edges(edges, src, dst).localCheckpoint()
     prev_sig: tuple[int, int] | None = None
@@ -132,9 +137,12 @@ def connected_components(
             F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
         ).collect()[0]
         sig = (sig_row["c"], sig_row["h"])
-        cur = nxt
-        if sig == prev_sig:
+        # exact confirmation only when the cheap signature says "stable":
+        # one extra action at convergence, zero on every other round
+        if sig == prev_sig and nxt.exceptAll(cur).isEmpty():
+            cur = nxt
             break
+        cur = nxt
         prev_sig = sig
     else:
         raise RuntimeError(

@@ -7333,8 +7333,14 @@ def table_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "+ the backward as-of join (union + one window — never an "
     "inequality BNLJ); the oracle states the same thing as interval "
     "containment over the SCD2 CTE. Both sides compare epoch_us (the "
-    "nanos-parquet/micros-engine truncation contract). Purchases with "
-    "no prior click keep NULL state.",
+    "nanos-parquet/micros-engine truncation contract). asof_join's "
+    "precondition is a right side UNIQUE per (key, ts), so clicks are "
+    "pre-aggregated to max(event_id) per (user, micros-ts) — exactly "
+    "the row the oracle's lead(... ORDER BY epoch_us(ts), event_id) "
+    "tie-break selects (the lower-id twin gets a zero-width interval "
+    "that matches nothing); micros truncation makes such ties MORE "
+    "likely at scale, so the determinism must not rest on luck. "
+    "Purchases with no prior click keep NULL state.",
 )
 def cdc_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from impresso_ta.operators.asof import asof_join
@@ -7343,8 +7349,10 @@ def cdc_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", "ts"
     )
-    state = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("state_event_id")
+    state = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")  # Spark ts is already micros precision
+        .agg(F.max("event_id").alias("state_event_id"))
     )
     joined = asof_join(
         purchases,

@@ -54,6 +54,25 @@ _STATE_SCHEMA = StructType(
 
 _US = 1_000_000
 
+_GAP_UNITS = {"second": 1, "minute": 60, "hour": 3600}
+
+
+def _parse_gap_us(gap: str) -> int:
+    """'<int> second[s]|minute[s]|hour[s]' -> microseconds, or a
+    ValueError naming the accepted format (a bare KeyError on '1 day'
+    or '90 sec' told the caller nothing)."""
+    parts = gap.split()
+    if (
+        len(parts) != 2
+        or not parts[0].isdigit()
+        or parts[1].rstrip("s") not in _GAP_UNITS
+    ):
+        raise ValueError(
+            f"gap {gap!r}: expected '<int> second[s]|minute[s]|hour[s]'"
+            " (e.g. '30 seconds', '1 hour')"
+        )
+    return int(parts[0]) * _GAP_UNITS[parts[1].rstrip("s")] * _US
+
 
 def _ts(us: int) -> datetime.datetime:
     return datetime.datetime.fromtimestamp(us / _US, tz=datetime.timezone.utc).replace(
@@ -130,9 +149,7 @@ def stream_sessionize(
     event closed it ("gap") or the watermark did ("timeout"). Gap-closed
     sessions match the batch ``session_window`` result exactly (tested).
     """
-    n, unit = gap.split()
-    mult = {"second": 1, "minute": 60, "hour": 3600}[unit.rstrip("s")]
-    gap_us = int(n) * mult * _US
+    gap_us = _parse_gap_us(gap)
     return (
         events.selectExpr(
             f"CAST({user_col} AS LONG) AS user_id", f"{ts_col} AS ts"
@@ -282,9 +299,7 @@ def stream_debounce(
     anchor cannot change results. Exactly the sessionize shuffle: one
     groupBy(user) to co-locate key state.
     """
-    n, unit = gap.split()
-    mult = {"second": 1, "minute": 60, "hour": 3600}[unit.rstrip("s")]
-    gap_us = int(n) * mult * _US
+    gap_us = _parse_gap_us(gap)
     return (
         events.selectExpr(
             f"CAST({user_col} AS LONG) AS user_id",

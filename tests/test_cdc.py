@@ -62,3 +62,26 @@ def test_scd2_history_intervals_chain(spark):
     assert all(r["count"] == 1 for r in cur)
     # intervals are contiguous: valid_to of version i == valid_from of i+1
     assert [r.valid_to for r in k1[:-1]] == [r.valid_from for r in k1[1:]]
+
+
+def test_scd2_history_refuses_reserved_output_names(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 1, "x")], "k long, seq long, valid_from string"
+    )
+    with pytest.raises(ValueError, match="valid_from"):
+        scd2_history(df, ["k"], ["seq"])
+
+
+def test_scd2_history_first_column_ties_zero_width(spark):
+    # two versions tying on the first version column: the earlier
+    # (by tiebreaker) gets a ZERO-WIDTH interval; a half-open
+    # containment probe at ts=10 matches only the last of the tied run
+    rows = [(1, 10, 7, "low"), (1, 10, 9, "high"), (1, 20, 1, "later")]
+    df = spark.createDataFrame(rows, "k long, ts long, seq long, v string")
+    hist = scd2_history(df, ["k"], ["ts", "seq"])
+    by_seq = {r.seq: (r.valid_from, r.valid_to) for r in hist.collect()}
+    assert by_seq == {7: (10, 10), 9: (10, 20), 1: (20, None)}
+    probe = hist.where("valid_from <= 10 AND (valid_to IS NULL OR 10 < valid_to)")
+    assert [r.v for r in probe.collect()] == ["high"]

@@ -255,3 +255,16 @@ def test_stream_debounce_chained_across_batches(spark, tmp_path):
         ],
     )
     assert run() == [1, 4, 6]
+
+
+def test_gap_parse_rejects_unknown_units(spark):
+    import pytest
+
+    from impresso_ta.streaming.sessions import _parse_gap_us
+
+    assert _parse_gap_us("30 seconds") == 30_000_000
+    assert _parse_gap_us("1 hour") == 3_600_000_000
+    assert _parse_gap_us(" 1  hour ") == 3_600_000_000  # whitespace ok
+    for bad in ("1 day", "90 sec", "hour", "1.5 hours"):
+        with pytest.raises(ValueError, match="second"):
+            _parse_gap_us(bad)
