@@ -33,6 +33,17 @@ from impresso_ta.operators.partitioning import spread_small_input
 
 Codebook = list[list[list[float]]]  # [m][ksub][sub_dim]
 
+#: Above this many inlined floats (m·ksub·sub_dim) the literal expression
+#: form loses twice: the driver burns seconds of py4j round trips BUILDING
+#: the Columns, and codegen chokes on the giant expression (measured at the
+#: repo defaults m=4·ksub=8·sub=16 = 512 literals over sf0.1: literal
+#: build 8.0 s + exec 7.3 s vs relation 0.7 s + 4.7 s) — and a realistic
+#: m=16/ksub=256 book is 64k literals compiled into EVERY encode/topk
+#: plan. Route to the broadcast-relation form (O(1) plan size), the same
+#: cutover ``similarity.LITERAL_MAX_NLIST`` applies to IVF centroids.
+#: Literal stays only for genuinely tiny books.
+LITERAL_MAX_BOOK_LITERALS = 256
+
 
 def _sub_sq_l2(
     vec: Column, centroid: list[float], offset: int, round_to: int
@@ -45,6 +56,60 @@ def _sub_sq_l2(
         t = d * d
         terms = t if terms is None else terms + t
     return F.round(terms, round_to)
+
+
+def _book_relation(spark, codebook: Codebook):
+    """One-row DataFrame holding the whole codebook as ``_book``:
+    array (length m, sorted by j) of struct(j, cents) where cents is an
+    array (length ksub, sorted by code) of struct(c, cvec) — broadcast-
+    joined to corpus/query rows so encode and ADC-table expressions stay
+    map-side with O(1) plan size at any m·ksub. The relation twin of
+    ``similarity._centroids_relation``."""
+    rows = [
+        (j, c, [float(x) for x in cv])
+        for j, cents in enumerate(codebook)
+        for c, cv in enumerate(cents)
+    ]
+    return (
+        spark.createDataFrame(rows, "j int, c int, cvec array<double>")
+        .groupBy("j")
+        .agg(F.array_sort(F.collect_list(F.struct("c", "cvec"))).alias("cents"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("j", "cents"))).alias("_book")
+        )
+    )
+
+
+def _sub_sq_l2_rel(
+    vec: Column, cvec: Column, offset: int, sub: int, round_to: int
+) -> Column:
+    """Rounded squared L2 between vec[offset : offset+sub] and a
+    relation-borne centroid vector. zip_with + a left-to-right aggregate
+    fold — bit-identical to the literal form's fixed-order sum (the
+    fold's 0.0 seed is exact: t0 is a square, so 0.0 + t0 == t0)."""
+    terms = F.zip_with(
+        F.slice(vec, offset + 1, sub),
+        cvec,
+        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+    )
+    return F.round(
+        F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x), round_to
+    )
+
+
+def _resolve_strategy(strategy: str, codebook: Codebook) -> str:
+    if strategy == "auto":
+        n_literals = (
+            len(codebook) * len(codebook[0]) * len(codebook[0][0])
+        )
+        return (
+            "literal"
+            if n_literals <= LITERAL_MAX_BOOK_LITERALS
+            else "relation"
+        )
+    if strategy not in ("literal", "relation"):
+        raise ValueError(f"unknown PQ strategy {strategy!r}")
+    return strategy
 
 
 def pq_codebook(
@@ -110,15 +175,46 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Encode each vector as m subspace codes: code_j = argmin of the
     ROUNDED squared L2 to subspace j's centroids, ties → smallest code.
-    Pure row-local literal expressions (zero shuffle, whole-stage
-    codegen); output (id, codes array<int>) is the 64×-compressed
-    representation to persist."""
+    Output (id, codes array<int>) is the 64×-compressed representation
+    to persist. Zero corpus shuffle either way; two strategies with
+    bit-identical codes (parity-tested):
+
+    - ``literal`` (auto only ≤ LITERAL_MAX_BOOK_LITERALS inlined
+      floats): the book baked into per-codeword score structs.
+    - ``relation`` (auto default at the repo's 64-dim shapes): the book
+      as a broadcast one-row relation, argmin via array_min over a
+      transform — plan size AND driver build cost O(1), so m=16/
+      ksub=256 (64k literals in the literal form) is expressible, and
+      even the m=4/ksub=8 default measures ~2.5× faster end-to-end.
+    """
     m = len(codebook)
     sub = len(codebook[0][0])
+    strategy = _resolve_strategy(strategy, codebook)
     code_cols = []
+    if strategy == "relation":
+        book = _book_relation(corpus.sparkSession, codebook)
+        def _cand(j):
+            # NB: a two-parameter lambda would make F.transform pass the
+            # ARRAY INDEX as the second argument — bind j via closure
+            return lambda s: F.struct(
+                _sub_sq_l2_rel(
+                    F.col(vec_col), s["cvec"], j * sub, sub, round_to
+                ).alias("d"),
+                s["c"].alias("c"),
+            )
+
+        for j in range(m):
+            cents_j = F.element_at(F.col("_book"), j + 1)["cents"]
+            code_cols.append(F.array_min(F.transform(cents_j, _cand(j)))["c"])
+        return (
+            spread_small_input(corpus)
+            .crossJoin(F.broadcast(book))
+            .select(F.col(id_col), F.array(*code_cols).alias("codes"))
+        )
     for j in range(m):
         cands = F.array(
             *[
@@ -147,6 +243,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: every query precomputes its
     m×ksub table of rounded sub-distances row-locally, the corpus is
@@ -158,6 +255,9 @@ def pq_topk(
     scan — no corpus shuffle, no row explosion beyond |queries| per
     code row; per-query top-k via window over the scored pairs. At
     scale, compose with ivf_assign to scan only probed cells (IVF-PQ).
+    ``strategy`` routes the codebook exactly as in ``pq_encode``
+    (broadcast relation unless the book is tiny — results
+    bit-identical).
 
     Returns (query_id, neighbor_id, approx_dist, rnk).
     """
@@ -167,28 +267,55 @@ def pq_topk(
         )
     m = len(codebook)
     sub = len(codebook[0][0])
+    strategy = _resolve_strategy(strategy, codebook)
     codes = pq_encode(
-        corpus, codebook, id_col=id_col, vec_col=vec_col, round_to=round_to
+        corpus,
+        codebook,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_to=round_to,
+        strategy=strategy,
     )
     # Table entries are 1e4-scaled BIGINTs (the DSIR/PMI integer-exact
     # discipline): the m-term ADC sum is then order-immune across
     # engines instead of relying on fixed-order double addition.
     scale = 10 ** round_to
-    qtabs = queries.select(
-        F.col(id_col).alias("query_id"),
-        *[
-            F.array(
-                *[
-                    F.round(
-                        _sub_sq_l2(F.col(vec_col), cent, j * sub, round_to)
-                        * scale
-                    ).cast("long")
-                    for cent in codebook[j]
-                ]
-            ).alias(f"_qt{j}")
-            for j in range(m)
-        ],
-    )
+    if strategy == "relation":
+        book = _book_relation(corpus.sparkSession, codebook)
+        def _qtab(j):
+            # closure-bound j (two-param lambdas receive the array index)
+            return lambda s: F.round(
+                _sub_sq_l2_rel(
+                    F.col(vec_col), s["cvec"], j * sub, sub, round_to
+                )
+                * scale
+            ).cast("long")
+
+        qtabs = queries.crossJoin(F.broadcast(book)).select(
+            F.col(id_col).alias("query_id"),
+            *[
+                F.transform(
+                    F.element_at(F.col("_book"), j + 1)["cents"], _qtab(j)
+                ).alias(f"_qt{j}")
+                for j in range(m)
+            ],
+        )
+    else:
+        qtabs = queries.select(
+            F.col(id_col).alias("query_id"),
+            *[
+                F.array(
+                    *[
+                        F.round(
+                            _sub_sq_l2(F.col(vec_col), cent, j * sub, round_to)
+                            * scale
+                        ).cast("long")
+                        for cent in codebook[j]
+                    ]
+                ).alias(f"_qt{j}")
+                for j in range(m)
+            ],
+        )
     approx = None
     for j in range(m):
         term = F.element_at(
@@ -219,6 +346,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    strategy: str = "auto",
 ) -> DataFrame:
     """IVF-PQ (the FAISS architecture, composed from this repo's two
     halves): the coarse quantizer (``ivf_assign``'s Voronoi cells over
@@ -230,11 +358,14 @@ def ivf_pq_topk(
     PQ bounds the bytes per row.
 
     Plan: cell assignment and PQ encode are both zero-shuffle map
-    passes over the corpus (literal centroid/codebook expressions);
-    queries compute probe cells AND their scaled-BIGINT ADC tables
-    row-locally, then BROADCAST — the only corpus-sized operation is
-    the equi-join on ``cell``. Same determinism contract as pq_topk
-    (integer ADC sums, rounded assignment scores, id tie-breaks).
+    passes over the corpus; queries compute probe cells AND their
+    scaled-BIGINT ADC tables row-locally, then BROADCAST — the only
+    corpus-sized operation is the equi-join on ``cell``. Both model
+    sides are plan-size-routed: the IVF centroids through
+    ``ivf_assign``'s literal-vs-relation cutover (LITERAL_MAX_NLIST)
+    and the PQ codebook through this module's
+    (LITERAL_MAX_BOOK_LITERALS), via ``strategy``. Same determinism contract as pq_topk (integer
+    ADC sums, rounded assignment scores, id tie-breaks).
 
     Returns (query_id, neighbor_id, approx_dist, rnk).
     """
@@ -252,22 +383,43 @@ def ivf_pq_topk(
     )
     centroids = [(int(r[id_col]), list(r[vec_col])) for r in seed_rows]
     assigned = ivf_assign(
-        corpus, centroids, id_col, vec_col, round_to, strategy="literal"
+        corpus, centroids, id_col, vec_col, round_to, strategy="auto"
     ).select(F.col(id_col), "cell")
     codebook = pq_codebook(
         corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
     )
     sub = len(codebook[0][0])
+    strategy = _resolve_strategy(strategy, codebook)
     codes = pq_encode(
-        corpus, codebook, id_col=id_col, vec_col=vec_col, round_to=round_to
+        corpus,
+        codebook,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_to=round_to,
+        strategy=strategy,
     ).join(assigned, id_col)
 
     scale = 10 ** round_to
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("_qnorm"),
-        *[
+    if strategy == "relation":
+        book = _book_relation(corpus.sparkSession, codebook)
+        def _qtab(j):
+            # closure-bound j (two-param lambdas receive the array index)
+            return lambda s: F.round(
+                _sub_sq_l2_rel(
+                    F.col(vec_col), s["cvec"], j * sub, sub, round_to
+                )
+                * scale
+            ).cast("long")
+
+        qt_cols = [
+            F.transform(
+                F.element_at(F.col("_book"), j + 1)["cents"], _qtab(j)
+            ).alias(f"_qt{j}")
+            for j in range(m)
+        ]
+        q_base = queries.crossJoin(F.broadcast(book))
+    else:
+        qt_cols = [
             F.array(
                 *[
                     F.round(
@@ -278,7 +430,13 @@ def ivf_pq_topk(
                 ]
             ).alias(f"_qt{j}")
             for j in range(m)
-        ],
+        ]
+        q_base = queries
+    q = q_base.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("_qnorm"),
+        *qt_cols,
     )
     frags = _cell_scores_sql("`qv`", "`_qnorm`", centroids, round_to)
     scores = F.expr(f"array({','.join(frags)})")

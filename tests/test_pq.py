@@ -111,3 +111,57 @@ def test_ivfpq_pruning_returns_subset_ranking(spark, emb):
         assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
         dists = [d for _, d in rows]
         assert dists == sorted(dists)
+
+
+def test_relation_strategy_parity_codes_and_topk(spark, emb):
+    """The broadcast-relation codebook form is bit-identical to the
+    literal form — codes, ADC distances, and ranks."""
+    from impresso_ta.operators.pq import ivf_pq_topk
+
+    book = pq_codebook(emb, m=4, ksub=8)
+    lit = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(emb, book, strategy="literal").collect()
+    }
+    rel = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(emb, book, strategy="relation").collect()
+    }
+    assert lit == rel
+    qs = emb.filter(F.col("vec_id") % 17 == 0)
+    a = sorted(map(tuple, pq_topk(emb, qs, book, k=3, strategy="literal").collect()))
+    b = sorted(map(tuple, pq_topk(emb, qs, book, k=3, strategy="relation").collect()))
+    assert a == b and len(a) > 0
+    c = sorted(map(tuple, ivf_pq_topk(emb, qs, nlist=4, nprobe=4, k=3,
+                                      strategy="literal").collect()))
+    d = sorted(map(tuple, ivf_pq_topk(emb, qs, nlist=4, nprobe=4, k=3,
+                                      strategy="relation").collect()))
+    assert c == d and len(c) > 0
+
+
+def test_auto_routes_big_codebook_to_relation_with_small_plan(spark):
+    """m=16/ksub=256 = 4096 codewords (64k literals in the literal form):
+    auto must route to the relation form, whose plan stays O(1)-sized
+    and executes."""
+    import random
+
+    from impresso_ta.operators.pq import (
+        LITERAL_MAX_BOOK_LITERALS,
+        _resolve_strategy,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 4) for _ in range(64)])
+        for i in range(300)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    book = pq_codebook(vecs, m=16, ksub=256)
+    assert 16 * 256 * 4 > LITERAL_MAX_BOOK_LITERALS
+    assert _resolve_strategy("auto", book) == "relation"
+    enc = pq_encode(vecs, book)  # auto
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 200_000  # the literal form would inline 64k terms
+    got = enc.limit(5).collect()
+    assert all(len(r.codes) == 16 for r in got)
+    assert all(0 <= c < 256 for r in got for c in r.codes)
