@@ -319,6 +319,13 @@ def _make_extract(extractor: PageExtractor):
 
 _EXTRACT_COLS = ["path", "canonical_id", "_cpath", "lang"]
 
+#: Incremental mode's surviving-path list is re-scanned in slices of this
+#: many paths per binaryFile relation — bounds every individual plan's
+#: embedded path list (a crawl batch with millions of new files becomes
+#: many scans, not one million-literal plan). Each slice is still a full
+#: distributed scan; only the path ENUMERATION is sliced.
+SURVIVOR_PATHS_PER_SCAN = 10_000
+
 
 def extract_pdf_ocr(
     spark: SparkSession,
@@ -345,7 +352,9 @@ def extract_pdf_ocr(
       re-running over a mostly-done archive costs the listing, not the
       bytes. The surviving path list passes through the driver — file
       paths, not data, the same cardinality Spark's own file index
-      already materializes driver-side for any scan of the directory.
+      already materializes driver-side for any scan of the directory —
+      and is re-scanned in SURVIVOR_PATHS_PER_SCAN-sized slices so no
+      single plan embeds an unbounded path list.
     - **``local_read=True``** (opt-in for giant PDFs on a local/NFS
       mount, the reference's operating model): listing stays
       bytes-free and each task ``open()``s its files; refused loudly
@@ -420,19 +429,33 @@ def extract_pdf_ocr(
         return invalid.unionByName(extracted)
 
     # incremental + content path: prune on the bytes-free listing FIRST,
-    # then scan content for the survivors only
+    # then scan content for the survivors only. The surviving paths DO
+    # cross the driver (same cardinality as Spark's own driver-side file
+    # index for the directory — paths, never bytes), but in BOUNDED
+    # slices: each slice becomes its own binaryFile scan of at most
+    # SURVIVOR_PATHS_PER_SCAN paths, unioned — no single plan ever
+    # embeds an unbounded path list. The alternative (scan everything
+    # WITH content and semi-join the survivors) keeps paths off the
+    # driver but re-reads every skipped file's bytes — the exact cost
+    # incremental mode exists to avoid — so slicing is the right trade.
     derived = _listing(with_content=False)
     invalid = _error_rows(derived.filter(F.col("canonical_id").isNull()))
     survivors = _anti(derived.filter(F.col("canonical_id").isNotNull()))
     paths = [r["path"] for r in survivors.select("path").collect()]
     if not paths:
         return invalid.unionByName(spark.createDataFrame([], OCR_SCHEMA))
-    extracted = (
-        _listing(with_content=True, paths=paths)
-        .select(*_EXTRACT_COLS, "content")
-        .mapInPandas(extract, OCR_SCHEMA)
-    )
-    return invalid.unionByName(extracted)
+    out = invalid
+    for i in range(0, len(paths), SURVIVOR_PATHS_PER_SCAN):
+        extracted = (
+            _listing(
+                with_content=True,
+                paths=paths[i : i + SURVIVOR_PATHS_PER_SCAN],
+            )
+            .select(*_EXTRACT_COLS, "content")
+            .mapInPandas(extract, OCR_SCHEMA)
+        )
+        out = out.unionByName(extracted)
+    return out
 
 
 def write_ocr_json(ocr_df: DataFrame, out_dir: str, mode: str = "append") -> None:

@@ -340,3 +340,26 @@ def test_default_content_plan_has_no_shuffle(spark, tmp_path):
     out = extract_pdf_ocr(spark, str(src), page_extractor=_fake_extractor)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_incremental_survivor_scan_is_sliced(spark, tmp_path, monkeypatch):
+    """A survivor count above SURVIVOR_PATHS_PER_SCAN becomes multiple
+    bounded binaryFile scans, never one plan embedding the whole path
+    list — output identical either way."""
+    import impresso_ta.sources.pdf_ocr as mod
+
+    src = tmp_path / "pdfs"
+    src.mkdir()
+    for d in range(1, 8):  # 7 new files, none done
+        (src / f"RB_SOC_Prog1_1944030{d}_FR.pdf").write_bytes(b"\x02pdf")
+    done = spark.createDataFrame([("nope-0000-00-00-a",)], "canonical_id string")
+
+    monkeypatch.setattr(mod, "SURVIVOR_PATHS_PER_SCAN", 3)
+    out = extract_pdf_ocr(
+        spark, str(src), page_extractor=_fake_extractor, existing_ids=done
+    )
+    got = sorted(r["canonical_id"] for r in out.collect())
+    assert got == [f"SOC_Prog1-1944-03-0{d}-a" for d in range(1, 8)]
+    # the plan holds ceil(7/3)=3 content scans, each bounded
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("binaryFile") >= 3
