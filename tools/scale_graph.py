@@ -111,5 +111,107 @@ def main() -> None:
     spark.stop()
 
 
+def _two_level_large_star(edges):
+    """Large-Star with the per-node min via groupBy + join-back instead
+    of a window: partial (map-side) aggregation removes the one-wide-
+    partition straggler a 10^7-degree hub creates under
+    Window.partitionBy, and the join-back is an equi-join AQE CAN
+    skew-split (window partitions it cannot)."""
+    bidir = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = bidir.groupBy("u").agg(F.min("v").alias("_mn"))
+    return (
+        bidir.join(mins, "u")
+        .select(
+            "u",
+            "v",
+            F.least(F.col("u"), F.col("_mn")).alias("m"),
+        )
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _two_level_small_star(edges):
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("_mn"))
+    with_m = oriented.join(mins, "u").select(
+        "u", "v", F.col("_mn").alias("m")
+    )
+    to_min = with_m.where(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_link = with_m.select("u", F.col("m").alias("v"))
+    return to_min.union(self_link).distinct()
+
+
+def gen_star(spark, hub_degree: int, tail: int = 10_000):
+    """One hub (node 0) with ``hub_degree`` spokes + a chain tail on a
+    separate id range — the adversarial shape for the window-based min
+    (all of node 0's bidir rows land in ONE window partition)."""
+    spokes = spark.range(1, hub_degree + 1).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+    )
+    base = 10 * hub_degree
+    chain = spark.range(base, base + tail - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    return spokes.union(chain)
+
+
+def star_probe() -> None:
+    import impresso_ta.operators.graph as g
+
+    spark = get_spark(
+        app_name="scale-graph-star",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=32,
+        extra_confs={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "24g"
+            ),
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results = json.load(open(OUT)) if os.path.exists(OUT) else {}
+    probe: dict = {}
+    for label, h in (("hub_1e6", 1_000_000), ("hub_5e6", 5_000_000)):
+        edges = gen_star(spark, h).persist()
+        edges.count()
+        rec: dict = {"hub_degree": h}
+
+        orig = (g._large_star, g._small_star)
+        for name, funcs in (
+            ("window", orig),
+            ("two_level", (_two_level_large_star, _two_level_small_star)),
+        ):
+            g._large_star, g._small_star = funcs
+            stats: dict = {}
+            t0 = time.time()
+            cc = g.connected_components(edges, stats=stats)
+            n_comp = cc.select("component").distinct().count()
+            rec[f"{name}_sec"] = round(time.time() - t0, 2)
+            rec[f"{name}_rounds"] = stats.get("rounds")
+            rec[f"{name}_components"] = n_comp
+        g._large_star, g._small_star = orig
+        edges.unpersist()
+        probe[label] = rec
+        print(label, json.dumps(rec))
+    results["star_probe"] = probe
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=2)
+    print("wrote", OUT)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if "--star" in sys.argv:
+        star_probe()
+    else:
+        main()
