@@ -5975,6 +5975,89 @@ def rebuild_reference_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The full-system digest: the reference's shipped TETML sample (FedGazDe,
+# 23 issues) pushed through EVERY pipeline layer in ONE query — filesystem
+# discovery → format-dispatched import → solr rebuild → corpus preparation
+# (gopher quality + line-span dedup + doc dedup) → deterministic training
+# shards — then digested per shard. Goldens captured from two runs at
+# different parallelism (local[8] / local[32], byte-identical); any drift
+# in ANY layer (listing order, import text, rebuild offsets, filter
+# thresholds, dedup verdicts, shard hashing) changes a digest.
+_REFERENCE_TETML_BASE = (
+    "/root/reference/text_preparation/data/sample_data/Tetml"
+)
+
+_CRAWL_CORPUS_GOLDEN = [
+    (0, 9, 20285, "c8709c66fffba9d338c0d42b68c83377"),
+    (1, 7, 13794, "1beafd40377cae3ca0d9e7aa2560ef92"),
+    (2, 15, 34848, "a8a90364c67dfaeb97c8dab2c5586515"),
+    (3, 11, 21379, "298b82a979a5d10c857c53ee01e03ec8"),
+]
+
+
+def _crawl_corpus_oracle() -> str:
+    rows = ",\n        ".join(
+        f"(CAST({s} AS INT), CAST({n} AS BIGINT), CAST({tc} AS BIGINT), "
+        f"'{d}')"
+        for s, n, tc, d in _CRAWL_CORPUS_GOLDEN
+    )
+    return (
+        "SELECT * FROM (VALUES\n        "
+        + rows
+        + "\n    ) AS t(shard, n_docs, total_chars, shard_digest)"
+    )
+
+
+@q(
+    "crawl_to_corpus_reference",
+    _crawl_corpus_oracle(),
+    "The composed crawl-to-corpus pipeline under ONE hash gate — the "
+    "full-system twin of rebuild_reference_canonical: detect_issues "
+    "walks the reference's shipped TETML sample (23 FedGazDe issues), "
+    "import_issues dispatches the tetml plugin (one UDTF pass, no "
+    "shuffle), rebuild_issues_solr assembles fulltext CIs, "
+    "prepare_corpus applies gopher quality + line-span dedup + "
+    "doc-level dedup (auto-routed to the exact jaccard form at this "
+    "size), and training_shards deals survivors into 4 reproducible "
+    "shards (md5 id hashing, partition-invariant). Digest per shard: "
+    "doc counts, chars, order-insensitive md5 of per-doc text md5s. "
+    "Oracle = committed golden VALUES (two runs at local[8]/local[32] "
+    "byte-identical), so drift in ANY layer fails the gate.",
+)
+def crawl_to_corpus_reference(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from impresso_ta.importers import import_issues
+    from impresso_ta.operators.corpus import training_shards
+    from impresso_ta.operators.pipeline import prepare_corpus
+    from impresso_ta.rebuild import rebuild_issues_solr
+    from impresso_ta.rebuild.solr import split_errors
+    from impresso_ta.sources.discovery import detect_issues
+
+    disc = detect_issues(spark, _REFERENCE_TETML_BASE, fmt="tetml")
+    issues, pages, _errors = import_issues(disc, ts="2024-01-01T00:00:00Z")
+    ok, _rb_errors = split_errors(rebuild_issues_solr(issues, pages))
+    corpus = ok.filter(F.length("ft") > 0).select(
+        F.row_number()
+        .over(Window.orderBy("id"))
+        .cast("long")
+        .alias("doc_id"),
+        F.col("ft").alias("text"),
+        F.col("id").alias("ci_id"),
+    )
+    prepared = prepare_corpus(
+        corpus, c4=False, gopher=True, line_spans=10, doc_dedup=True
+    ).docs
+    sharded = prepared.join(training_shards(prepared, n_shards=4), "doc_id")
+    return sharded.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.md5(
+            F.concat_ws(",", F.array_sort(F.collect_list(F.md5("text"))))
+        ).alias("shard_digest"),
+    )
+
+
 @q(
     "per_domain_cap",
     """
