@@ -66,6 +66,13 @@ QUERIES = [
      "version ranking, tombstones filtered post-rank"),
     ("layout_compaction_plan", "metadata-sized: one map-side-combined "
      "groupBy over the listing; merge decisions row-local"),
+    ("er_entity_clusters", "clone-contracted ER (r9): one groupBy(value) "
+     "contraction, fuzzy join over DISTINCT values only, CC on the "
+     "contracted graph, one value equi-join to expand labels — no "
+     "clone-quadratic edge set anywhere in the plan"),
+    ("similarity_pq_topk", "PQ codebook as a broadcast one-row relation "
+     "(r9): encode and ADC tables via transform over _book — no 512-"
+     "literal expression, plan size O(1) in m·ksub"),
 ]
 
 
