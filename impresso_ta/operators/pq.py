@@ -370,7 +370,10 @@ def ivf_pq_topk(
     Returns (query_id, neighbor_id, approx_dist, rnk).
     """
     from impresso_ta.operators.similarity import (
+        LITERAL_MAX_NLIST,
+        _cell_scores_over,
         _cell_scores_sql,
+        _centroids_relation,
         ivf_assign,
         norm,
     )
@@ -438,8 +441,18 @@ def ivf_pq_topk(
         norm(F.col(vec_col)).alias("_qnorm"),
         *qt_cols,
     )
-    frags = _cell_scores_sql("`qv`", "`_qnorm`", centroids, round_to)
-    scores = F.expr(f"array({','.join(frags)})")
+    # probe-cell computation follows the same literal-vs-relation
+    # cutover as ivf_assign: above LITERAL_MAX_NLIST the per-centroid
+    # score array comes from the broadcast _cents relation instead of
+    # an O(nlist·dims)-literal expression (bit-identical scores)
+    if len(centroids) > LITERAL_MAX_NLIST:
+        q = q.crossJoin(
+            F.broadcast(_centroids_relation(corpus.sparkSession, centroids))
+        )
+        scores = _cell_scores_over(F.col("qv"), F.col("_qnorm"), round_to)
+    else:
+        frags = _cell_scores_sql("`qv`", "`_qnorm`", centroids, round_to)
+        scores = F.expr(f"array({','.join(frags)})")
     probe_cells = F.transform(
         F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
         lambda s: (-s["negcell"]).cast("int"),

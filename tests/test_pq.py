@@ -165,3 +165,20 @@ def test_auto_routes_big_codebook_to_relation_with_small_plan(spark):
     got = enc.limit(5).collect()
     assert all(len(r.codes) == 16 for r in got)
     assert all(0 <= c < 256 for r in got for c in r.codes)
+
+
+def test_ivfpq_big_nlist_routes_probe_side_to_relation(spark, emb):
+    """nlist above LITERAL_MAX_NLIST: probe cells come from the broadcast
+    _cents relation — results identical to a literal-forced small run
+    restricted to the same full-probe setting."""
+    from impresso_ta.operators.pq import ivf_pq_topk
+
+    n = emb.count()
+    qs = emb.filter(F.col("vec_id") % 29 == 0)
+    # full probe at two nlist settings spanning the cutover: both are
+    # exhaustive scans, so the ADC ranking must be identical
+    small = sorted(map(tuple, ivf_pq_topk(
+        emb, qs, nlist=4, nprobe=4, k=3).collect()))
+    big = sorted(map(tuple, ivf_pq_topk(
+        emb, qs, nlist=80, nprobe=80, k=3).collect()))
+    assert [r[:2] for r in small] == [r[:2] for r in big]
