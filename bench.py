@@ -146,9 +146,12 @@ EXTENDED_QUERIES = [
     "events_debounce",
     "er_entity_clusters",
     "graph_bfs_khop",
-    # r9: the exact fuzzy PAIRS join, viable at sf1 since clone collapse
-    # (23 s for all 313M true pairs through the noop sink — the output
-    # IS the cost; the clustering consumer routes to er_entity_clusters)
+    # r9: the exact fuzzy PAIRS join, viable at sf1 since clone collapse.
+    # Measured sf0.1 2.9 s -> sf1 380 s for ~131x more true pairs
+    # (~400M at dist<=2): the verify is collapsed to distinct values,
+    # so what remains is OUTPUT-proportional expansion — the honest
+    # floor for an exact pairs form; a clustering consumer routes to
+    # er_entity_clusters (1.8 s at sf1), which never expands the pairs.
     "j17_fuzzy_blocked_join",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
