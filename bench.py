@@ -157,23 +157,25 @@ EXTENDED_QUERIES = [
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]
 
-# Extended entries skipped at the sf1 pass, each with a measured reason.
-# dedup_jaccard_prefix: the sf1 corpus holds 250,582 TRUE j>=0.7 pairs
-# (gen_bigsf 10x near-copies x template clusters) — an EXACT pairs join
-# must verify and emit all of them (186 s measured, candidate:true 78:1
-# even with the PPJoin length filter). The output itself is quadratic in
-# clique size; a dedup run at this clone rate routes to
-# dedup_minhash_survivors (linear output), the exact pairs form is the
-# precision tool for sparse-similarity corpora — tracked at sf0.1 where
-# the corpus's pair mass (256) matches that use case.
-# er_entity_clusters RE-ENTERED in r9: the round-8 stall was clone mass
-# (sf1's 200k parts share only 64 distinct names ≈ 31k clones each; the
-# raw pairwise edge set is 313,223,600 edges — quadratic in clone
-# multiplicity, so CC over raw edges is where the >9 min went).
-# er.resolve_entities contracts exact-value clones to super-nodes before
-# edge generation (provably output-identical, see er.py); measured
-# >9 min (skipped) -> 16.3 s at sf1.
-EXTENDED_SF1_SKIP = {"dedup_jaccard_prefix"}
+# Extended entries skipped at the sf1 pass. EMPTY since r9 — both former
+# skips re-entered with measured fixes:
+# - er_entity_clusters: the round-8 stall was clone mass (sf1's 200k
+#   parts share only 64 distinct names ≈ 31k clones each; the raw
+#   pairwise edge set is 313,223,600 edges — quadratic in clone
+#   multiplicity, so CC over raw edges is where the >9 min went).
+#   er.resolve_entities contracts exact-value clones to super-nodes
+#   before edge generation (provably output-identical, see er.py);
+#   measured >9 min (skipped) -> 1.8 s at sf1.
+# - dedup_jaccard_prefix: r8 measured 186 s pre-mitigation and skipped;
+#   with the exact-clone collapse + PPJoin length filter it now runs
+#   21.6 s at sf1 through the noop sink — tracked.
+EXTENDED_SF1_SKIP: set[str] = set()
+
+# Output-proportional giants run ONCE per bench pass: j17 emits every
+# verified pair (~400M rows at sf1, 380 s of raw row emission through
+# the noop sink) — a min-of-2 there doubles bench wall-time to protect
+# a number dominated by output volume, not plan noise.
+SINGLE_RUN = {"j17_fuzzy_blocked_join"}
 
 YARDSTICK = ["q1_pricing_summary", "w3_running_offsets"]
 
@@ -270,7 +272,9 @@ def main() -> None:
             try:
                 timings[name] = timed(
                     lambda fn=fn: fn(spark, at_dir),
-                    runs=3 if name in MIN_OF_3 else 2,
+                    runs=1
+                    if name in SINGLE_RUN
+                    else (3 if name in MIN_OF_3 else 2),
                 )
             except Exception as ex:
                 errors[f"{at_dir}:{name}"] = str(ex).split("\n")[0][:300]

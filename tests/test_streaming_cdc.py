@@ -1,0 +1,109 @@
+"""Streaming latest-wins CDC materialization (streaming/cdc.py): the
+emitted upsert changelog, replayed, must equal the batch
+``latest_snapshot`` of the full log — across micro-batches, with
+tombstones, out-of-order late rows, and idempotent re-runs."""
+
+import json
+
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from impresso_ta.operators.cdc import latest_snapshot
+from impresso_ta.streaming.cdc import stream_latest_wins
+
+SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("seq", LongType()),
+        StructField("payload", StringType()),
+        StructField("op", StringType()),
+    ]
+)
+
+BATCH_1 = [
+    (1, 1, "a", "upsert"),
+    (1, 3, "c", "upsert"),  # same-batch winner
+    (2, 1, "x", "upsert"),
+    (3, 5, "only", "upsert"),
+]
+BATCH_2 = [
+    (1, 2, "b-late", "upsert"),  # LATE: lower seq than stored 3 — no emit
+    (2, 2, None, "delete"),      # tombstone wins key 2
+    (4, 1, "new", "upsert"),
+]
+
+
+def _write(drop, name, rows):
+    with open(drop / name, "w") as f:
+        for k, seq, payload, op in rows:
+            f.write(
+                json.dumps(
+                    {"k": k, "seq": seq, "payload": payload, "op": op}
+                )
+                + "\n"
+            )
+
+
+def _replay(upserts):
+    # apply the changelog: last emission per key wins, tombstones drop
+    snap = {}
+    for r in sorted(upserts, key=lambda r: r["seq"]):
+        if r["deleted"]:
+            snap.pop(r["key"], None)
+        else:
+            snap[r["key"]] = (r["seq"], r["payload"])
+    return snap
+
+
+def test_stream_latest_wins_matches_batch_snapshot(spark, tmp_path):
+    drop = tmp_path / "log"
+    drop.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).json(str(drop))
+        q = (
+            stream_latest_wins(
+                stream, key_col="k", seq_col="seq",
+                payload_col="payload", op_col="op",
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+        return [r.asDict() for r in spark.read.parquet(str(out)).collect()]
+
+    _write(drop, "b1.jsonl", BATCH_1)
+    ups = run()
+    # key 1 emitted ONCE per batch with the batch winner, not per row
+    assert {(r["key"], r["seq"]) for r in ups} == {(1, 3), (2, 1), (3, 5)}
+
+    _write(drop, "b2.jsonl", BATCH_2)
+    ups = run()
+    # late (1,2) emitted nothing; tombstone emitted with deleted=True
+    emitted = {(r["key"], r["seq"], r["deleted"]) for r in ups}
+    assert (1, 3, False) in emitted and (2, 2, True) in emitted
+    assert (4, 1, False) in emitted and (1, 2, False) not in emitted
+
+    # idempotent re-run: no new emissions
+    assert len(run()) == len(ups)
+
+    # replayed changelog == batch latest_snapshot over the full log
+    full = spark.createDataFrame(BATCH_1 + BATCH_2, SCHEMA)
+    batch = {
+        r.k: (r.seq, r.payload)
+        for r in latest_snapshot(
+            full, ["k"], ["seq"], op_col="op"
+        ).collect()
+    }
+    assert _replay(ups) == batch == {1: (3, "c"), 3: (5, "only"), 4: (1, "new")}
