@@ -153,6 +153,10 @@ EXTENDED_QUERIES = [
     # floor for an exact pairs form; a clustering consumer routes to
     # er_entity_clusters (1.8 s at sf1), which never expands the pairs.
     "j17_fuzzy_blocked_join",
+    # r9: hard-negative mining (contrastive-training data) — the
+    # cosine_topk plan with the label-inequality fused into the
+    # broadcast cross join
+    "similarity_hard_negatives",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]

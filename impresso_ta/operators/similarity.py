@@ -89,6 +89,67 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / metric training: per query
+    vector, the top-k most similar corpus vectors with a DIFFERENT
+    label — the "close but wrong" examples a contrastive loss learns
+    the most from (easy negatives are already far away; same-label
+    neighbors are positives, not negatives).
+
+    Plan shape = ``cosine_topk`` with the label-inequality predicate
+    fused into the broadcast cross join: queries (small by contract)
+    broadcast, corpus scanned ONCE and never shuffled, per-query top-k
+    via window over (n_queries × survivors). Self-pairs are excluded by
+    id. NULL labels never participate (SQL three-valued logic on ``<>``
+    — same semantics in the DuckDB oracle).
+
+    Deterministic ordering: (cosine desc, neighbor id asc). Returns
+    (query_id, neighbor_id, cosine, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("_qlabel"),
+    )
+    c = spread_small_input(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("_clabel"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("_clabel") != F.col("_qlabel"))
+            & (F.col("neighbor_id") != F.col("query_id"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias(
+                "cosine"
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def semantic_decontamination(
     train: DataFrame,
     bench: DataFrame,

@@ -982,6 +982,44 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "similarity_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(
+                   list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                       x -> x[1]::DOUBLE * x[2]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(q.embedding, v -> v::DOUBLE * v::DOUBLE)))
+                    * sqrt(list_sum(list_transform(c.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+               4) AS cosine
+        FROM q, embeddings c
+        WHERE c.label <> q.label AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    "Hard-negative mining for contrastive / metric training: per query "
+    "vector the top-k most similar corpus vectors with a DIFFERENT "
+    "label — the close-but-wrong examples a contrastive loss learns "
+    "most from. Plan = cosine_topk with the label-inequality fused "
+    "into the broadcast cross join: queries broadcast, corpus scanned "
+    "once with zero shuffle, per-query top-k window. Same rounding / "
+    "id tie-break discipline as the other similarity oracles.",
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(
+        corpus=emb, queries=emb.filter(F.col("vec_id") % 100 == 0), k=3
+    )
+
+
+@q(
     "text_quality",
     """
     SELECT doc_id,

@@ -191,3 +191,23 @@ def test_recall_queries_monotone(spark):
     rs = [lsh[t]["recall"] for t in (1, 2, 3)]
     assert rs == sorted(rs)
     assert rs[0] >= 1 / 3 - 1e-9
+
+
+def test_hard_negatives_exclude_same_label_and_self(spark):
+    from impresso_ta.operators.similarity import hard_negatives
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    out = hard_negatives(emb, qs, k=3).collect()
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    assert out
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        assert labels[r.neighbor_id] != labels[r.query_id]
+        assert 1 <= r.rank <= 3
+    # a hard negative is NOT farther than k-th overall different-label
+    # neighbor: ranks are dense per query
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
