@@ -157,6 +157,7 @@ EXTENDED_QUERIES = [
     # cosine_topk plan with the label-inequality fused into the
     # broadcast cross join
     "similarity_hard_negatives",
+    "similarity_training_triplets",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]

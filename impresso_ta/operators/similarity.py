@@ -150,6 +150,84 @@ def hard_negatives(
     )
 
 
+def training_triplets(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_pos: int = 2,
+    k_neg: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 4,
+) -> DataFrame:
+    """Triplet assembly for metric learning: per anchor, the k_pos
+    nearest SAME-label vectors (positives) crossed with the k_neg
+    nearest DIFFERENT-label vectors (hard negatives, see
+    ``hard_negatives``) — the (anchor, positive, negative) rows a
+    triplet/contrastive loss consumes, with ``margin`` = pos_cos −
+    neg_cos exposed so a trainer can keep only violating triplets
+    (margin below the loss margin) without recomputing similarities.
+
+    Plan: ONE broadcast cross join scores every (corpus, anchor) pair
+    and both ranked sides are carved out of it by label predicate +
+    window — the corpus is scanned once, not twice; the final
+    positives × negatives cross is per-anchor (k_pos·k_neg rows) via an
+    equi-join on the anchor id. Determinism: same rounding and
+    (cosine desc, id asc) tie-break as every similarity oracle.
+
+    Returns (anchor_id, positive_id, negative_id, pos_cos, neg_cos,
+    margin), margin rounded to ``round_to``.
+    """
+    q = queries.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("_qlabel"),
+    )
+    c = spread_small_input(corpus).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("_clabel"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cand_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "cand_id",
+            (F.col("_clabel") == F.col("_qlabel")).alias("_same"),
+            F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias(
+                "_cos"
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("anchor_id", "_same").orderBy(
+        F.desc("_cos"), F.asc("cand_id")
+    )
+    ranked = scored.withColumn("_rk", F.row_number().over(w))
+    pos = ranked.where(F.col("_same") & (F.col("_rk") <= k_pos)).select(
+        "anchor_id",
+        F.col("cand_id").alias("positive_id"),
+        F.col("_cos").alias("pos_cos"),
+    )
+    neg = ranked.where(~F.col("_same") & (F.col("_rk") <= k_neg)).select(
+        "anchor_id",
+        F.col("cand_id").alias("negative_id"),
+        F.col("_cos").alias("neg_cos"),
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "positive_id",
+        "negative_id",
+        "pos_cos",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), round_to).alias(
+            "margin"
+        ),
+    )
+
+
 def semantic_decontamination(
     train: DataFrame,
     bench: DataFrame,

@@ -1020,6 +1020,56 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "similarity_training_triplets",
+    """
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.vec_id AS anchor_id, c.vec_id AS cand_id,
+               c.label = q.label AS same,
+               round(
+                   list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                       x -> x[1]::DOUBLE * x[2]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(q.embedding, v -> v::DOUBLE * v::DOUBLE)))
+                    * sqrt(list_sum(list_transform(c.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+               4) AS cos
+        FROM q, embeddings c
+        WHERE c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY anchor_id, same ORDER BY cos DESC, cand_id ASC
+        ) AS rk FROM scored
+    ),
+    pos AS (SELECT anchor_id, cand_id AS positive_id, cos AS pos_cos
+            FROM ranked WHERE same AND rk <= 2),
+    neg AS (SELECT anchor_id, cand_id AS negative_id, cos AS neg_cos
+            FROM ranked WHERE NOT same AND rk <= 2)
+    SELECT pos.anchor_id, positive_id, negative_id, pos_cos, neg_cos,
+           round(pos_cos - neg_cos, 4) AS margin
+    FROM pos JOIN neg ON pos.anchor_id = neg.anchor_id
+    """,
+    "Triplet assembly for metric learning: per anchor the k_pos "
+    "nearest SAME-label positives crossed with the k_neg nearest "
+    "DIFFERENT-label hard negatives, with margin = pos_cos - neg_cos "
+    "so a trainer keeps only violating triplets. ONE broadcast cross "
+    "join scores all pairs; both ranked sides carve out of it by a "
+    "(anchor, same-label) window — the corpus is scanned once, not "
+    "twice; the per-anchor positivesxnegatives cross is an equi-join.",
+)
+def similarity_training_triplets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.training_triplets(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") % 100 == 0),
+        k_pos=2,
+        k_neg=2,
+    )
+
+
+@q(
     "text_quality",
     """
     SELECT doc_id,

@@ -211,3 +211,23 @@ def test_hard_negatives_exclude_same_label_and_self(spark):
     for r in out:
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_training_triplets_structure_and_margin(spark):
+    from impresso_ta.operators.similarity import training_triplets
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    out = training_triplets(emb, qs, k_pos=2, k_neg=2).collect()
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    assert out
+    for r in out:
+        assert labels[r.positive_id] == labels[r.anchor_id]
+        assert labels[r.negative_id] != labels[r.anchor_id]
+        assert r.positive_id != r.anchor_id
+        assert round(r.pos_cos - r.neg_cos, 4) == r.margin
+    # per anchor: exactly k_pos * k_neg triplets when both sides exist
+    from collections import Counter
+
+    per = Counter(r.anchor_id for r in out)
+    assert all(v == 4 for v in per.values())
