@@ -158,6 +158,7 @@ EXTENDED_QUERIES = [
     # broadcast cross join
     "similarity_hard_negatives",
     "similarity_training_triplets",
+    "similarity_hard_negatives_ivf",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]

@@ -150,6 +150,93 @@ def hard_negatives(
     )
 
 
+def hard_negatives_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    nlist: int = 8,
+    nprobe: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 4,
+) -> DataFrame:
+    """The scale path for ``hard_negatives``: candidates come from each
+    anchor's ``nprobe`` nearest IVF cells instead of the whole corpus —
+    candidate volume ~corpus·nprobe/nlist, the same pruning contract as
+    ``ivf_topk`` (full probe nprobe=nlist is EXHAUSTIVE and equals the
+    brute form exactly — that identity is the oracle). Use this when
+    every corpus row is an anchor: the brute broadcast cross join is
+    |corpus|·|anchors| and dies at full-corpus mining scale; this form's
+    only corpus-sized operation is the equi-join on ``cell``.
+
+    Same determinism discipline throughout (rounded scores before
+    ranking, id tie-breaks). Returns (query_id, neighbor_id, cosine,
+    rank).
+    """
+    seed_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(nlist)
+        .collect()
+    )
+    centroids = [(int(r[id_col]), list(r[vec_col])) for r in seed_rows]
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, round_to).join(
+        corpus.select(F.col(id_col), F.col(label_col).alias("_clabel")),
+        id_col,
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("_qnorm"),
+        F.col(label_col).alias("_qlabel"),
+    )
+    if len(centroids) > LITERAL_MAX_NLIST:
+        q = q.crossJoin(
+            F.broadcast(_centroids_relation(corpus.sparkSession, centroids))
+        )
+        scores = _cell_scores_over(F.col("qv"), F.col("_qnorm"), round_to)
+    else:
+        frags = _cell_scores_sql("`qv`", "`_qnorm`", centroids, round_to)
+        scores = F.expr(f"array({','.join(frags)})")
+    probe_cells = F.transform(
+        F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
+        lambda s: (-s["negcell"]).cast("int"),
+    )
+    probes = q.select(
+        "query_id", "qv", "_qnorm", "_qlabel",
+        F.explode(probe_cells).alias("cell"),
+    )
+    cand = (
+        assigned.withColumn("_cnorm", norm(F.col(vec_col)))
+        .join(F.broadcast(probes), "cell")
+        .where(
+            (F.col("_clabel") != F.col("_qlabel"))
+            & (F.col(id_col) != F.col("query_id"))
+        )
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                dot(F.col("qv"), F.col(vec_col))
+                / (F.col("_qnorm") * F.col("_cnorm")),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def training_triplets(
     corpus: DataFrame,
     queries: DataFrame,

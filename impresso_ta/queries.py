@@ -1020,6 +1020,51 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "similarity_hard_negatives_ivf",
+    """
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(
+                   list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                       x -> x[1]::DOUBLE * x[2]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(q.embedding, v -> v::DOUBLE * v::DOUBLE)))
+                    * sqrt(list_sum(list_transform(c.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+               4) AS cosine
+        FROM q, embeddings c
+        WHERE c.label <> q.label AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    "The SCALE path for hard-negative mining: candidates from each "
+    "anchor's probed IVF cells only — candidate volume ~corpus·nprobe/"
+    "nlist, the only corpus-sized operation is the cell equi-join "
+    "(the brute broadcast cross join is |corpus|x|anchors| and dies "
+    "when every corpus row is an anchor). Registered at FULL probe "
+    "(nprobe=nlist), which is exhaustive by construction — so the "
+    "brute form's SQL IS the oracle; pruning behavior is pinned by "
+    "the subset test, mirroring ivf_topk's contract.",
+)
+def similarity_hard_negatives_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives_ivf(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") % 100 == 0),
+        nlist=8,
+        nprobe=8,
+        k=3,
+    )
+
+
+@q(
     "similarity_training_triplets",
     """
     WITH q AS (SELECT vec_id, embedding, label FROM embeddings

@@ -231,3 +231,29 @@ def test_training_triplets_structure_and_margin(spark):
 
     per = Counter(r.anchor_id for r in out)
     assert all(v == 4 for v in per.values())
+
+
+def test_hard_negatives_ivf_full_probe_equals_brute_and_prunes(spark):
+    from impresso_ta.operators.similarity import (
+        hard_negatives,
+        hard_negatives_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    brute = sorted(map(tuple, hard_negatives(emb, qs, k=3).collect()))
+    full = sorted(map(tuple, hard_negatives_ivf(
+        emb, qs, nlist=4, nprobe=4, k=3).collect()))
+    assert brute == full  # exhaustive probe == brute, bit for bit
+    pruned = hard_negatives_ivf(emb, qs, nlist=4, nprobe=1, k=3).collect()
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    # pruning stays label-correct and draws from the exhaustive
+    # different-label candidate space (a strict subset of pairs)
+    exhaustive_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in hard_negatives(emb, qs, k=10**9).collect()
+    }
+    for r in pruned:
+        assert labels[r.neighbor_id] != labels[r.query_id]
+        assert (r.query_id, r.neighbor_id) in exhaustive_pairs
+    assert len(pruned) <= len(brute)
