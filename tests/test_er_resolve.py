@@ -133,3 +133,24 @@ def test_fuzzy_join_guard_silent_below_bound(spark):
     assert {(r["a_key"], r["b_key"], r["edit_dist"]) for r in got} == {
         (1, 10, 1)
     }
+
+
+def test_resolve_entities_null_names_never_cluster(spark):
+    # null values: no block key, no edges, excluded from output in both
+    # the contracted and the raw form (SQL three-valued equality)
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "alpha beta"), (4, "alpha beta")],
+        "k long, name string",
+    )
+    got = {
+        (r["k"], r["cluster"])
+        for r in resolve_entities(df, "k", "name", max_dist=1).collect()
+    }
+    assert got == {(3, 3), (4, 3)}
+
+
+def test_resolve_entities_no_matches_is_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "zebra")], "k long, name string"
+    )
+    assert resolve_entities(df, "k", "name", max_dist=1).count() == 0

@@ -73,6 +73,13 @@ QUERIES = [
     ("similarity_pq_topk", "PQ codebook as a broadcast one-row relation "
      "(r9): encode and ADC tables via transform over _book — no 512-"
      "literal expression, plan size O(1) in m·ksub"),
+    ("similarity_training_triplets", "triplet mining (r9): ONE broadcast "
+     "cross join scores all pairs; positives AND negatives carved from "
+     "the same scored frame by an (anchor, same-label) window — corpus "
+     "scanned once, not twice"),
+    ("similarity_hard_negatives_ivf", "mining scale path (r9): the cell "
+     "equi-join is the only corpus-sized op; probes broadcast; label "
+     "predicate fused into the join"),
 ]
 
 
