@@ -815,13 +815,33 @@ def ivf_topk(
             corpus, centroids, id_col, vec_col, round_to, strategy
         )
 
+    return _ivf_probe_rank(
+        assigned, queries, centroids, nprobe, k, id_col, vec_col,
+        round_to, strategy,
+    )
+
+
+def _ivf_probe_rank(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    round_to: int,
+    strategy: str,
+) -> DataFrame:
+    """Probe + score + rank over an existing (id, vec, cell) assignment —
+    shared by ivf_topk (assigns inline) and ivf_topk_indexed (probes a
+    PERSISTED index)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         norm(F.col(vec_col)).alias("_qnorm"),
     )
     if strategy == "broadcast":
-        cents = _centroids_relation(corpus.sparkSession, centroids)
+        cents = _centroids_relation(assigned.sparkSession, centroids)
         scores = _cell_scores_over(F.col("qv"), F.col("_qnorm"), round_to)
         q = q.crossJoin(F.broadcast(cents))
     else:
@@ -859,6 +879,44 @@ def ivf_topk(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_topk_indexed(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    strategy: str = "auto",
+) -> DataFrame:
+    """``ivf_topk`` over a PERSISTED index: ``index`` is the
+    (id, vec, cell) table ``ivf_assign`` produced at INGEST time —
+    assign once, write ``partitionBy("cell")``, and every subsequent
+    query run skips the assignment scan entirely. With a
+    cell-partitioned parquet store the probe-cell join reaches the scan
+    as DYNAMIC PARTITION PRUNING (plan-tested): only the probed
+    nprobe/nlist of the files are READ, which is the difference between
+    "score fewer rows" and "never read the bytes" at 100 TB.
+
+    Incremental crawls compose for free: assigning a NEW batch is
+    ``ivf_assign(new_batch, centroids)`` with the same FROZEN centroids
+    (append to the store) — the exact pattern
+    ``incremental_minhash_dedup_banded`` uses for its persisted band
+    state. ``centroids`` must be the ones the index was built with
+    (same seeds, same refine history); results are then bit-identical
+    to ``ivf_topk`` over the original corpus (parity-tested).
+    """
+    if strategy == "auto":
+        strategy = (
+            "literal" if len(centroids) <= LITERAL_MAX_NLIST else "broadcast"
+        )
+    return _ivf_probe_rank(
+        index, queries, centroids, nprobe, k, id_col, vec_col,
+        round_to, strategy,
     )
 
 

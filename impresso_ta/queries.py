@@ -1827,6 +1827,36 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "similarity_ivf_indexed_topk",
+    _IVF_SQL,
+    "ivf_topk over a PERSISTED index: the (id, vec, cell) assignment "
+    "is built ONCE at ingest (ivf_assign), written partitionBy(cell), "
+    "and every query run probes it without re-assigning the corpus — "
+    "with a cell-partitioned store the probe join reaches the scan as "
+    "DYNAMIC PARTITION PRUNING (plan-tested in "
+    "test_ivf_topk_indexed_parity_and_partition_pruning), so only "
+    "nprobe/nlist of the bytes are READ. Incremental crawls append "
+    "new batches assigned with the same frozen centroids — the "
+    "persisted-band-state pattern of incremental_minhash_dedup_banded "
+    "applied to ANN. Same oracle as similarity_ivf_topk: identical "
+    "centroids and probes give bit-identical results by construction.",
+)
+def similarity_ivf_indexed_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 97 == 0)
+    seeds = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in e.orderBy("vec_id").limit(8).collect()
+    ]
+    index = similarity.ivf_assign(e, seeds)
+    return similarity.ivf_topk_indexed(
+        index, qs, seeds, nprobe=2, k=3
+    ).withColumnRenamed("rank", "rnk")
+
+
 def _ann_truth_cte() -> str:
     """Brute-force top-3 ground truth for the %97 query set over the
     whole embeddings table — shared by both recall oracles."""

@@ -257,3 +257,49 @@ def test_hard_negatives_ivf_full_probe_equals_brute_and_prunes(spark):
         assert labels[r.neighbor_id] != labels[r.query_id]
         assert (r.query_id, r.neighbor_id) in exhaustive_pairs
     assert len(pruned) <= len(brute)
+
+
+def test_ivf_topk_indexed_parity_and_partition_pruning(spark, tmp_path):
+    """A persisted cell-partitioned index returns bit-identical results
+    to inline ivf_topk, and the probe join reaches the parquet scan as
+    dynamic partition pruning — probed cells' files are the only ones
+    read."""
+    from impresso_ta.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 97 == 0)
+    seeds = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    inline = sorted(
+        map(tuple, ivf_topk(emb, qs, centroids=seeds, nlist=8, nprobe=2,
+                            k=3).collect())
+    )
+
+    # build the index once at "ingest", persist partitioned by cell
+    store = str(tmp_path / "ivf_index")
+    ivf_assign(emb, seeds).write.partitionBy("cell").parquet(store)
+    index = spark.read.parquet(store)
+    indexed = ivf_topk_indexed(index, qs, seeds, nprobe=2, k=3)
+    assert sorted(map(tuple, indexed.collect())) == inline
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+    # incremental append with FROZEN centroids composes: new batch rows
+    # appear in results when they win
+    new_batch = emb.selectExpr(
+        "vec_id + 100000 AS vec_id", "embedding", "label"
+    ).limit(3)
+    ivf_assign(new_batch, seeds).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(store)
+    grown = spark.read.parquet(store)
+    assert grown.count() == emb.count() + 3
+    out2 = ivf_topk_indexed(grown, qs, seeds, nprobe=8, k=3).collect()
+    assert any(r.neighbor_id >= 100000 for r in out2)  # clones tie-break in
