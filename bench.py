@@ -160,6 +160,7 @@ EXTENDED_QUERIES = [
     "similarity_training_triplets",
     "similarity_hard_negatives_ivf",
     "similarity_ivf_indexed_topk",
+    "retrieval_mmr_rerank",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]

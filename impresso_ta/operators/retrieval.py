@@ -164,3 +164,145 @@ def hybrid_topk(
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(k_final)
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_candidates: int = 10,
+    k: int = 3,
+    lam_pct: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein 1998):
+    per query, greedily select ``k`` of the top-``n_candidates``
+    neighbors maximizing ``lam·relevance − (1−lam)·max-similarity-to-
+    already-selected`` — the serve-time diversity pass that keeps a
+    RAG/retrieval result list from being k near-copies of one document.
+
+    Greedy selection is inherently sequential in k, which SQL window
+    functions cannot express — this is the designed use of a Pandas
+    cogroup: ALL float work (query→candidate relevance, candidate↔
+    candidate similarity) happens JVM-side with the shared
+    round-then-scale discipline, producing 1e4-scaled BIGINTs; the
+    Python side does nothing but integer comparisons over a per-query
+    group of ≤ n_candidates rows + n_candidates² sims, so results are
+    bit-identical across engines (the DuckDB oracle unrolls the same
+    greedy recurrence as chained CTEs for fixed k).
+
+    Scale shape: candidate generation is ``cosine_topk`` (corpus
+    scanned once, queries broadcast — swap in ``ivf_topk`` upstream at
+    scale); the pairwise-sim self-join is per-query n_candidates² on
+    the TINY candidate table; the cogroup shuffles only candidates and
+    sims, both ∝ |queries|·n_candidates². Returns (query_id,
+    neighbor_id, pos 1..k, mmr_score_scaled BIGINT).
+
+    Tie-breaks: max score, then smallest neighbor id — deterministic.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from impresso_ta.operators.similarity import cosine, cosine_topk
+
+    scale = 10 ** round_to
+    cands = cosine_topk(
+        corpus, queries, k=n_candidates, id_col=id_col, vec_col=vec_col,
+        round_to=round_to,
+    )
+    rels = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine") * scale).cast("long").alias("rel_s"),
+    )
+    withv = rels.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+        ),
+        "neighbor_id",
+    )
+    la = withv.select(
+        "query_id", F.col("neighbor_id").alias("a"), F.col("_v").alias("_va")
+    ).alias("la")
+    lb = withv.select(
+        "query_id", F.col("neighbor_id").alias("b"), F.col("_v").alias("_vb")
+    ).alias("lb")
+    sims = (
+        la.join(
+            lb,
+            (F.col("la.query_id") == F.col("lb.query_id"))
+            & (F.col("la.a") != F.col("lb.b")),
+        )
+        .select(
+            F.col("la.query_id").alias("query_id"),
+            "a",
+            "b",
+            F.round(
+                F.round(cosine(F.col("_va"), F.col("_vb")), round_to) * scale
+            )
+            .cast("long")
+            .alias("sim_s"),
+        )
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("pos", IntegerType()),
+            StructField("mmr_score_scaled", LongType()),
+        ]
+    )
+
+    def greedy(key, rel_pdf: pd.DataFrame, sim_pdf: pd.DataFrame):
+        (qid,) = key
+        rel = {
+            int(r.neighbor_id): int(r.rel_s)
+            for r in rel_pdf.itertuples(index=False)
+        }
+        sim = {
+            (int(r.a), int(r.b)): int(r.sim_s)
+            for r in sim_pdf.itertuples(index=False)
+        }
+        selected: list[int] = []
+        rows = []
+        for pos in range(1, k + 1):
+            best_id, best_sc = None, None
+            for c in sorted(rel):  # ascending id = deterministic tie-break
+                if c in selected:
+                    continue
+                if not selected:
+                    sc = lam_pct * rel[c]
+                else:
+                    sc = lam_pct * rel[c] - (100 - lam_pct) * max(
+                        sim[(c, s)] for s in selected
+                    )
+                if best_sc is None or sc > best_sc:
+                    best_id, best_sc = c, sc
+            if best_id is None:
+                break
+            selected.append(best_id)
+            rows.append(
+                {
+                    "query_id": qid,
+                    "neighbor_id": best_id,
+                    "pos": pos,
+                    "mmr_score_scaled": best_sc,
+                }
+            )
+        return pd.DataFrame(
+            rows, columns=[f.name for f in out_schema.fields]
+        )
+
+    return (
+        rels.groupBy("query_id")
+        .cogroup(sims.groupBy("query_id"))
+        .applyInPandas(greedy, schema=out_schema)
+    )

@@ -1020,6 +1020,115 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "retrieval_mmr_rerank",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(
+                   list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                       x -> x[1]::DOUBLE * x[2]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(q.embedding, v -> v::DOUBLE * v::DOUBLE)))
+                    * sqrt(list_sum(list_transform(c.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+               4) AS cosine
+        FROM q, embeddings c
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id,
+               CAST(round(cosine * 10000) AS BIGINT) AS rel_s
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+              ) AS rn FROM scored)
+        WHERE rn <= 10
+    ),
+    sims AS (
+        SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
+               CAST(round(round(
+                   list_sum(list_transform(list_zip(e1.embedding, e2.embedding),
+                       x -> x[1]::DOUBLE * x[2]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(e1.embedding, v -> v::DOUBLE * v::DOUBLE)))
+                    * sqrt(list_sum(list_transform(e2.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+               4) * 10000) AS BIGINT) AS sim_s
+        FROM cand c1
+        JOIN cand c2 ON c1.query_id = c2.query_id
+                    AND c1.neighbor_id <> c2.neighbor_id
+        JOIN embeddings e1 ON e1.vec_id = c1.neighbor_id
+        JOIN embeddings e2 ON e2.vec_id = c2.neighbor_id
+    ),
+    s1 AS (
+        SELECT query_id, neighbor_id, 50 * rel_s AS sc
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY 50 * rel_s DESC, neighbor_id ASC
+              ) AS rn FROM cand) WHERE rn = 1
+    ),
+    sc2 AS (
+        SELECT c.query_id, c.neighbor_id,
+               50 * c.rel_s - 50 * s.sim_s AS sc
+        FROM cand c
+        JOIN s1 ON c.query_id = s1.query_id
+               AND c.neighbor_id <> s1.neighbor_id
+        JOIN sims s ON s.query_id = c.query_id
+                   AND s.a = c.neighbor_id AND s.b = s1.neighbor_id
+    ),
+    s2 AS (
+        SELECT query_id, neighbor_id, sc
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY sc DESC, neighbor_id ASC
+              ) AS rn FROM sc2) WHERE rn = 1
+    ),
+    sc3 AS (
+        SELECT c.query_id, c.neighbor_id,
+               50 * c.rel_s - 50 * greatest(sa.sim_s, sb.sim_s) AS sc
+        FROM cand c
+        JOIN s1 ON c.query_id = s1.query_id
+               AND c.neighbor_id <> s1.neighbor_id
+        JOIN s2 ON c.query_id = s2.query_id
+               AND c.neighbor_id <> s2.neighbor_id
+        JOIN sims sa ON sa.query_id = c.query_id
+                    AND sa.a = c.neighbor_id AND sa.b = s1.neighbor_id
+        JOIN sims sb ON sb.query_id = c.query_id
+                    AND sb.a = c.neighbor_id AND sb.b = s2.neighbor_id
+    ),
+    s3 AS (
+        SELECT query_id, neighbor_id, sc
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY sc DESC, neighbor_id ASC
+              ) AS rn FROM sc3) WHERE rn = 1
+    )
+    SELECT query_id, neighbor_id, CAST(1 AS INT) AS pos,
+           sc AS mmr_score_scaled FROM s1
+    UNION ALL
+    SELECT query_id, neighbor_id, CAST(2 AS INT), sc FROM s2
+    UNION ALL
+    SELECT query_id, neighbor_id, CAST(3 AS INT), sc FROM s3
+    """,
+    "Maximal Marginal Relevance reranking (Carbonell & Goldstein "
+    "1998): per query, greedily select k of the top-n candidates "
+    "maximizing lam*relevance - (1-lam)*max-sim-to-selected — the "
+    "serve-time diversity pass. Greedy selection is sequential in k "
+    "(no SQL window expresses it), so this is the designed "
+    "Pandas-cogroup case: ALL float work (relevance, pairwise sims) "
+    "stays JVM-side as 1e4-scaled BIGINTs; Python only compares "
+    "integers over <=n_candidates rows per query — bit-identical "
+    "across engines. Oracle: the same greedy recurrence unrolled as "
+    "chained CTEs for k=3.",
+)
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impresso_ta.operators.retrieval import mmr_rerank
+
+    emb = t(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") % 100 == 0),
+        n_candidates=10,
+        k=3,
+        lam_pct=50,
+    )
+
+
+@q(
     "similarity_hard_negatives_ivf",
     """
     WITH q AS (SELECT vec_id, embedding, label FROM embeddings

@@ -90,3 +90,49 @@ def test_hybrid_topk_properties(spark):
     # deterministic
     again = hybrid_topk(docs, terms, k_sparse=15, k_final=5).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in hybrid]
+
+
+def test_mmr_rerank_diversity_and_determinism(spark):
+    """On a corpus where the top relevance hits are near-clones, MMR at
+    lam=50 must swap in a diverse pick that pure relevance ranks lower;
+    results are partitioning-invariant (integer scores only)."""
+    from pyspark.sql import functions as F
+
+    from impresso_ta.operators.retrieval import mmr_rerank
+
+    pad = [0.0] * 13
+    a = [0.9, 0.10, 0.0] + pad   # cos(q,A)=.9937
+    b = [0.9, 0.11, 0.0] + pad   # cos(q,B)=.9925, cos(A,B)=.99998 (clone)
+    c = [0.7, 0.00, 0.7] + pad   # cos(q,C)=.7071, cos(A,C)=.7028 (diverse)
+    corpus = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "vec_id long, embedding array<float>"
+    )
+    qs = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0] + pad)], "vec_id long, embedding array<float>"
+    )
+    out = {
+        r.pos: r.neighbor_id
+        for r in mmr_rerank(corpus, qs, n_candidates=3, k=3).collect()
+    }
+    # pure relevance would rank A, B, C; MMR demotes the clone:
+    # pos2 score(B)=50*9925-50*10000<0 while score(C)=50*7071-50*7028>0
+    assert out == {1: 1, 2: 3, 3: 2}
+    # partitioning-invariant
+    out2 = {
+        r.pos: r.neighbor_id
+        for r in mmr_rerank(
+            corpus.repartition(7), qs, n_candidates=3, k=3
+        ).collect()
+    }
+    assert out == out2
+
+
+def test_mmr_rerank_k_exceeds_candidates(spark):
+    from pyspark.sql import functions as F
+
+    from impresso_ta.operators.retrieval import mmr_rerank
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") == 0)
+    out = mmr_rerank(emb, qs, n_candidates=2, k=5).collect()
+    assert sorted(r.pos for r in out) == [1, 2]  # stops when exhausted
