@@ -417,6 +417,18 @@ def main() -> None:
     except Exception as ex:
         errors[f"{sf_dir}:headline_etl"] = str(ex).split("\n")[0][:300]
 
+    # The headline is complete once the primary-sf pass is done; the
+    # extended + sf1 sections below add ~15-30 min (j17's sf1 output
+    # emission alone is ~6 min). Print the contract line NOW and again
+    # at the very end: if a harness timeout kills the remaining
+    # sections, the tail capture still holds a valid headline instead
+    # of nothing, and a completed run's FINAL line (same JSON, plus
+    # n_errors if any) simply supersedes this one.
+    print(json.dumps(headline), flush=True)
+    detail["headline"] = headline
+    with open(os.path.join(repo, "BENCH_local.json"), "w") as f:
+        json.dump(detail, f, indent=1)  # preliminary; overwritten below
+
     # Extended pass: newer corpus-text operators, reported separately so
     # the primary metric stays round-over-round comparable.
     spark.catalog.clearCache()
