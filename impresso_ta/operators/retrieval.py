@@ -217,7 +217,10 @@ def mmr_rerank(
         corpus, queries, k=n_candidates, id_col=id_col, vec_col=vec_col,
         round_to=round_to,
     )
-    rels = cands.select(
+    # cosine() returns NULL for zero-norm vectors by contract (degenerate
+    # rows must not crash the job) and cosine_topk ranks NULLs last —
+    # drop them here or int(NaN) would kill the Python greedy
+    rels = cands.where(F.col("cosine").isNotNull()).select(
         "query_id",
         "neighbor_id",
         F.round(F.col("cosine") * scale).cast("long").alias("rel_s"),
@@ -250,6 +253,10 @@ def mmr_rerank(
             .cast("long")
             .alias("sim_s"),
         )
+        # candidates surviving the rel_s filter all have non-zero norms,
+        # so their pairwise sims are non-NULL; the filter is belt-and-
+        # braces against future candidate sources
+        .where(F.col("sim_s").isNotNull())
     )
 
     out_schema = StructType(

@@ -167,12 +167,17 @@ def hard_negatives_ivf(
     ``ivf_topk`` (full probe nprobe=nlist is EXHAUSTIVE and equals the
     brute form exactly — that identity is the oracle). Use this when
     every corpus row is an anchor: the brute broadcast cross join is
-    |corpus|·|anchors| and dies at full-corpus mining scale; this form's
-    only corpus-sized operation is the equi-join on ``cell``.
+    |corpus|·|anchors| and dies at full-corpus mining scale.
 
-    Same determinism discipline throughout (rounded scores before
-    ranking, id tie-breaks). Returns (query_id, neighbor_id, cosine,
-    rank).
+    Scale shape: the label rides THROUGH the assignment (``ivf_assign``
+    extra_cols — no corpus self-join to re-attach it), the probe table
+    is NOT broadcast-hinted (AQE broadcasts it when the anchor set is
+    small and shuffles on ``cell`` when the anchors ARE the corpus — a
+    forced broadcast at that scale is a driver OOM, not an
+    optimization), and the label-inequality predicate is fused into the
+    cell join. Same determinism discipline throughout (rounded scores
+    before ranking, id tie-breaks). Returns (query_id, neighbor_id,
+    cosine, rank).
     """
     seed_rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
@@ -181,59 +186,34 @@ def hard_negatives_ivf(
         .collect()
     )
     centroids = [(int(r[id_col]), list(r[vec_col])) for r in seed_rows]
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col, round_to).join(
-        corpus.select(F.col(id_col), F.col(label_col).alias("_clabel")),
+    assigned = ivf_assign(
+        corpus.withColumn("_clabel", F.col(label_col)),
+        centroids,
         id_col,
+        vec_col,
+        round_to,
+        extra_cols=["_clabel"],
     )
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("_qnorm"),
-        F.col(label_col).alias("_qlabel"),
-    )
-    if len(centroids) > LITERAL_MAX_NLIST:
-        q = q.crossJoin(
-            F.broadcast(_centroids_relation(corpus.sparkSession, centroids))
-        )
-        scores = _cell_scores_over(F.col("qv"), F.col("_qnorm"), round_to)
+    if len(centroids) <= LITERAL_MAX_NLIST:
+        strategy = "literal"
     else:
-        frags = _cell_scores_sql("`qv`", "`_qnorm`", centroids, round_to)
-        scores = F.expr(f"array({','.join(frags)})")
-    probe_cells = F.transform(
-        F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
-        lambda s: (-s["negcell"]).cast("int"),
-    )
-    probes = q.select(
-        "query_id", "qv", "_qnorm", "_qlabel",
-        F.explode(probe_cells).alias("cell"),
-    )
-    cand = (
-        assigned.withColumn("_cnorm", norm(F.col(vec_col)))
-        .join(F.broadcast(probes), "cell")
-        .where(
+        strategy = "broadcast"
+    return _ivf_probe_rank(
+        assigned,
+        queries,
+        centroids,
+        nprobe,
+        k,
+        id_col,
+        vec_col,
+        round_to,
+        strategy,
+        query_cols={"_qlabel": F.col(label_col)},
+        pair_filter=(
             (F.col("_clabel") != F.col("_qlabel"))
             & (F.col(id_col) != F.col("query_id"))
-        )
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.round(
-                dot(F.col("qv"), F.col(vec_col))
-                / (F.col("_qnorm") * F.col("_cnorm")),
-                round_to,
-            ).alias("cosine"),
-        )
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        ),
+        broadcast_probes=False,
     )
 
 
@@ -676,6 +656,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     round_to: int = 4,
     strategy: str = "auto",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign each corpus vector to its nearest centroid cell (max cosine,
     ties → smallest cell id).
@@ -707,8 +688,10 @@ def ivf_assign(
         strategy = (
             "literal" if len(centroids) <= LITERAL_MAX_NLIST else "broadcast"
         )
+    carry = [F.col(c) for c in (extra_cols or [])]
     with_norm = spread_small_input(corpus).select(
-        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_vnorm")
+        F.col(id_col), F.col(vec_col), *carry,
+        norm(F.col(vec_col)).alias("_vnorm"),
     )
     if strategy == "broadcast":
         cents = (
@@ -722,6 +705,7 @@ def ivf_assign(
         return with_norm.crossJoin(F.broadcast(cents)).select(
             F.col(id_col),
             F.col(vec_col),
+            *carry,
             (-best["negcell"]).cast("int").alias("cell"),
         )
     frags = _cell_scores_sql(f"`{vec_col}`", "`_vnorm`", centroids, round_to)
@@ -733,6 +717,7 @@ def ivf_assign(
     return with_norm.select(
         F.col(id_col),
         F.col(vec_col),
+        *carry,
         (-best["negcell"]).cast("int").alias("cell"),
     )
 
@@ -831,14 +816,25 @@ def _ivf_probe_rank(
     vec_col: str,
     round_to: int,
     strategy: str,
+    query_cols: dict | None = None,
+    pair_filter=None,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
-    """Probe + score + rank over an existing (id, vec, cell) assignment —
-    shared by ivf_topk (assigns inline) and ivf_topk_indexed (probes a
-    PERSISTED index)."""
+    """Probe + score + rank over an existing (id, vec[, ...], cell)
+    assignment — shared by ivf_topk (assigns inline), ivf_topk_indexed
+    (probes a PERSISTED index) and hard_negatives_ivf (label-filtered
+    mining). ``query_cols`` projects extra query-side columns into the
+    probes (name -> Column over ``queries``); ``pair_filter`` is a
+    Column predicate applied to the joined (assigned x probes) frame
+    before scoring; ``broadcast_probes=False`` lets AQE pick the join
+    strategy when the anchor set is corpus-sized (a forced broadcast of
+    a corpus-sized probe table is a driver OOM, not an optimization)."""
+    extra = query_cols or {}
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         norm(F.col(vec_col)).alias("_qnorm"),
+        *[c.alias(name) for name, c in extra.items()],
     )
     if strategy == "broadcast":
         cents = _centroids_relation(assigned.sparkSession, centroids)
@@ -852,23 +848,25 @@ def _ivf_probe_rank(
         lambda s: (-s["negcell"]).cast("int"),
     )
     probes = q.select(
-        "query_id", "qv", "_qnorm", F.explode(probe_cells).alias("cell")
+        "query_id", "qv", "_qnorm", *extra,
+        F.explode(probe_cells).alias("cell"),
     )
     # per-side norms are projected once so each candidate pair costs one
     # dot product; same expression order as `cosine`, so values are
     # bit-identical
-    cand = (
-        assigned.withColumn("_cnorm", norm(F.col(vec_col)))
-        .join(F.broadcast(probes), "cell")
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.round(
-                dot(F.col("qv"), F.col(vec_col))
-                / (F.col("_qnorm") * F.col("_cnorm")),
-                round_to,
-            ).alias("cosine"),
-        )
+    joined = assigned.withColumn("_cnorm", norm(F.col(vec_col))).join(
+        F.broadcast(probes) if broadcast_probes else probes, "cell"
+    )
+    if pair_filter is not None:
+        joined = joined.where(pair_filter)
+    cand = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(
+            dot(F.col("qv"), F.col(vec_col))
+            / (F.col("_qnorm") * F.col("_cnorm")),
+            round_to,
+        ).alias("cosine"),
     )
     from pyspark.sql.window import Window
 

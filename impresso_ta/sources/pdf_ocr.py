@@ -320,10 +320,11 @@ def _make_extract(extractor: PageExtractor):
 _EXTRACT_COLS = ["path", "canonical_id", "_cpath", "lang"]
 
 #: Incremental mode's surviving-path list is re-scanned in slices of this
-#: many paths per binaryFile relation — bounds every individual plan's
-#: embedded path list (a crawl batch with millions of new files becomes
-#: many scans, not one million-literal plan). Each slice is still a full
-#: distributed scan; only the path ENUMERATION is sliced.
+#: many paths per binaryFile RELATION — bounds each relation's load()
+#: list and per-relation file index (a crawl batch with millions of new
+#: files becomes many bounded scans, not one million-path load() call).
+#: The returned union still spans all slices; see the in-function note
+#: for when to batch slices through the sink instead.
 SURVIVOR_PATHS_PER_SCAN = 10_000
 
 
@@ -353,8 +354,11 @@ def extract_pdf_ocr(
       bytes. The surviving path list passes through the driver — file
       paths, not data, the same cardinality Spark's own file index
       already materializes driver-side for any scan of the directory —
-      and is re-scanned in SURVIVOR_PATHS_PER_SCAN-sized slices so no
-      single plan embeds an unbounded path list.
+      and is re-scanned in SURVIVOR_PATHS_PER_SCAN-sized slices, each a
+      bounded, independently executable binaryFile relation (the
+      returned union still references all survivors; batch the slices
+      through the sink yourself when the survivor count itself is the
+      problem).
     - **``local_read=True``** (opt-in for giant PDFs on a local/NFS
       mount, the reference's operating model): listing stays
       bytes-free and each task ``open()``s its files; refused loudly
@@ -431,13 +435,19 @@ def extract_pdf_ocr(
     # incremental + content path: prune on the bytes-free listing FIRST,
     # then scan content for the survivors only. The surviving paths DO
     # cross the driver (same cardinality as Spark's own driver-side file
-    # index for the directory — paths, never bytes), but in BOUNDED
-    # slices: each slice becomes its own binaryFile scan of at most
-    # SURVIVOR_PATHS_PER_SCAN paths, unioned — no single plan ever
-    # embeds an unbounded path list. The alternative (scan everything
-    # WITH content and semi-join the survivors) keeps paths off the
-    # driver but re-reads every skipped file's bytes — the exact cost
-    # incremental mode exists to avoid — so slicing is the right trade.
+    # index for the directory — paths, never bytes), sliced so each
+    # binaryFile RELATION holds at most SURVIVOR_PATHS_PER_SCAN paths.
+    # Honest scope of that bound: the returned (lazy) DataFrame is the
+    # UNION of the slices, so the one plan that executes still
+    # references every path across its scan nodes — what slicing bounds
+    # is each relation's load() argument list and per-relation file
+    # index, not whole-plan size or total driver footprint. A crawl
+    # batch large enough for THAT to matter should drive the slices
+    # through write_ocr_json one at a time (each slice is a complete,
+    # independently executable extraction). The alternative (scan
+    # everything WITH content and semi-join the survivors) keeps paths
+    # off the driver but re-reads every skipped file's bytes — the
+    # exact cost incremental mode exists to avoid.
     derived = _listing(with_content=False)
     invalid = _error_rows(derived.filter(F.col("canonical_id").isNull()))
     survivors = _anti(derived.filter(F.col("canonical_id").isNotNull()))

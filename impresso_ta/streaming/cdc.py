@@ -20,12 +20,16 @@ duplicates keep the first-seen winner, which is arrival-order-dependent;
 make seq unique upstream (compose a tiebreaker into it) if the log can
 tie.
 
-Scale posture: state is one tiny tuple per LIVE key, exactly the
-snapshot's own cardinality — the irreducible state of materialization.
-No timeout: a key's winner must outlive any idle period (this is a
-table, not a window). At 100 TB, scope state by partitioning the stream
-on key ranges or age out keys with an explicit tombstone policy
-upstream. The only shuffle is the groupBy(key) Structured Streaming
+Scale posture: state is one tiny tuple per key EVER SEEN — live keys
+plus tombstoned ones. Deleted keys are retained (state.update, never
+state.remove) because the tombstone is what suppresses a LATE lower-seq
+upsert from resurrecting the key; dropping it would trade unbounded
+state for wrong answers on out-of-order streams. On a high-churn
+stream this retention, not the live-snapshot size, is the real state
+bound — age tombstones out with an explicit policy (e.g. a periodic
+state rewrite dropping tombstones older than the maximum expected
+disorder) when churn demands it. No timeout otherwise: a key's winner
+must outlive any idle period (this is a table, not a window). The only shuffle is the groupBy(key) Structured Streaming
 needs to co-locate a key's state — the same shuffle the batch window
 pays.
 """
@@ -127,6 +131,12 @@ def stream_latest_wins(
         cols.append(f"CAST({op_col} AS STRING) AS op")
     return (
         log.selectExpr(*cols)
+        # a NULL key or seq (including non-numeric values the CAST nulls
+        # out) would be a poison pill: int(NaN) fails the task, the
+        # checkpoint replays the row, and the stream wedges forever.
+        # Drop them here; route malformed CDC records to an error
+        # channel UPSTREAM if they must be kept (S15 convention).
+        .where("key IS NOT NULL AND seq IS NOT NULL")
         .groupBy("key")
         .applyInPandasWithState(
             _cdc_fn(delete_value),

@@ -136,3 +136,27 @@ def test_mmr_rerank_k_exceeds_candidates(spark):
     qs = emb.filter(F.col("vec_id") == 0)
     out = mmr_rerank(emb, qs, n_candidates=2, k=5).collect()
     assert sorted(r.pos for r in out) == [1, 2]  # stops when exhausted
+
+
+def test_mmr_rerank_survives_zero_norm_vectors(spark):
+    """Degenerate (zero-norm) embeddings produce NULL cosines by
+    contract — they must be dropped, not crash the greedy with
+    int(NaN)."""
+    from pyspark.sql import functions as F
+
+    from impresso_ta.operators.retrieval import mmr_rerank
+
+    pad = [0.0] * 13
+    corpus = spark.createDataFrame(
+        [(1, [0.9, 0.1, 0.0] + pad), (2, [0.0] * 16), (3, [0.7, 0.0, 0.7] + pad)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0] + pad), (101, [0.0] * 16)],
+        "vec_id long, embedding array<float>",
+    )
+    out = mmr_rerank(corpus, qs, n_candidates=3, k=3).collect()
+    # query 100 ranks the two non-degenerate docs; the zero-norm corpus
+    # row and the zero-norm query contribute nothing and nothing crashes
+    got = {(r.query_id, r.pos): r.neighbor_id for r in out}
+    assert got == {(100, 1): 1, (100, 2): 3}

@@ -107,3 +107,29 @@ def test_stream_latest_wins_matches_batch_snapshot(spark, tmp_path):
         ).collect()
     }
     assert _replay(ups) == batch == {1: (3, "c"), 3: (5, "only"), 4: (1, "new")}
+
+
+def test_stream_latest_wins_drops_null_seq_rows(spark, tmp_path):
+    """A malformed row (null/non-castable seq) must be dropped, not
+    become a checkpoint-replayed poison pill."""
+    drop = tmp_path / "log2"
+    drop.mkdir()
+    ckpt = tmp_path / "ckpt2"
+    out = tmp_path / "out2"
+    _write(drop, "b.jsonl", [(1, None, "bad", "upsert"), (1, 7, "ok", "upsert"),
+                             (None, 3, "nokey", "upsert")])
+    stream = spark.readStream.schema(SCHEMA).json(str(drop))
+    q = (
+        stream_latest_wins(stream, key_col="k", seq_col="seq",
+                           payload_col="payload", op_col="op")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    rows = spark.read.parquet(str(out)).collect()
+    assert [(r.key, r.seq, r.payload) for r in rows] == [(1, 7, "ok")]
