@@ -1677,3 +1677,87 @@ def jaccard_prefix_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def jaccard_prefix_contracted(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """CONTRACTED exact-Jaccard near-dup pairs: the prefix-filtered join
+    of :func:`jaccard_prefix_pairs`, but the output stays at the
+    DISTINCT-TEXT level — ``(doc_a, doc_b, jaccard, n_a, n_b)`` where
+    ``doc_a``/``doc_b`` are clone-group representatives (min id per
+    byte-identical text, ``doc_a < doc_b``) and ``n_a``/``n_b`` the
+    group sizes, plus one ``(rep, rep, 1.0, m, m)`` row per clone group
+    of size ``m > 1`` marking the intra-group clique.
+
+    Expansion identity (the contract): the raw pair set of
+    :func:`jaccard_prefix_pairs` is exactly the inter rows fanned out
+    ``n_a × n_b`` ways through the two clone-group membership joins,
+    union the intra rows' ``m·(m-1)/2`` within-group pairs at
+    jaccard 1.0 — so ``sum(n_a*n_b) + sum(m*(m-1)/2)`` over this
+    frame equals the expanded row count, and every expanded pair's
+    jaccard is readable off its contracted row. Downstream consumers
+    (cluster-then-survive, dedup stats, ER) operate on exactly this
+    value-level granularity — ``dedup_clusters``/``dedup_survivors``
+    collapse the expansion right back, and ``er.resolve_entities``
+    proves the value-pairs + membership form is sufficient for row
+    labeling.
+
+    Why it exists: the expanded form's output volume is quadratic in
+    near-dup-clique size — the sf1 bench corpus (10× exact clones per
+    text) pays ~100× output rows for 10× data, ~110 s of pure emission
+    through the noop sink — while the contracted form's volume is the
+    number of DISTINCT near-dup text pairs, which grows with corpus
+    diversity, not clone multiplicity. At 100 TB (where boilerplate
+    multiplicity is the norm: crawl dedup corpora routinely hold 1e3+
+    copies per template) the contracted form is the only exact-pairs
+    output that survives.
+    """
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    )
+    groups = (
+        base.groupBy(F.md5(F.col(text_col)).alias("_md5"))
+        .agg(
+            F.min(F.col(id_col)).alias(id_col),
+            F.first(F.col(text_col)).alias(text_col),
+            F.count("*").alias("_m"),
+        )
+        .select(id_col, text_col, "_m")
+    )
+    rep_pairs = jaccard_prefix_pairs(
+        groups.select(id_col, text_col),
+        id_col,
+        text_col,
+        k,
+        threshold,
+        collapse_exact=False,
+    )
+    sizes = groups.select(F.col(id_col), F.col("_m"))
+    inter = (
+        rep_pairs.join(
+            sizes.select(
+                F.col(id_col).alias("doc_a"), F.col("_m").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("doc_b"), F.col("_m").alias("n_b")
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "jaccard", "n_a", "n_b")
+    )
+    intra = groups.filter(F.col("_m") > 1).select(
+        F.col(id_col).alias("doc_a"),
+        F.col(id_col).alias("doc_b"),
+        F.lit(1.0).alias("jaccard"),
+        F.col("_m").alias("n_a"),
+        F.col("_m").alias("n_b"),
+    )
+    return inter.unionByName(intra)

@@ -106,6 +106,7 @@ def fuzzy_blocked_join(
     block_expr=None,
     collapse_clones: bool = True,
     guard_block_size: int | None = 50_000,
+    contracted: bool = False,
 ) -> DataFrame:
     """Record-linkage fuzzy join: BLOCK (equi-join on a cheap normalized
     key) then VERIFY (exact Levenshtein <= ``max_dist``) — the standard
@@ -150,6 +151,29 @@ def fuzzy_blocked_join(
     mitigation can remove. Two extra exchanges (one distinct per side)
     buy a verify-mass collapse that took the sf1 entity-resolution query
     from >9 min (bench-skipped) to seconds.
+
+    Contracted output (``contracted=True``, requires the default
+    ``collapse_clones``): return the VALUE-level verified pairs with
+    per-side multiplicities — ``(value_l, value_r, edit_dist, n_left,
+    n_right)`` — and never expand back to row pairs. The expansion
+    identity the default path implements (every raw row pair (a, b)
+    appears iff (value(a), value(b)) verified, with the same distance)
+    means the contracted form carries the SAME information: the
+    expanded result is exactly the contracted pairs fanned out
+    ``n_left × n_right`` ways through two value equi-joins, which the
+    caller can perform lazily IF row granularity is ever needed — and
+    downstream consumers demonstrably don't need it
+    (``er.resolve_entities`` clusters on value-level edges and labels
+    rows through one assignment join; dedup survivors keep one row per
+    value). Cost becomes proportional to DISTINCT verified pairs
+    instead of true row pairs: the round-9 sf1 bench corpus (200k rows,
+    64 distinct name templates) emits ~400M expanded pairs in ~380 s
+    but only ~2k distinct value pairs — the 131×-pairs-for-10×-data
+    wall is an artifact of the output CONTRACT, not the join. The
+    per-side counts ride the existing distinct aggregation (groupBy
+    count replaces distinct — same exchange), so contracted mode is
+    strictly cheaper than the default: same blocked verify, no
+    expansion joins.
 
     ``guard_block_size`` is the runtime tripwire mirroring
     ``minhash_lsh_pairs``'s ``guard_bucket_size``: a per-(block,
@@ -238,10 +262,30 @@ def fuzzy_blocked_join(
         )
 
     if not collapse_clones:
+        if contracted:
+            raise ValueError(
+                "fuzzy_blocked_join: contracted=True requires "
+                "collapse_clones=True (the contracted output IS the "
+                "value-level verify result)"
+            )
         lc, rc = F.col(f"l.{left_col}"), F.col(f"r.{right_col}")
         return verify_join(left, right).select(
             "l.*", "r.*", F.levenshtein(lc, rc).alias("edit_dist")
         ).drop("_blk", "_bkt")
+
+    if contracted:
+        # groupBy-count IS the distinct (same exchange), so the
+        # multiplicities are free; no expansion joins follow.
+        cl = left.groupBy(left_col).agg(F.count("*").alias("_nl"))
+        cr = right.groupBy(right_col).agg(F.count("*").alias("_nr"))
+        lc, rc = F.col(f"l.{left_col}"), F.col(f"r.{right_col}")
+        return verify_join(cl, cr).select(
+            lc.alias("value_l"),
+            rc.alias("value_r"),
+            F.levenshtein(lc, rc).alias("edit_dist"),
+            F.col("l._nl").alias("n_left"),
+            F.col("r._nr").alias("n_right"),
+        )
 
     dl = left.select(left_col).distinct()
     dr = right.select(right_col).distinct()

@@ -102,3 +102,98 @@ def test_jaccard_prefix_prunes_boilerplate_candidates(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = jaccard_prefix_pairs(docs, k=3, threshold=0.7)
     assert out.count() == 0  # no true pairs at 0.7 (and none leaked)
+
+
+def test_fuzzy_contracted_expansion_identity(spark):
+    """contracted=True carries the SAME information as the expanded
+    default: every expanded row pair is one contracted value pair
+    fanned n_left x n_right ways, with the same edit_dist."""
+    left = spark.createDataFrame(
+        [(i, "golden retriever") for i in range(3)]
+        + [(10, "golden retriver"), (11, "zebra stripe")],
+        "a_key long, a_name string",
+    )
+    right = spark.createDataFrame(
+        [(20, "golden retriever"), (21, "golden retriever"),
+         (22, "golden retrvr"), (23, "zebra stripes")],
+        "b_key long, b_name string",
+    )
+    expanded = fuzzy_blocked_join(
+        left, right, "a_name", "b_name", max_dist=2
+    ).collect()
+    contracted = fuzzy_blocked_join(
+        left, right, "a_name", "b_name", max_dist=2, contracted=True
+    ).collect()
+    # identity 1: total expanded rows == sum(n_left * n_right)
+    assert len(expanded) == sum(r["n_left"] * r["n_right"] for r in contracted)
+    # identity 2: the (value_l, value_r, edit_dist) sets agree
+    exp_pairs = {(r["a_name"], r["b_name"], r["edit_dist"]) for r in expanded}
+    con_pairs = {
+        (r["value_l"], r["value_r"], r["edit_dist"]) for r in contracted
+    }
+    assert exp_pairs == con_pairs
+    # identity 3: multiplicities are the true per-value row counts
+    got = {(r["value_l"], r["value_r"]): (r["n_left"], r["n_right"])
+           for r in contracted}
+    assert got[("golden retriever", "golden retriever")] == (3, 2)
+    assert got[("golden retriver", "golden retriever")] == (1, 2)
+    assert got[("zebra stripe", "zebra stripes")] == (1, 1)
+
+
+def test_fuzzy_contracted_requires_collapse(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], "a_key long, a_name string")
+    with pytest.raises(ValueError, match="collapse_clones"):
+        fuzzy_blocked_join(
+            df, df, "a_name", "a_name",
+            collapse_clones=False, contracted=True,
+        )
+
+
+def test_jaccard_contracted_expansion_identity(spark):
+    """The contracted frame's pair mass equals the expanded form:
+    sum(n_a*n_b) over inter rows + sum(m*(m-1)/2) over clique rows
+    == len(jaccard_prefix_pairs), and fanning each inter row through
+    its clone groups reproduces the expanded pair set exactly."""
+    from impresso_ta.operators.dedup import (
+        jaccard_prefix_contracted,
+        jaccard_prefix_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),   # clone of 1
+        (3, "the quick brown fox jumps over the lazy dog tonight"),
+        (4, "a completely different document about spark engines"),
+        (5, "a completely different document about spark engines"), # clone of 4
+        (6, "a completely different document about spark engines"), # clone of 4
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expanded = jaccard_prefix_pairs(docs, k=3, threshold=0.5).collect()
+    con = jaccard_prefix_contracted(docs, k=3, threshold=0.5).collect()
+    inter = [r for r in con if r["doc_a"] != r["doc_b"]]
+    intra = [r for r in con if r["doc_a"] == r["doc_b"]]
+    mass = sum(r["n_a"] * r["n_b"] for r in inter) + sum(
+        r["n_a"] * (r["n_a"] - 1) // 2 for r in intra
+    )
+    assert mass == len(expanded)
+    # clique rows: group {1,2} (m=2) and {4,5,6} (m=3), jaccard 1.0
+    assert {(r["doc_a"], r["n_a"], r["jaccard"]) for r in intra} == {
+        (1, 2, 1.0), (4, 3, 1.0),
+    }
+    # fan the inter rows through clone membership and compare exactly
+    members = {1: [1, 2], 3: [3], 4: [4, 5, 6]}
+    fanned = set()
+    for r in inter:
+        for x in members[r["doc_a"]]:
+            for y in members[r["doc_b"]]:
+                fanned.add((min(x, y), max(x, y), r["jaccard"]))
+    for r in intra:
+        ids = members[r["doc_a"]]
+        for i, x in enumerate(ids):
+            for y in ids[i + 1:]:
+                fanned.add((x, y, 1.0))
+    assert fanned == {
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in expanded
+    }
