@@ -161,23 +161,35 @@ EXTENDED_QUERIES = [
     "similarity_hard_negatives_ivf",
     "similarity_ivf_indexed_topk",
     "retrieval_mmr_rerank",
+    # r10: the CONTRACTED exact-pairs twins (VERDICT r9 task 1) — same
+    # blocked verify as j17_fuzzy_blocked_join / dedup_jaccard_prefix,
+    # output held at the distinct-value level so cost tracks DISTINCT
+    # verified pairs instead of the quadratic-in-clique expansion.
+    # These are the forms tracked at sf1; the expanded raw-pairs forms
+    # stay benched at the primary sf (cheap there) and skip sf1.
+    "j17_fuzzy_contracted",
+    "dedup_jaccard_contracted",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]
 
-# Extended entries skipped at the sf1 pass. EMPTY since r9 — both former
-# skips re-entered with measured fixes:
-# - er_entity_clusters: the round-8 stall was clone mass (sf1's 200k
-#   parts share only 64 distinct names ≈ 31k clones each; the raw
-#   pairwise edge set is 313,223,600 edges — quadratic in clone
-#   multiplicity, so CC over raw edges is where the >9 min went).
-#   er.resolve_entities contracts exact-value clones to super-nodes
-#   before edge generation (provably output-identical, see er.py);
-#   measured >9 min (skipped) -> 1.8 s at sf1.
-# - dedup_jaccard_prefix: r8 measured 186 s pre-mitigation and skipped;
-#   with the exact-clone collapse + PPJoin length filter it now runs
-#   21.6 s at sf1 through the noop sink — tracked.
-EXTENDED_SF1_SKIP: set[str] = set()
+# Extended entries skipped at the sf1 pass.
+# r10: the two EXPANDED exact-pairs forms leave the sf1 pass — not
+# because they stall (both ran r9: j17 376.7 s, jaccard_prefix 109.5 s)
+# but because those rows measured OUTPUT EMISSION, not the join: the
+# verify is clone-collapsed, so what remained was fanning ~400M /
+# ~31M expansion rows through the noop sink — quadratic in clone
+# multiplicity by construction (sf1 holds ~31k clones per distinct
+# name). Their CONTRACTED twins (j17_fuzzy_contracted,
+# dedup_jaccard_contracted — identical verify, value-level output +
+# multiplicities, the granularity downstream consumers actually use)
+# are tracked at sf1 instead; the expanded forms remain benched at the
+# primary sf where expansion is cheap, so the raw-pairs contract stays
+# under round-over-round tracking too.
+EXTENDED_SF1_SKIP: set[str] = {
+    "j17_fuzzy_blocked_join",
+    "dedup_jaccard_prefix",
+}
 
 # Output-proportional giants run ONCE per bench pass: j17 emits every
 # verified pair (~400M rows at sf1, 380 s of raw row emission through
@@ -187,12 +199,20 @@ SINGLE_RUN = {"j17_fuzzy_blocked_join"}
 
 YARDSTICK = ["q1_pricing_summary", "w3_running_offsets"]
 
-# The two queries whose r7->r8 driver samples drifted beyond the q1/w3
-# environment band (2.4x / 2.1x vs ~1.6x) at sub-4s absolutes — judged
-# "very likely single-run noise" (the local twin agreed, the plans are
-# clean). min-of-3 instead of min-of-2 so one noisy run can't mimic a
-# regression in the driver-captured record.
-MIN_OF_3 = {"q3_shipping_priority", "dedup_minhash_lsh"}
+# Queries whose driver samples drifted beyond the q1/w3 environment
+# band at small absolutes — judged "very likely single-run noise" (the
+# local twin agreed, the plans are clean). min-of-3 instead of min-of-2
+# so one noisy run can't mimic a regression in the driver-captured
+# record. r8 flagged q3/minhash (q3 confirmed noise in r9: 1.96 ->
+# 0.689 s); r9 flagged similarity_topk_cosine (1.26x against a 0.7x
+# environment) and dedup_simhash (1.01x) — same treatment (VERDICT r9
+# task 4).
+MIN_OF_3 = {
+    "q3_shipping_priority",
+    "dedup_minhash_lsh",
+    "similarity_topk_cosine",
+    "dedup_simhash",
+}
 
 
 def layout_fingerprint(sf_dir: str) -> dict:

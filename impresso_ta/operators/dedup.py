@@ -1546,6 +1546,10 @@ def jaccard_prefix_pairs(
                 F.element_at("_ids", 1).alias(id_col), text_col, "_ids"
             )
         )
+        # referenced 4x downstream (reps, both expansion sides, intra)
+        from pyspark import StorageLevel
+
+        groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
         reps = groups.select(id_col, text_col)
         rep_pairs = jaccard_prefix_pairs(
             reps, id_col, text_col, k, threshold, collapse_exact=False
@@ -1597,9 +1601,17 @@ def jaccard_prefix_pairs(
         )
         return inter.unionByName(intra)
 
+    from pyspark import StorageLevel
+
     sh = _explode_shingle_hashes(docs, id_col, text_col, k)
     dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
     ranked = sh.join(dfreq, "h")
+    # persisted: the plan references this frame FIVE times (both sides
+    # of the prefix self-join, both verify sides, and through cand) —
+    # unpersisted, Spark recomputes the explode+dfreq-join+collect
+    # subtree per reference (measured at sf1: 119 s total vs 24 s with
+    # the subtree materialized once; candidate gen is 4 s and verify
+    # 7 s — the other ~95 s was pure recomputation)
     sets = ranked.groupBy("doc_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("df", "h"))),
@@ -1607,7 +1619,7 @@ def jaccard_prefix_pairs(
         ).alias("hs_ranked"),
         F.sort_array(F.collect_list("h")).alias("hs"),
         F.count("*").alias("n"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # integer-exact prefix length for t' = (threshold*1000 - 1)/1000:
     # L = n - ceil(t'*n) + 1 = n - ((a*n + 999) div 1000) + 1
     a_num = int(round(threshold * 1000)) - 1
@@ -1729,6 +1741,10 @@ def jaccard_prefix_contracted(
         )
         .select(id_col, text_col, "_m")
     )
+    # referenced 4x downstream (rep texts, both size joins, intra)
+    from pyspark import StorageLevel
+
+    groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     rep_pairs = jaccard_prefix_pairs(
         groups.select(id_col, text_col),
         id_col,
