@@ -174,21 +174,23 @@ EXTENDED_QUERIES = [
 ]
 
 # Extended entries skipped at the sf1 pass.
-# r10: the two EXPANDED exact-pairs forms leave the sf1 pass — not
-# because they stall (both ran r9: j17 376.7 s, jaccard_prefix 109.5 s)
-# but because those rows measured OUTPUT EMISSION, not the join: the
-# verify is clone-collapsed, so what remained was fanning ~400M /
-# ~31M expansion rows through the noop sink — quadratic in clone
-# multiplicity by construction (sf1 holds ~31k clones per distinct
-# name). Their CONTRACTED twins (j17_fuzzy_contracted,
-# dedup_jaccard_contracted — identical verify, value-level output +
-# multiplicities, the granularity downstream consumers actually use)
-# are tracked at sf1 instead; the expanded forms remain benched at the
-# primary sf where expansion is cheap, so the raw-pairs contract stays
-# under round-over-round tracking too.
+# r10: j17_fuzzy_blocked_join (EXPANDED form) leaves the sf1 pass — it
+# ran r9 at 376.7 s, but that row measured OUTPUT EMISSION, not the
+# join: the verify is clone-collapsed, so what remained was fanning
+# ~400M expansion rows (sf1 part: 200k rows / 64 distinct names ≈ 31k
+# clones each — expansion quadratic in clone multiplicity) through the
+# noop sink. Its CONTRACTED twin j17_fuzzy_contracted (identical
+# verify, value-level output + multiplicities — the granularity
+# downstream consumers actually use) is tracked at sf1 instead
+# (measured 0.7 s); the expanded form stays benched at the primary sf
+# where expansion is cheap, keeping the raw-pairs contract tracked.
+# dedup_jaccard_prefix STAYS at sf1: its r9 109.5 s was diagnosed this
+# round as 5x subtree RECOMPUTATION, not output (sf1 documents carry
+# per-copy prefix tokens, so there are no exact clones to expand) —
+# with the shingle-set frame persisted it runs 28 s of honest
+# candidate+verify work.
 EXTENDED_SF1_SKIP: set[str] = {
     "j17_fuzzy_blocked_join",
-    "dedup_jaccard_prefix",
 }
 
 # Output-proportional giants run ONCE per bench pass: j17 emits every

@@ -65,11 +65,15 @@ def _parse_gap_us(gap: str) -> int:
     if (
         len(parts) != 2
         or not parts[0].isdigit()
+        or int(parts[0]) <= 0
         or parts[1].rstrip("s") not in _GAP_UNITS
     ):
+        # int() > 0 also rejects '0 seconds' — a degenerate gap that
+        # would silently make every event its own session/debounce
+        # anchor instead of failing loudly like the malformed formats
         raise ValueError(
-            f"gap {gap!r}: expected '<int> second[s]|minute[s]|hour[s]'"
-            " (e.g. '30 seconds', '1 hour')"
+            f"gap {gap!r}: expected '<positive int> "
+            "second[s]|minute[s]|hour[s]' (e.g. '30 seconds', '1 hour')"
         )
     return int(parts[0]) * _GAP_UNITS[parts[1].rstrip("s")] * _US
 

@@ -133,3 +133,107 @@ def test_stream_latest_wins_drops_null_seq_rows(spark, tmp_path):
     assert q.exception() is None
     rows = spark.read.parquet(str(out)).collect()
     assert [(r.key, r.seq, r.payload) for r in rows] == [(1, 7, "ok")]
+
+
+TS_SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("seq", LongType()),
+        StructField("payload", StringType()),
+        StructField("op", StringType()),
+        StructField("ts", StringType()),
+    ]
+)
+
+
+def _write_ts(drop, name, rows):
+    with open(drop / name, "w") as f:
+        for k, seq, payload, op, ts in rows:
+            f.write(
+                json.dumps(
+                    {"k": k, "seq": seq, "payload": payload, "op": op,
+                     "ts": ts}
+                )
+                + "\n"
+            )
+
+
+def test_stream_latest_wins_tombstone_ttl_ages_out(spark, tmp_path):
+    """Opt-in tombstone TTL: a tombstone past the retention horizon is
+    GC'd from state, after which a late lower-seq row is ACCEPTED as a
+    fresh winner (the documented resurrection trade); within the
+    horizon the tombstone still suppresses late rows."""
+    drop = tmp_path / "ttl_log"
+    drop.mkdir()
+    ckpt = tmp_path / "ttl_ckpt"
+    out = tmp_path / "ttl_out"
+
+    def run():
+        stream = spark.readStream.schema(TS_SCHEMA).json(str(drop))
+        q = (
+            stream_latest_wins(
+                stream, key_col="k", seq_col="seq",
+                payload_col="payload", op_col="op",
+                ts_col="ts", tombstone_ttl="10 seconds",
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+        return [r.asDict() for r in spark.read.parquet(str(out)).collect()]
+
+    # batch A: key 2 lives then dies (tombstone at 10:00:05)
+    _write_ts(drop, "a.jsonl", [
+        (2, 1, "x", "upsert", "2024-01-01 10:00:00"),
+        (2, 2, None, "delete", "2024-01-01 10:00:05"),
+        (9, 1, "keep", "upsert", "2024-01-01 10:00:00"),
+    ])
+    ups = run()
+    assert (2, 2, True) in {(r["key"], r["seq"], r["deleted"]) for r in ups}
+
+    # batch B: within the horizon a late lower-seq row is SUPPRESSED
+    # (watermark after A = 10:00:05 - 10s; the tombstone still holds);
+    # also advances the watermark past 10:00:05 + ttl = 10:00:15
+    _write_ts(drop, "b.jsonl", [
+        (2, 1, "late-suppressed", "upsert", "2024-01-01 10:00:04"),
+        (9, 2, "tick", "upsert", "2024-01-01 10:01:00"),
+    ])
+    ups = run()
+    assert (2, 1) not in {(r["key"], r["seq"]) for r in ups}
+
+    # batch C: the timeout fires (watermark 10:01:00 - 10s > 10:00:15)
+    # -> tombstone state removed; GC emits nothing for key 2
+    _write_ts(drop, "c.jsonl", [
+        (9, 3, "tick2", "upsert", "2024-01-01 10:02:00"),
+    ])
+    n_after_b = len(run())
+
+    # batch D: past the horizon a lower-seq row RESURRECTS the key —
+    # the documented trade of bounding tombstone state
+    _write_ts(drop, "d.jsonl", [
+        (2, 1, "resurrected", "upsert", "2024-01-01 10:02:30"),
+    ])
+    ups = run()
+    assert len(ups) == n_after_b + 1
+    last_key2 = max(
+        (r for r in ups if r["key"] == 2), key=lambda r: not r["deleted"]
+    )
+    assert (last_key2["seq"], last_key2["payload"], last_key2["deleted"]) == (
+        1, "resurrected", False,
+    )
+
+
+def test_stream_latest_wins_ttl_requires_ts_col(spark, tmp_path):
+    import pytest
+
+    d = tmp_path / "empty_log"
+    d.mkdir()
+    df = spark.readStream.schema(TS_SCHEMA).json(str(d))
+    with pytest.raises(ValueError, match="ts_col"):
+        stream_latest_wins(df, key_col="k", seq_col="seq",
+                           payload_col="payload", tombstone_ttl="10 seconds")

@@ -1,0 +1,220 @@
+"""Data-scaling probe for the training-pair mining family (VERDICT r9
+task 2): `hard_negatives_ivf` and `ivf_topk_indexed` at 1x (sf0.1),
+10x (sf1), 100x (sf10docs — shared with tools/scale_docs.py), same
+session layout as bench.py.
+
+Round 9 shipped both operators with parity proofs (full probe == brute,
+bit-for-bit; indexed == inline) but no measured curve. This probe turns
+the two advertised scale claims into numbers:
+
+1. `hard_negatives_ivf` — "candidate volume ~ corpus*nprobe/nlist; use
+   this when every corpus row is an anchor". Measured in exactly that
+   regime: the ANCHOR SET GROWS WITH THE CORPUS (10% of rows at every
+   tier), nlist follows the IVF sizing discipline nlist = 4*sqrt(n)
+   (FAISS guidance; cells ~ sqrt(n)/4), nprobe = 2. Cost model: cell
+   assignment is Theta(n*nlist*dims) = n^1.5-shaped, the probe join
+   emits |anchors|*nprobe*cellsize ~ n^1.5 candidates — so the
+   HONEST expectation for the 10x step is ~sqrt(1000)/sqrt(10) ~ 31x,
+   sub-quadratic (a quadratic op steps 100x). The brute twin
+   (`hard_negatives`) is |corpus|x|anchors| = truly quadratic — timed
+   at 1x/10x for contrast, skipped at 100x (4e9 pairs).
+2. `ivf_topk_indexed` — "only the probed cells' files are READ"
+   (dynamic partition pruning on the cell-partitioned store). The
+   index is built ONCE per tier (ingest cost, reported separately);
+   the query pass runs a FIXED 200-anchor batch (the serving regime)
+   and records the scan's ACTUAL numFiles/numPartitions metrics from
+   the executed plan vs the store totals — the files-read fraction is
+   the DPP claim as a measurement, not a plan-string assertion.
+
+Usage: python tools/scale_mining.py        # generate 100x (once) + run
+Writes tools/scale_mining_results.json; prints a ratio table.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, "testdata", "sf1")
+SF10 = os.path.join(REPO, "testdata", "sf10docs")
+STORES = os.path.join(REPO, "testdata", "ivf_stores")
+
+
+def scan_metrics(df) -> list[dict]:
+    """Per-FileSourceScan {numFiles, numPartitions, numOutputRows} off
+    the EXECUTED plan (post-pruning values — this is where dynamic
+    partition pruning shows up as a number). Walks the adaptive plan
+    via py4j; dedupes nodes by their JVM-side plan id."""
+    out: list[dict] = []
+    stack = [df._jdf.queryExecution().executedPlan()]
+    visited: set[int] = set()
+    while stack:
+        node = stack.pop()
+        nid = node.id()
+        if nid in visited:
+            continue
+        visited.add(nid)
+        if "FileSourceScan" in node.getClass().getSimpleName():
+            m = node.metrics()
+            vals: dict = {}
+            for key in ("numFiles", "numPartitions", "numOutputRows"):
+                o = m.get(key)
+                if o.isDefined():
+                    vals[key] = o.get().value()
+            out.append(vals)
+        try:
+            it = node.children().iterator()
+            while it.hasNext():
+                stack.append(it.next())
+        except Exception:
+            pass
+        for meth in ("finalPhysicalPlan", "executedPlan", "plan", "child"):
+            try:
+                stack.append(getattr(node, meth)())
+            except Exception:
+                pass
+    return out
+
+
+def store_files(path: str) -> int:
+    return sum(
+        1
+        for _r, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
+def main() -> None:
+    from tools.scale_docs import generate_sf10
+
+    generate_sf10()
+
+    from pyspark.sql import functions as F
+
+    from impresso_ta.operators import similarity
+    from impresso_ta.session import get_spark
+
+    spark = get_spark(
+        app_name="impresso_ta-scale-mining",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_confs={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "8g"
+            ),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(build) -> float:
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            build().write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    results: dict[str, dict] = {
+        "hard_negatives_ivf": {},
+        "hard_negatives_brute": {},
+        "ivf_indexed_ingest": {},
+        "ivf_indexed_query": {},
+        "ivf_indexed_files": {},
+        "params": {},
+    }
+    os.makedirs(STORES, exist_ok=True)
+
+    for tag, d in (("1x", SF01), ("10x", SF1), ("100x", SF10)):
+        emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        n = emb.count()
+        nlist = max(8, int(4 * math.sqrt(n)))
+        results["params"][tag] = {"n_vectors": n, "nlist": nlist, "nprobe": 2}
+
+        # --- mining: anchors grow WITH the corpus (10% of rows) ------
+        anchors = emb.filter(F.col("vec_id") % 10 == 0)
+        try:
+            results["hard_negatives_ivf"][tag] = timed(
+                lambda: similarity.hard_negatives_ivf(
+                    emb, anchors, nlist=nlist, nprobe=2, k=3
+                )
+            )
+        except Exception as ex:
+            results["hard_negatives_ivf"][tag] = None
+            results["hard_negatives_ivf"][f"{tag}_error"] = str(ex).split(
+                "\n"
+            )[0][:200]
+        if tag != "100x":  # brute is |corpus|x|anchors|: 4e9 pairs at 100x
+            results["hard_negatives_brute"][tag] = timed(
+                lambda: similarity.hard_negatives(emb, anchors, k=3)
+            )
+
+        # --- serving: ingest once, query a FIXED 200-anchor batch ----
+        seeds = [
+            (int(r.vec_id), list(r.embedding))
+            for r in emb.orderBy("vec_id").limit(nlist).collect()
+        ]
+        store = os.path.join(STORES, tag)
+        t0 = time.time()
+        shutil.rmtree(store, ignore_errors=True)
+        similarity.ivf_assign(emb, seeds).write.partitionBy("cell").parquet(
+            store
+        )
+        results["ivf_indexed_ingest"][tag] = round(time.time() - t0, 3)
+
+        index = spark.read.parquet(store)
+        qbatch = emb.filter(F.col("vec_id") < 2000).limit(200)
+        build = lambda: similarity.ivf_topk_indexed(  # noqa: E731
+            index, qbatch, seeds, nprobe=2, k=3
+        )
+        results["ivf_indexed_query"][tag] = timed(build)
+        # files-read: execute via collect so the metrics live on THIS
+        # DataFrame's queryExecution, then read the scan counters
+        probe_df = build()
+        probe_df.collect()
+        scans = scan_metrics(probe_df)
+        biggest = max(scans, key=lambda s: s.get("numFiles", 0), default={})
+        results["ivf_indexed_files"][tag] = {
+            "files_read": biggest.get("numFiles"),
+            "partitions_read": biggest.get("numPartitions"),
+            "files_total": store_files(store),
+            "partitions_total": nlist,
+        }
+
+    print(f"{'probe':24s} {'1x':>8s} {'10x':>8s} {'100x':>9s} {'100x/10x':>9s}")
+    for q in (
+        "hard_negatives_ivf",
+        "hard_negatives_brute",
+        "ivf_indexed_ingest",
+        "ivf_indexed_query",
+    ):
+        r = results[q]
+        t1, t10, t100 = r.get("1x"), r.get("10x"), r.get("100x")
+        step = f"{t100 / t10:8.1f}x" if t10 and t100 else "     n/a"
+        fmt = lambda v: f"{v:8.2f}" if v is not None else "     err"  # noqa: E731
+        print(f"{q:24s} {fmt(t1)} {fmt(t10)} {fmt(t100)} {step}")
+    for tag in ("1x", "10x", "100x"):
+        f = results["ivf_indexed_files"].get(tag, {})
+        print(
+            f"ivf_indexed_files {tag}: {f.get('files_read')}/"
+            f"{f.get('files_total')} files, {f.get('partitions_read')}/"
+            f"{f.get('partitions_total')} cells"
+        )
+
+    with open(os.path.join(REPO, "tools", "scale_mining_results.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
