@@ -71,13 +71,46 @@ def resolve_entities(
     side is tiny and AQE broadcasts the label map; in a clone-free
     corpus the contraction is a no-op pass-through and cost matches the
     raw form.
+
+    PRECONDITION (guarded): ``key_col`` identifies rows — the same key
+    must not appear with two different ``name_col`` values. The
+    contraction uses min(key) per value as the super-node id; a key
+    shared across values would give two distinct value groups the same
+    super-node and silently merge their clusters (and the output-
+    identity proof above would no longer hold). An in-plan tripwire
+    (count over the super-node id, riding the checkpointed contraction
+    — one small exchange over |distinct values| rows) fails LOUDLY the
+    moment two values collapse to one id, naming the offending key.
     """
+    from pyspark.sql.window import Window
+
+    rep_w = Window.partitionBy("_rep")
     vals = (
         df.groupBy(name_col)
         .agg(
             F.min(F.col(key_col).cast("long")).alias("_rep"),
             F.count(F.lit(1)).alias("_cnt"),
         )
+        .withColumn(
+            "_guard",
+            F.assert_true(
+                F.count("*").over(rep_w) <= 1,
+                F.concat(
+                    F.lit(
+                        "resolve_entities: key "
+                    ),
+                    F.col("_rep").cast("string"),
+                    F.lit(
+                        f" appears with more than one {name_col} value — "
+                        f"{key_col} must identify rows (one name per key), "
+                        "or two unrelated value groups would share a "
+                        "super-node and be merged into one cluster"
+                    ),
+                ),
+            ),
+        )
+        .filter(F.col("_guard").isNull())
+        .drop("_guard")
         .localCheckpoint()  # reused: edge generation + label expansion
     )
     a = vals.select(F.col("_rep").alias("_ka"), F.col(name_col).alias("_na"))

@@ -160,6 +160,7 @@ def hard_negatives_ivf(
     vec_col: str = "embedding",
     label_col: str = "label",
     round_to: int = 4,
+    cell_salt: int | None = None,
 ) -> DataFrame:
     """The scale path for ``hard_negatives``: candidates come from each
     anchor's ``nprobe`` nearest IVF cells instead of the whole corpus —
@@ -178,6 +179,14 @@ def hard_negatives_ivf(
     cell join. Same determinism discipline throughout (rounded scores
     before ranking, id tie-breaks). Returns (query_id, neighbor_id,
     cosine, rank).
+
+    Parallelism bound: when AQE picks the shuffle join, its key domain
+    is only ``nlist`` values — at most nlist tasks do the scoring, and
+    a hot cell straggles unless AQE's skew-join thresholds trigger.
+    Pass ``cell_salt=S`` to sub-bucket each cell S ways (corpus side
+    salted deterministically by id, probe side replicated S× — output-
+    identical, tested); size S ~ cores/nlist when nlist is small
+    relative to the cluster.
     """
     seed_rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
@@ -214,6 +223,7 @@ def hard_negatives_ivf(
             & (F.col(id_col) != F.col("query_id"))
         ),
         broadcast_probes=False,
+        cell_salt=cell_salt,
     )
 
 
@@ -819,6 +829,7 @@ def _ivf_probe_rank(
     query_cols: dict | None = None,
     pair_filter=None,
     broadcast_probes: bool = True,
+    cell_salt: int | None = None,
 ) -> DataFrame:
     """Probe + score + rank over an existing (id, vec[, ...], cell)
     assignment — shared by ivf_topk (assigns inline), ivf_topk_indexed
@@ -828,7 +839,10 @@ def _ivf_probe_rank(
     Column predicate applied to the joined (assigned x probes) frame
     before scoring; ``broadcast_probes=False`` lets AQE pick the join
     strategy when the anchor set is corpus-sized (a forced broadcast of
-    a corpus-sized probe table is a driver OOM, not an optimization)."""
+    a corpus-sized probe table is a driver OOM, not an optimization).
+    ``cell_salt`` (non-broadcast path only) sub-buckets the cell join
+    key — see the inline comment at the join for when the nlist-bounded
+    key domain needs it."""
     extra = query_cols or {}
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -854,9 +868,35 @@ def _ivf_probe_rank(
     # per-side norms are projected once so each candidate pair costs one
     # dot product; same expression order as `cosine`, so values are
     # bit-identical
-    joined = assigned.withColumn("_cnorm", norm(F.col(vec_col))).join(
-        F.broadcast(probes) if broadcast_probes else probes, "cell"
-    )
+    corpus_side = assigned.withColumn("_cnorm", norm(F.col(vec_col)))
+    if cell_salt is not None and not broadcast_probes:
+        # the cell join's key domain is only nlist values — with a
+        # corpus-sized probe table the shuffle hash-partitions both
+        # sides onto <=nlist keys, so parallelism collapses to nlist
+        # tasks and a hot cell straggles unless AQE's skew thresholds
+        # happen to trigger. Salting sub-buckets each cell cell_salt
+        # ways: the corpus side gets a deterministic salt from its id,
+        # the probe side is REPLICATED cell_salt x (a per-cell cross
+        # product needs every anchor to meet every cell member, so one
+        # side must replicate — same mechanics as replicated_skew_join;
+        # probes are the cheaper side to copy: |anchors|*nprobe rows vs
+        # the corpus). Output row set is identical (tested).
+        from impresso_ta.operators.skew import salt_column
+
+        corpus_side = corpus_side.withColumn(
+            "_cs", salt_column(F.col(id_col), cell_salt)
+        )
+        probes = probes.withColumn(
+            "_cs",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(cell_salt - 1)).cast("array<int>")
+            ),
+        )
+        joined = corpus_side.join(probes, ["cell", "_cs"]).drop("_cs")
+    else:
+        joined = corpus_side.join(
+            F.broadcast(probes) if broadcast_probes else probes, "cell"
+        )
     if pair_filter is not None:
         joined = joined.where(pair_filter)
     cand = joined.select(

@@ -6014,8 +6014,21 @@ def similarity_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # changes a title's corpus_digest, so the importer/rebuild ETL core
 # carries the same per-round hash gate as the DataFrame operators
 # (round-5 task; ref rebuilders/paper_rebuilders.py:177-230).
-_REFERENCE_CANONICAL_BASE = (
-    "/root/reference/text_preparation/data/out/canonical_out"
+def _reference_path(*parts: str) -> str:
+    """Reference sample-data location, overridable via
+    $SPARK_GRAFT_REFERENCE_DIR so the three reference-pinned catalog
+    queries (and their committed goldens) aren't coupled to this
+    machine's filesystem layout — on a checkout where the reference
+    isn't present, the queries fail at discovery with the missing path
+    named instead of a silent wrong answer."""
+    import os
+
+    base = os.environ.get("SPARK_GRAFT_REFERENCE_DIR", "/root/reference")
+    return os.path.join(base, *parts)
+
+
+_REFERENCE_CANONICAL_BASE = _reference_path(
+    "text_preparation", "data", "out", "canonical_out"
 )
 
 _REFERENCE_CANONICAL_GOLDEN = [
@@ -6269,8 +6282,8 @@ def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # speech-segment / section offset assembly gets the same per-round drift
 # gate as the paper path's lb/pb/rb (round-8 task; ref:
 # rebuilders/audio_rebuilders.py:11-86, importers/ina/classes.py:29-289).
-_REFERENCE_AUDIO_BASE = (
-    "/root/reference/text_preparation/data/sample_data/INA"
+_REFERENCE_AUDIO_BASE = _reference_path(
+    "text_preparation", "data", "sample_data", "INA"
 )
 
 _REFERENCE_AUDIO_GOLDEN = [
@@ -6359,8 +6372,8 @@ def rebuild_reference_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # different parallelism (local[8] / local[32], byte-identical); any drift
 # in ANY layer (listing order, import text, rebuild offsets, filter
 # thresholds, dedup verdicts, shard hashing) changes a digest.
-_REFERENCE_TETML_BASE = (
-    "/root/reference/text_preparation/data/sample_data/Tetml"
+_REFERENCE_TETML_BASE = _reference_path(
+    "text_preparation", "data", "sample_data", "Tetml"
 )
 
 _CRAWL_CORPUS_GOLDEN = [

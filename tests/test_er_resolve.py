@@ -154,3 +154,32 @@ def test_resolve_entities_no_matches_is_empty(spark):
         [(1, "alpha"), (2, "zebra")], "k long, name string"
     )
     assert resolve_entities(df, "k", "name", max_dist=1).count() == 0
+
+
+def test_resolve_entities_guards_key_shared_across_values(spark):
+    """A key appearing with TWO different name values (so it becomes
+    the super-node of two distinct value groups) must fail LOUDLY —
+    the silent alternative is merging unrelated clusters."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (1, "zzz different"), (2, "alpha beta"),
+         (3, "zzz different")],
+        "k long, name string",
+    )
+    with pytest.raises(Exception, match="resolve_entities.*one name per key"):
+        resolve_entities(df, "k", "name", max_dist=1).collect()
+
+
+def test_resolve_entities_same_key_same_name_rows_ok(spark):
+    """Duplicate (key, name) ROWS are legal — the precondition is one
+    name per key, not row uniqueness."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (1, "alpha beta"), (2, "alpha beta")],
+        "k long, name string",
+    )
+    got = {
+        (r["k"], r["cluster"])
+        for r in resolve_entities(df, "k", "name", max_dist=1).collect()
+    }
+    assert got == {(1, 1), (2, 1)}

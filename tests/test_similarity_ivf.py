@@ -303,3 +303,18 @@ def test_ivf_topk_indexed_parity_and_partition_pruning(spark, tmp_path):
     assert grown.count() == emb.count() + 3
     out2 = ivf_topk_indexed(grown, qs, seeds, nprobe=8, k=3).collect()
     assert any(r.neighbor_id >= 100000 for r in out2)  # clones tie-break in
+
+
+def test_hard_negatives_ivf_cell_salt_parity(spark):
+    """cell_salt sub-buckets the nlist-bounded join key for parallelism
+    — the output row set must be IDENTICAL to the unsalted form (the
+    salt only re-partitions the per-cell cross product)."""
+    from impresso_ta.operators.similarity import hard_negatives_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    plain = sorted(map(tuple, hard_negatives_ivf(
+        emb, qs, nlist=4, nprobe=2, k=3).collect()))
+    salted = sorted(map(tuple, hard_negatives_ivf(
+        emb, qs, nlist=4, nprobe=2, k=3, cell_salt=8).collect()))
+    assert plain == salted
