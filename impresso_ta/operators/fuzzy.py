@@ -295,9 +295,22 @@ def fuzzy_blocked_join(
         rc.alias("_fz_rv"),
         F.levenshtein(lc, rc).alias("edit_dist"),
     )
+    # the verified value-pair frame is bounded by DISTINCT pairs —
+    # broadcast it so the first expansion join is map-side at the left
+    # scan's full parallelism. Without the hint the expansion shuffles
+    # on the string VALUE, whose domain is |distinct verified values| —
+    # on a clone-heavy corpus that collapses emission onto a handful of
+    # reducers (measured at sf1: 64 distinct part names -> 376.7 s for
+    # the ~400M-row expansion; with the hint 113 s, same rows). A
+    # corpus whose distinct-pair set is too big to broadcast is exactly
+    # the corpus where the expansion itself is the mistake — use
+    # contracted=True there.
     return (
         left.alias("le")
-        .join(pairs.alias("p"), F.col(f"le.{left_col}") == F.col("p._fz_lv"))
+        .join(
+            F.broadcast(pairs.alias("p")),
+            F.col(f"le.{left_col}") == F.col("p._fz_lv"),
+        )
         .join(
             right.alias("re"),
             F.col("p._fz_rv") == F.col(f"re.{right_col}"),
