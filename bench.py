@@ -193,11 +193,12 @@ EXTENDED_SF1_SKIP: set[str] = {
     "j17_fuzzy_blocked_join",
 }
 
-# Output-proportional giants run ONCE per bench pass: j17 emits every
-# verified pair (~400M rows at sf1, 380 s of raw row emission through
-# the noop sink) — a min-of-2 there doubles bench wall-time to protect
-# a number dominated by output volume, not plan noise.
-SINGLE_RUN = {"j17_fuzzy_blocked_join"}
+# Output-proportional giants run ONCE per bench pass (min-of-2 would
+# double wall-time to protect a number dominated by output volume, not
+# plan noise). EMPTY since r10: j17's expanded form left the sf1 pass
+# (see EXTENDED_SF1_SKIP), and at the primary sf it is seconds-scale —
+# normal min-of-2 applies.
+SINGLE_RUN: set[str] = set()
 
 YARDSTICK = ["q1_pricing_summary", "w3_running_offsets"]
 

@@ -816,6 +816,65 @@ def ivf_topk(
     )
 
 
+def _probe_frame(
+    spark,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    round_to: int,
+    strategy: str,
+    query_cols: dict | None = None,
+) -> DataFrame:
+    """The (query_id, qv, _qnorm[, extras], cell) probe table: each
+    query exploded to its ``nprobe`` nearest centroids' cells. Shared
+    by ``_ivf_probe_rank`` (the join input) and ``ivf_topk_indexed``'s
+    static cell pruning (which only needs the distinct cells)."""
+    extra = query_cols or {}
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("_qnorm"),
+        *[c.alias(name) for name, c in extra.items()],
+    )
+    if strategy == "broadcast":
+        cents = _centroids_relation(spark, centroids)
+        scores = _cell_scores_over(F.col("qv"), F.col("_qnorm"), round_to)
+        q = q.crossJoin(F.broadcast(cents))
+    else:
+        frags = _cell_scores_sql("`qv`", "`_qnorm`", centroids, round_to)
+        scores = F.expr(f"array({','.join(frags)})")
+    probe_cells = F.transform(
+        F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
+        lambda s: (-s["negcell"]).cast("int"),
+    )
+    return q.select(
+        "query_id", "qv", "_qnorm", *extra,
+        F.explode(probe_cells).alias("cell"),
+    )
+
+
+def write_ivf_index(
+    assigned: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Persist an ``ivf_assign`` output as the cell-partitioned store
+    ``ivf_topk_indexed`` serves from — with the layout that actually
+    prunes: ONE file per cell (repartition on the partition column
+    before ``partitionBy``). A naive ``write.partitionBy("cell")``
+    from an N-task upstream writes up to N files into EVERY cell
+    directory (measured: 32 tasks x 565 cells = 11,490 files for a
+    15 MB index; open/commit overhead dominated ingest at 42 s for
+    2,000 vectors) and multiplies the per-file open cost of every
+    subsequent probe. Incremental appends with frozen centroids:
+    ``mode="append"`` adds one file per touched cell per batch —
+    compact periodically with ``layout.compaction_plan`` if batch
+    count grows large."""
+    assigned.repartition("cell").write.mode(mode).partitionBy(
+        "cell"
+    ).parquet(path)
+
+
 def _ivf_probe_rank(
     assigned: DataFrame,
     queries: DataFrame,
@@ -843,27 +902,9 @@ def _ivf_probe_rank(
     ``cell_salt`` (non-broadcast path only) sub-buckets the cell join
     key — see the inline comment at the join for when the nlist-bounded
     key domain needs it."""
-    extra = query_cols or {}
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("_qnorm"),
-        *[c.alias(name) for name, c in extra.items()],
-    )
-    if strategy == "broadcast":
-        cents = _centroids_relation(assigned.sparkSession, centroids)
-        scores = _cell_scores_over(F.col("qv"), F.col("_qnorm"), round_to)
-        q = q.crossJoin(F.broadcast(cents))
-    else:
-        frags = _cell_scores_sql("`qv`", "`_qnorm`", centroids, round_to)
-        scores = F.expr(f"array({','.join(frags)})")
-    probe_cells = F.transform(
-        F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
-        lambda s: (-s["negcell"]).cast("int"),
-    )
-    probes = q.select(
-        "query_id", "qv", "_qnorm", *extra,
-        F.explode(probe_cells).alias("cell"),
+    probes = _probe_frame(
+        assigned.sparkSession, queries, centroids, nprobe,
+        id_col, vec_col, round_to, strategy, query_cols,
     )
     # per-side norms are projected once so each candidate pair costs one
     # dot product; same expression order as `cosine`, so values are
@@ -930,6 +971,7 @@ def ivf_topk_indexed(
     vec_col: str = "embedding",
     round_to: int = 4,
     strategy: str = "auto",
+    static_prune: bool = True,
 ) -> DataFrame:
     """``ivf_topk`` over a PERSISTED index: ``index`` is the
     (id, vec, cell) table ``ivf_assign`` produced at INGEST time —
@@ -947,11 +989,41 @@ def ivf_topk_indexed(
     state. ``centroids`` must be the ones the index was built with
     (same seeds, same refine history); results are then bit-identical
     to ``ivf_topk`` over the original corpus (parity-tested).
+
+    ``static_prune`` (default on): the probed-cell set is collected
+    first (one extra SMALL job — the distinct set is bounded by nlist
+    regardless of query count, and a serving batch's probe pass is
+    cheap by contract) and applied to the store as a STATIC partition
+    filter, so file-level pruning is guaranteed at plan time. This
+    exists because the dynamic-partition-pruning path is
+    heuristic-fragile exactly where it matters: with the
+    relation-routed codebook (nlist > LITERAL_MAX_NLIST) the probe
+    subtree carries a nested broadcast and Spark declines to reuse it
+    as a DPP filter — measured at the 10x/100x scale probe
+    (tools/scale_mining_results.json): `dynamicpruning` present in the
+    plan TEXT, yet numFiles/numOutputRows showed the scan reading
+    EVERY file and row. Pass ``static_prune=False`` only for
+    corpus-sized query sets (where the probes cover all cells and
+    pruning is moot); the DPP plan remains for that path. When the
+    collected set covers every cell the filter is skipped (no-op).
     """
     if strategy == "auto":
         strategy = (
             "literal" if len(centroids) <= LITERAL_MAX_NLIST else "broadcast"
         )
+    if static_prune:
+        cells = sorted(
+            r["cell"]
+            for r in _probe_frame(
+                index.sparkSession, queries, centroids, nprobe,
+                id_col, vec_col, round_to, strategy,
+            )
+            .select("cell")
+            .distinct()
+            .collect()
+        )
+        if len(cells) < len(centroids):
+            index = index.filter(F.col("cell").isin(cells))
     return _ivf_probe_rank(
         index, queries, centroids, nprobe, k, id_col, vec_col,
         round_to, strategy,

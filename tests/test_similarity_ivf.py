@@ -282,14 +282,61 @@ def test_ivf_topk_indexed_parity_and_partition_pruning(spark, tmp_path):
     )
 
     # build the index once at "ingest", persist partitioned by cell
+    # through the layout writer (ONE file per cell — a multi-task
+    # partitionBy write puts a file from every task into every cell)
+    import os
+
+    from impresso_ta.operators.similarity import write_ivf_index
+
     store = str(tmp_path / "ivf_index")
-    ivf_assign(emb, seeds).write.partitionBy("cell").parquet(store)
+    write_ivf_index(ivf_assign(emb, seeds), store)
+    n_files = sum(
+        1 for _r, _d, fs in os.walk(store)
+        for f in fs if f.endswith(".parquet")
+    )
+    assert n_files == 8  # one per cell
     index = spark.read.parquet(store)
     indexed = ivf_topk_indexed(index, qs, seeds, nprobe=2, k=3)
     assert sorted(map(tuple, indexed.collect())) == inline
 
-    plan = indexed._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in plan.lower()
+    # the pruning claim as a METRIC, not a plan string: the store scan
+    # must read only the probed cells' files (static cell pruning —
+    # the DPP fallback reads everything at nlist > LITERAL_MAX_NLIST,
+    # see ivf_topk_indexed's docstring and scale_mining_results.json)
+    probed = ivf_topk_indexed(index, qs, seeds, nprobe=2, k=3)
+    probed.collect()
+    jplan = probed._jdf.queryExecution().executedPlan()
+    files_read = None
+    stack, seen = [jplan], set()
+    while stack:
+        node = stack.pop()
+        if node.id() in seen:
+            continue
+        seen.add(node.id())
+        name = node.getClass().getSimpleName()
+        if "FileSourceScan" in name and "cell" in node.toString():
+            o = node.metrics().get("numFiles")
+            if o.isDefined():
+                files_read = max(files_read or 0, o.get().value())
+        try:
+            it = node.children().iterator()
+            while it.hasNext():
+                stack.append(it.next())
+        except Exception:
+            pass
+        for meth in ("finalPhysicalPlan", "executedPlan", "plan", "child"):
+            try:
+                stack.append(getattr(node, meth)())
+            except Exception:
+                pass
+    assert files_read is not None and files_read < n_files
+
+    # static_prune=False (the corpus-sized-queries path) stays
+    # output-identical
+    unpruned = ivf_topk_indexed(
+        index, qs, seeds, nprobe=2, k=3, static_prune=False
+    )
+    assert sorted(map(tuple, unpruned.collect())) == inline
 
     # incremental append with FROZEN centroids composes: new batch rows
     # appear in results when they win

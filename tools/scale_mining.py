@@ -167,9 +167,7 @@ def main() -> None:
         store = os.path.join(STORES, tag)
         t0 = time.time()
         shutil.rmtree(store, ignore_errors=True)
-        similarity.ivf_assign(emb, seeds).write.partitionBy("cell").parquet(
-            store
-        )
+        similarity.write_ivf_index(similarity.ivf_assign(emb, seeds), store)
         results["ivf_indexed_ingest"][tag] = round(time.time() - t0, 3)
 
         index = spark.read.parquet(store)
@@ -201,7 +199,7 @@ def main() -> None:
         r = results[q]
         t1, t10, t100 = r.get("1x"), r.get("10x"), r.get("100x")
         step = f"{t100 / t10:8.1f}x" if t10 and t100 else "     n/a"
-        fmt = lambda v: f"{v:8.2f}" if v is not None else "     err"  # noqa: E731
+        fmt = lambda v: f"{v:8.2f}" if v is not None else "    skip"  # noqa: E731
         print(f"{q:24s} {fmt(t1)} {fmt(t10)} {fmt(t100)} {step}")
     for tag in ("1x", "10x", "100x"):
         f = results["ivf_indexed_files"].get(tag, {})
