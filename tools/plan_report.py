@@ -80,6 +80,19 @@ QUERIES = [
     ("similarity_hard_negatives_ivf", "mining scale path (r9): the cell "
      "equi-join is the only corpus-sized op; probes broadcast; label "
      "predicate fused into the join"),
+    ("j17_fuzzy_contracted", "contracted fuzzy join (r10): groupBy-count "
+     "IS the distinct (one exchange per side carries the multiplicity), "
+     "blocked Levenshtein verify on values, NO expansion joins — output "
+     "bounded by distinct verified pairs"),
+    ("dedup_jaccard_contracted", "contracted Jaccard pairs (r10): "
+     "md5-grouped clone contraction, prefix-filtered verify on distinct "
+     "texts (persisted shingle-set frame — referenced 5x, materialized "
+     "once), rep-level output + group sizes, no member fan-out"),
+    ("similarity_ivf_indexed_topk", "persisted-index serving (r10): "
+     "static cell pruning — probed cells collected (bounded by nlist) "
+     "and applied as a partition filter, so only probed cells' files "
+     "are read regardless of the DPP heuristics that declined the "
+     "nested-broadcast probe subtree at nlist>64"),
 ]
 
 
