@@ -146,12 +146,11 @@ EXTENDED_QUERIES = [
     "events_debounce",
     "er_entity_clusters",
     "graph_bfs_khop",
-    # r9: the exact fuzzy PAIRS join, viable at sf1 since clone collapse.
-    # Measured sf0.1 2.9 s -> sf1 380 s for ~131x more true pairs
-    # (~400M at dist<=2): the verify is collapsed to distinct values,
-    # so what remains is OUTPUT-proportional expansion — the honest
-    # floor for an exact pairs form; a clustering consumer routes to
-    # er_entity_clusters (1.8 s at sf1), which never expands the pairs.
+    # r9: the exact fuzzy PAIRS join (clone-collapsed verify). r10:
+    # expansion broadcast-fixed (sf1 376.7 -> 113 s, same rows) but the
+    # row is still output-bound at sf1 — skipped there (see
+    # EXTENDED_SF1_SKIP); the contracted twin below is the sf1-tracked
+    # form, and er_entity_clusters the clustering consumer.
     "j17_fuzzy_blocked_join",
     # r9: hard-negative mining (contrastive-training data) — the
     # cosine_topk plan with the label-inequality fused into the
@@ -366,7 +365,11 @@ def main() -> None:
         try:
             spark.catalog.clearCache()
             t0 = time.time()
-            merges, vocab = bpe_train(docs, n_merges=256, batch_m=16)
+            # batch_m=64: the measured sweet spot (r10 A/B: 86.6 s at
+            # 16, 55.8 s at 64, 64.7 s at 128 — tie-bounded acceptance);
+            # merge sequence identical at every setting, so the row stays
+            # comparable in WHAT it computes, faster in how
+            merges, vocab = bpe_train(docs, n_merges=256, batch_m=64)
             vocab.unpersist()
             assert len(merges) > 0
             out["bpe_256_merges"] = round(time.time() - t0, 3)

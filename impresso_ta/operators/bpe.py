@@ -109,7 +109,7 @@ def bpe_train(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
-    batch_m: int = 16,
+    batch_m: int = 64,
     checkpoint_every: int = 16,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges over the corpus.
@@ -125,7 +125,11 @@ def bpe_train(
     sequential-job ceiling that made 32k-merge tokenizers untenable.
     The learned merge sequence is IDENTICAL to ``batch_m=1`` (the
     classic loop) on every input; batching only changes how many merges
-    each job is allowed to confirm.
+    each job is allowed to confirm. Default 64: measured at sf1
+    (256-merge run, r10) 86.6 s at batch_m=16 vs 55.8 s at 64 vs
+    64.7 s at 128 — acceptance is bounded by count ties, so beyond ~64
+    the bigger top-(m+1) fetch costs more than the extra confirmations
+    it wins; the sequence was byte-identical at all three settings.
 
     Persist discipline: a generation's cache blocks are dropped only
     AFTER its child has materialized (the next pair-count job), so no
