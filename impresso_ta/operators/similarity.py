@@ -1022,7 +1022,7 @@ def ivf_topk_indexed(
             .distinct()
             .collect()
         )
-        if len(cells) < len(centroids):
+        if cells and len(cells) < len(centroids):
             index = index.filter(F.col("cell").isin(cells))
     return _ivf_probe_rank(
         index, queries, centroids, nprobe, k, id_col, vec_col,
