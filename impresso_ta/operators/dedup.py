@@ -1496,6 +1496,7 @@ def jaccard_prefix_pairs(
     k: int = 3,
     threshold: float = 0.7,
     collapse_exact: bool = True,
+    cache: bool = True,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs via PREFIX FILTERING
     (AllPairs/PPJoin, Bayardo et al. 2007 / Xiao et al. 2008) — same
@@ -1531,6 +1532,16 @@ def jaccard_prefix_pairs(
     exact-clone clique size (measured: the 10x-clone sf1 corpus took
     224 s with verify arrays shipped per clone pair, vs the collapsed
     form where verify sees each distinct text once).
+
+    ``cache`` (default on) persists the multiply-referenced subtrees
+    (the per-doc shingle-set frame — referenced five times; the
+    clone-group frame — four times). The blocks live until the session
+    clears them (the returned frame is lazy, so this function cannot
+    unpersist) — a long-lived session issuing many jaccard calls over
+    different inputs should either clearCache between calls (the bench
+    discipline) or pass ``cache=False`` and manage materialization
+    itself; False trades ~5x recomputation (measured: 119 s vs 24 s at
+    sf1) for zero cache residency.
     """
     if collapse_exact:
         base = docs.select(
@@ -1546,13 +1557,15 @@ def jaccard_prefix_pairs(
                 F.element_at("_ids", 1).alias(id_col), text_col, "_ids"
             )
         )
-        # referenced 4x downstream (reps, both expansion sides, intra)
-        from pyspark import StorageLevel
+        if cache:
+            # referenced 4x downstream (reps, expansion sides, intra)
+            from pyspark import StorageLevel
 
-        groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
+            groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
         reps = groups.select(id_col, text_col)
         rep_pairs = jaccard_prefix_pairs(
-            reps, id_col, text_col, k, threshold, collapse_exact=False
+            reps, id_col, text_col, k, threshold, collapse_exact=False,
+            cache=cache,
         )
         sides = groups.select(F.col(id_col), F.col("_ids"))
         inter = (
@@ -1619,7 +1632,9 @@ def jaccard_prefix_pairs(
         ).alias("hs_ranked"),
         F.sort_array(F.collect_list("h")).alias("hs"),
         F.count("*").alias("n"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if cache:
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     # integer-exact prefix length for t' = (threshold*1000 - 1)/1000:
     # L = n - ceil(t'*n) + 1 = n - ((a*n + 999) div 1000) + 1
     a_num = int(round(threshold * 1000)) - 1
@@ -1697,6 +1712,7 @@ def jaccard_prefix_contracted(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.7,
+    cache: bool = True,
 ) -> DataFrame:
     """CONTRACTED exact-Jaccard near-dup pairs: the prefix-filtered join
     of :func:`jaccard_prefix_pairs`, but the output stays at the
@@ -1741,10 +1757,12 @@ def jaccard_prefix_contracted(
         )
         .select(id_col, text_col, "_m")
     )
-    # referenced 4x downstream (rep texts, both size joins, intra)
-    from pyspark import StorageLevel
+    if cache:
+        # referenced 4x downstream (rep texts, both size joins, intra);
+        # see jaccard_prefix_pairs' cache note for the residency trade
+        from pyspark import StorageLevel
 
-    groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
+        groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     rep_pairs = jaccard_prefix_pairs(
         groups.select(id_col, text_col),
         id_col,
@@ -1752,6 +1770,7 @@ def jaccard_prefix_contracted(
         k,
         threshold,
         collapse_exact=False,
+        cache=cache,
     )
     sizes = groups.select(F.col(id_col), F.col("_m"))
     inter = (

@@ -72,15 +72,22 @@ def resolve_entities(
     corpus the contraction is a no-op pass-through and cost matches the
     raw form.
 
-    PRECONDITION (guarded): ``key_col`` identifies rows — the same key
-    must not appear with two different ``name_col`` values. The
-    contraction uses min(key) per value as the super-node id; a key
-    shared across values would give two distinct value groups the same
-    super-node and silently merge their clusters (and the output-
-    identity proof above would no longer hold). An in-plan tripwire
-    (count over the super-node id, riding the checkpointed contraction
-    — one small exchange over |distinct values| rows) fails LOUDLY the
-    moment two values collapse to one id, naming the offending key.
+    PRECONDITION: ``key_col`` identifies rows — the same key must not
+    appear with two different ``name_col`` values. The contraction uses
+    min(key) per value as the super-node id; a key shared across values
+    CAN give two distinct value groups the same super-node and silently
+    merge their clusters (and the output-identity proof above would no
+    longer hold). An in-plan tripwire (count over the super-node id,
+    riding the checkpointed contraction — one small exchange over
+    |distinct values| rows) fails LOUDLY in exactly that
+    cluster-corrupting case: when a shared key is the MIN of two value
+    groups. Guard scope, precisely: a key appearing under two names
+    WITHOUT being both groups' min does not corrupt any cluster — each
+    of its (key, name) rows is labeled with its own name's cluster, so
+    the violation surfaces as a duplicate key in the output rather
+    than as silently merged clusters; detecting that residual class
+    would cost a full count-vs-countDistinct pass over the RAW rows
+    per call, which this operator does not impose.
     """
     from pyspark.sql.window import Window
 

@@ -107,6 +107,7 @@ def fuzzy_blocked_join(
     collapse_clones: bool = True,
     guard_block_size: int | None = 50_000,
     contracted: bool = False,
+    broadcast_pairs: bool = True,
 ) -> DataFrame:
     """Record-linkage fuzzy join: BLOCK (equi-join on a cheap normalized
     key) then VERIFY (exact Levenshtein <= ``max_dist``) — the standard
@@ -302,13 +303,17 @@ def fuzzy_blocked_join(
     # on a clone-heavy corpus that collapses emission onto a handful of
     # reducers (measured at sf1: 64 distinct part names -> 376.7 s for
     # the ~400M-row expansion; with the hint 113 s, same rows). A
-    # corpus whose distinct-pair set is too big to broadcast is exactly
-    # the corpus where the expansion itself is the mistake — use
-    # contracted=True there.
+    # corpus whose distinct-pair set exceeds the broadcast cap (8 GB /
+    # driver memory) has two honest outs, both named here because the
+    # failure mode is a hard error, not a slow plan: contracted=True
+    # (the expansion itself is the mistake at that diversity) or
+    # broadcast_pairs=False (r9's shuffle expansion — slow but
+    # completes).
+    maybe_bcast = F.broadcast if broadcast_pairs else (lambda df: df)
     return (
         left.alias("le")
         .join(
-            F.broadcast(pairs.alias("p")),
+            maybe_bcast(pairs.alias("p")),
             F.col(f"le.{left_col}") == F.col("p._fz_lv"),
         )
         .join(

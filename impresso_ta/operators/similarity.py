@@ -889,6 +889,7 @@ def _ivf_probe_rank(
     pair_filter=None,
     broadcast_probes: bool = True,
     cell_salt: int | None = None,
+    probes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Probe + score + rank over an existing (id, vec[, ...], cell)
     assignment — shared by ivf_topk (assigns inline), ivf_topk_indexed
@@ -901,11 +902,16 @@ def _ivf_probe_rank(
     a corpus-sized probe table is a driver OOM, not an optimization).
     ``cell_salt`` (non-broadcast path only) sub-buckets the cell join
     key — see the inline comment at the join for when the nlist-bounded
-    key domain needs it."""
-    probes = _probe_frame(
-        assigned.sparkSession, queries, centroids, nprobe,
-        id_col, vec_col, round_to, strategy, query_cols,
-    )
+    key domain needs it. ``probes_df`` injects a pre-built (typically
+    pre-materialized) probe table so a caller that already derived
+    per-query cells (static pruning) joins against the SAME evaluation
+    of ``queries``."""
+    probes = probes_df
+    if probes is None:
+        probes = _probe_frame(
+            assigned.sparkSession, queries, centroids, nprobe,
+            id_col, vec_col, round_to, strategy, query_cols,
+        )
     # per-side norms are projected once so each candidate pair costs one
     # dot product; same expression order as `cosine`, so values are
     # bit-identical
@@ -1012,18 +1018,27 @@ def ivf_topk_indexed(
             "literal" if len(centroids) <= LITERAL_MAX_NLIST else "broadcast"
         )
     if static_prune:
+        # materialize the probe table ONCE (localCheckpoint — probe
+        # rows are |queries|*nprobe, serving-batch sized by contract)
+        # and reuse the SAME frame for both the cell collection and the
+        # scoring join: a non-deterministic queries frame (limit/sample
+        # without ordering) re-evaluated per job could otherwise probe
+        # cells the pruned index no longer contains and silently drop
+        # neighbors. One job either way — the checkpoint replaces the
+        # second scoring pass, it doesn't add one.
+        probes = _probe_frame(
+            index.sparkSession, queries, centroids, nprobe,
+            id_col, vec_col, round_to, strategy,
+        ).localCheckpoint(eager=True)
         cells = sorted(
-            r["cell"]
-            for r in _probe_frame(
-                index.sparkSession, queries, centroids, nprobe,
-                id_col, vec_col, round_to, strategy,
-            )
-            .select("cell")
-            .distinct()
-            .collect()
+            r["cell"] for r in probes.select("cell").distinct().collect()
         )
         if cells and len(cells) < len(centroids):
             index = index.filter(F.col("cell").isin(cells))
+        return _ivf_probe_rank(
+            index, queries, centroids, nprobe, k, id_col, vec_col,
+            round_to, strategy, probes_df=probes,
+        )
     return _ivf_probe_rank(
         index, queries, centroids, nprobe, k, id_col, vec_col,
         round_to, strategy,

@@ -70,6 +70,13 @@ CDC_UPSERT_SCHEMA = StructType(
 # state: the current winner (seq, payload, deleted, event-time millis).
 # ts is NULL when the stream runs without tombstone_ttl — kept in the
 # schema unconditionally so the two modes share one state layout.
+# MIGRATION NOTE: this widened the r9 3-field layout — a checkpoint
+# written by the 3-field version fails Spark's state-store schema
+# compatibility check on restart (loud, at startup); restart such
+# streams from a fresh checkpoint (replaying the log reproduces the
+# state — the changelog is the documented recovery path). Within the
+# 4-field layout, TTL mode handles legacy ts=NULL tombstones (see the
+# re-arm guard in _cdc_fn).
 _CDC_STATE_SCHEMA = StructType(
     [
         StructField("seq", LongType()),
@@ -135,9 +142,15 @@ def _cdc_fn(delete_value: str, has_op: bool, ttl_ms: int | None = None):
             # each time its function runs with data): the tombstone ages
             # out when the watermark passes its event time + ttl. The
             # max() guard keeps the registration legal if the watermark
-            # already passed the horizon (fires next batch).
+            # already passed the horizon (fires next batch). A tombstone
+            # whose state predates TTL mode carries ts=NULL (the shared
+            # 4-field layout) — age it from the CURRENT watermark
+            # instead of crashing the pandas worker on None + int (the
+            # poison-pill class: task fails, checkpoint replays,
+            # forever).
             wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(max(best[3] + ttl_ms, wm + 1))
+            anchor = best[3] if best[3] is not None else wm
+            state.setTimeoutTimestamp(max(anchor + ttl_ms, wm + 1))
 
     return fn
 

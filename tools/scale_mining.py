@@ -62,7 +62,11 @@ def scan_metrics(df) -> list[dict]:
         if nid in visited:
             continue
         visited.add(nid)
-        if "FileSourceScan" in node.getClass().getSimpleName():
+        name = node.getClass().getSimpleName()
+        if "FileSourceScan" in name and "cell" in node.toString():
+            # only the cell-partitioned INDEX scan — without the filter
+            # a bigger queries-side scan could win max(numFiles) and the
+            # committed files_read would stop measuring pruning
             m = node.metrics()
             vals: dict = {}
             for key in ("numFiles", "numPartitions", "numOutputRows"):
