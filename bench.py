@@ -168,6 +168,8 @@ EXTENDED_QUERIES = [
     # stay benched at the primary sf (cheap there) and skip sf1.
     "j17_fuzzy_contracted",
     "dedup_jaccard_contracted",
+    # r10: the beyond-IVF mining route (row-local LSH bucket assignment)
+    "similarity_hard_negatives_lsh",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]

@@ -227,6 +227,84 @@ def hard_negatives_ivf(
     )
 
 
+def hard_negatives_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    plane_sets: list[list[list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 4,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """The beyond-IVF scale path for ``hard_negatives``: candidates come
+    from multi-probe hyperplane-LSH buckets instead of Voronoi cells —
+    bucket assignment is ROW-LOCAL in n·bits·dims (no Θ(n·nlist)
+    centroid scoring), which is the documented router boundary past
+    ``IVF_MAX_VECTORS`` (`tools/scale_docs_results.json` measured the
+    Voronoi assignment 34-43× superlinear with corpus-sized nlist;
+    `scale_mining_results.json` shows the IVF mining curve dominated by
+    exactly that assignment at 100×). Same plan shape as
+    ``multiprobe_lsh_topk`` with the mining predicates fused into the
+    bucket joins: different-label only, self-pairs excluded, recall
+    compounds as 1-Π(1-rᵢ) per added plane table while the corpus is
+    scanned once (all probe tables hang off the same scan).
+
+    ``broadcast_queries=False`` for corpus-sized anchor sets (the
+    mining regime): the bucket join shuffles on (table, bucket) — a
+    2^n_planes·n_tables key domain, the same bounded-parallelism note
+    as ``hard_negatives_ivf``'s cell join; size n_planes so
+    2^n_planes ≳ cores.
+
+    Determinism discipline as everywhere in this module: plane sets
+    from ``deterministic_plane_sets`` (engine-portable Weyl
+    coefficients — the DuckDB oracle inlines identical constants),
+    scores rounded before ranking, (cosine desc, id asc) tie-break.
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    spread = spread_small_input(corpus)
+    parts = []
+    for planes in plane_sets:
+        bq = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("_qlabel"),
+            hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        bc = spread.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            F.col(label_col).alias("_clabel"),
+            hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        joined = bc.join(
+            F.broadcast(bq) if broadcast_queries else bq, "bucket"
+        ).where(
+            (F.col("_clabel") != F.col("_qlabel"))
+            & (F.col("neighbor_id") != F.col("query_id"))
+        )
+        parts.append(joined.select("query_id", "neighbor_id", "qv", "cv"))
+    cand = parts[0]
+    for part in parts[1:]:
+        cand = cand.unionByName(part)
+    scored = cand.dropDuplicates(["query_id", "neighbor_id"]).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cosine"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def training_triplets(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1073,6 +1073,7 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @q(
     "retrieval_mmr_rerank",
     """
@@ -2230,6 +2231,71 @@ def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_truth",
         "n_hits",
         F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall"),
+    )
+
+
+def _hard_negatives_lsh_sql() -> str:
+    def bucket_expr(col: str, planes: list[list[float]]) -> str:
+        terms = []
+        for i, plane in enumerate(planes):
+            lits = ", ".join(str(v) for v in plane)
+            terms.append(
+                f"(CASE WHEN list_sum(list_transform(list_zip({col}::DOUBLE[], "
+                f"[{lits}]::DOUBLE[]), x -> x[1] * x[2])) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return "CAST(" + " + ".join(terms) + " AS INT)"
+
+    plane_sets = _lsh_plane_sets(2)
+    bucket_cols = ", ".join(
+        f"{bucket_expr('embedding', planes)} AS b{i}"
+        for i, planes in enumerate(plane_sets)
+    )
+    cand_union = " UNION ALL ".join(
+        f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        f"q.embedding AS qv, c.embedding AS cv "
+        f"FROM b q JOIN b c ON q.b{ti} = c.b{ti} "
+        f"WHERE q.vec_id % 100 = 0 "
+        f"AND c.label <> q.label AND c.vec_id <> q.vec_id"
+        for ti in range(len(plane_sets))
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, label, {bucket_cols}
+               FROM embeddings)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id,
+               round({_cos_sql('qv', 'cv')}, 4) AS cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round({_cos_sql('qv', 'cv')}, 4) DESC,
+                            neighbor_id ASC
+               ) AS INT) AS rank
+        FROM (SELECT DISTINCT query_id, neighbor_id, qv, cv
+              FROM ({cand_union}))
+    ) WHERE rank <= 3
+    """
+
+
+@q(
+    "similarity_hard_negatives_lsh",
+    _hard_negatives_lsh_sql(),
+    "The beyond-IVF mining scale path (r10): hard negatives from "
+    "multi-probe hyperplane-LSH buckets — bucket assignment is "
+    "ROW-LOCAL in n*bits*dims (no Theta(n*nlist) centroid scoring, "
+    "the piece that dominated hard_negatives_ivf's measured 100x "
+    "tier), label-inequality and self-exclusion fused into every "
+    "bucket join, candidates deduped across tables before ONE scoring "
+    "pass. Plane sets are the deterministic Weyl coefficients shared "
+    "with the LSH recall oracle, so this DuckDB twin is EXACT, not a "
+    "recall bound.",
+)
+def similarity_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives_lsh(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") % 100 == 0),
+        plane_sets=_lsh_plane_sets(2),
+        k=3,
     )
 
 

@@ -365,3 +365,33 @@ def test_hard_negatives_ivf_cell_salt_parity(spark):
     salted = sorted(map(tuple, hard_negatives_ivf(
         emb, qs, nlist=4, nprobe=2, k=3, cell_salt=8).collect()))
     assert plain == salted
+
+
+def test_hard_negatives_lsh_label_correct_and_join_parity(spark):
+    """LSH-bucketed mining: every pair is different-label and non-self,
+    drawn from the exhaustive different-label space; the non-broadcast
+    bucket join (the corpus-sized-anchor path) is output-identical."""
+    from impresso_ta.operators.similarity import (
+        deterministic_plane_sets,
+        hard_negatives,
+        hard_negatives_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    plane_sets = deterministic_plane_sets(2, 4, 64)
+    out = hard_negatives_lsh(emb, qs, plane_sets, k=3).collect()
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    exhaustive = {
+        (r.query_id, r.neighbor_id)
+        for r in hard_negatives(emb, qs, k=10**9).collect()
+    }
+    assert out  # buckets at 4 planes are coarse enough to find pairs
+    for r in out:
+        assert labels[r.neighbor_id] != labels[r.query_id]
+        assert r.neighbor_id != r.query_id
+        assert (r.query_id, r.neighbor_id) in exhaustive
+    shuffled = hard_negatives_lsh(
+        emb, qs, plane_sets, k=3, broadcast_queries=False
+    ).collect()
+    assert sorted(map(tuple, shuffled)) == sorted(map(tuple, out))
