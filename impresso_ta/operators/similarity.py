@@ -284,15 +284,28 @@ def hard_negatives_lsh(
             (F.col("_clabel") != F.col("_qlabel"))
             & (F.col("neighbor_id") != F.col("query_id"))
         )
-        parts.append(joined.select("query_id", "neighbor_id", "qv", "cv"))
+        # score INSIDE the join projection (row-local, JVM) so the
+        # cross-table dedup shuffles (query_id, neighbor_id, cosine) —
+        # 24 bytes/row — instead of dragging both 64-float vectors
+        # through the exchange. Measured at the 100x probe tier: the
+        # array-carrying dedup shuffled ~8 GB and cost 182 s; the
+        # narrow form is ~20x less shuffle for the same output (cosine
+        # is a deterministic function of the pair, so re-scoring a
+        # pair found by both tables yields identical rows and
+        # dropDuplicates keeps exactly one).
+        parts.append(
+            joined.select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    cosine(F.col("qv"), F.col("cv")), round_to
+                ).alias("cosine"),
+            )
+        )
     cand = parts[0]
     for part in parts[1:]:
         cand = cand.unionByName(part)
-    scored = cand.dropDuplicates(["query_id", "neighbor_id"]).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cosine"),
-    )
+    scored = cand.dropDuplicates(["query_id", "neighbor_id"])
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -1154,19 +1167,24 @@ def multiprobe_lsh_topk(
             F.col(vec_col).alias("cv"),
             hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
         )
+        # score in the join projection so the cross-table dedup
+        # shuffles narrow (id, id, cosine) rows, not the two 64-float
+        # vectors — see hard_negatives_lsh for the measured 100x cost
+        # of the array-carrying form; output identical (cosine is a
+        # deterministic function of the pair)
         scored_parts.append(
             bc.join(F.broadcast(bq), "bucket").select(
-                "query_id", "neighbor_id", "qv", "cv"
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    cosine(F.col("qv"), F.col("cv")), round_to
+                ).alias("cosine"),
             )
         )
     cand = scored_parts[0]
     for part in scored_parts[1:]:
         cand = cand.unionByName(part)
-    scored = cand.dropDuplicates(["query_id", "neighbor_id"]).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cosine"),
-    )
+    scored = cand.dropDuplicates(["query_id", "neighbor_id"])
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(

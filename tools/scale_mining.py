@@ -162,6 +162,16 @@ def main() -> None:
             results["hard_negatives_brute"][tag] = timed(
                 lambda: similarity.hard_negatives(emb, anchors, k=3)
             )
+        # the beyond-IVF route: row-local bucket assignment, bits sized
+        # so candidates/anchor ~ n/2^bits stays ~constant -> the whole
+        # mining pass should be ~linear in n (vs IVF's n^1.5 assignment)
+        bits = max(2, math.ceil(math.log2(max(2, n / 512))))
+        plane_sets = similarity.deterministic_plane_sets(2, bits, 64)
+        results.setdefault("hard_negatives_lsh", {})[tag] = timed(
+            lambda: similarity.hard_negatives_lsh(
+                emb, anchors, plane_sets, k=3, broadcast_queries=False
+            )
+        )
 
         # --- serving: ingest once, query a FIXED 200-anchor batch ----
         seeds = [
@@ -197,6 +207,7 @@ def main() -> None:
     for q in (
         "hard_negatives_ivf",
         "hard_negatives_brute",
+        "hard_negatives_lsh",
         "ivf_indexed_ingest",
         "ivf_indexed_query",
     ):
