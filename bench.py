@@ -169,7 +169,9 @@ EXTENDED_QUERIES = [
     "j17_fuzzy_contracted",
     "dedup_jaccard_contracted",
     # r10: the beyond-IVF mining route (row-local LSH bucket assignment)
+    # and the triplet miner's IVF scale path
     "similarity_hard_negatives_lsh",
+    "similarity_training_triplets_ivf",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]

@@ -227,6 +227,102 @@ def hard_negatives_ivf(
     )
 
 
+def training_triplets_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    nlist: int = 8,
+    nprobe: int = 2,
+    k_pos: int = 2,
+    k_neg: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 4,
+) -> DataFrame:
+    """The scale path for ``training_triplets``: candidates for BOTH the
+    positive (same-label) and negative (different-label) sides come
+    from each anchor's ``nprobe`` nearest IVF cells — one cell
+    equi-join feeds both windows, exactly mirroring how the brute form
+    carves both sides out of one scored cross join. Candidate volume
+    ~corpus·nprobe/nlist; the brute form is |corpus|·|anchors| and
+    dies when every corpus row is an anchor.
+
+    Same discipline as ``hard_negatives_ivf``: the label rides THROUGH
+    the assignment (``ivf_assign`` extra_cols — no corpus self-join),
+    the probe table is not broadcast-hinted (AQE decides; a forced
+    broadcast of corpus-sized anchors is a driver OOM), full probe
+    (nprobe=nlist) is EXHAUSTIVE and equals ``training_triplets``
+    bit-for-bit — that identity is the oracle. NULL labels never rank
+    on either side (``_same`` is NULL, and both carve predicates are
+    null-rejecting — the brute form's semantics). Returns (anchor_id,
+    positive_id, negative_id, pos_cos, neg_cos, margin).
+    """
+    seed_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(nlist)
+        .collect()
+    )
+    centroids = [(int(r[id_col]), list(r[vec_col])) for r in seed_rows]
+    assigned = ivf_assign(
+        corpus.withColumn("_clabel", F.col(label_col)),
+        centroids,
+        id_col,
+        vec_col,
+        round_to,
+        extra_cols=["_clabel"],
+    )
+    strategy = (
+        "literal" if len(centroids) <= LITERAL_MAX_NLIST else "broadcast"
+    )
+    probes = _probe_frame(
+        corpus.sparkSession, queries, centroids, nprobe,
+        id_col, vec_col, round_to, strategy,
+        query_cols={"_qlabel": F.col(label_col)},
+    )
+    scored = (
+        assigned.withColumn("_cnorm", norm(F.col(vec_col)))
+        .join(probes, "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col(id_col).alias("cand_id"),
+            (F.col("_clabel") == F.col("_qlabel")).alias("_same"),
+            F.round(
+                dot(F.col("qv"), F.col(vec_col))
+                / (F.col("_qnorm") * F.col("_cnorm")),
+                round_to,
+            ).alias("_cos"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("anchor_id", "_same").orderBy(
+        F.desc("_cos"), F.asc("cand_id")
+    )
+    ranked = scored.withColumn("_rk", F.row_number().over(w))
+    pos = ranked.where(F.col("_same") & (F.col("_rk") <= k_pos)).select(
+        "anchor_id",
+        F.col("cand_id").alias("positive_id"),
+        F.col("_cos").alias("pos_cos"),
+    )
+    neg = ranked.where(~F.col("_same") & (F.col("_rk") <= k_neg)).select(
+        "anchor_id",
+        F.col("cand_id").alias("negative_id"),
+        F.col("_cos").alias("neg_cos"),
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "positive_id",
+        "negative_id",
+        "pos_cos",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), round_to).alias(
+            "margin"
+        ),
+    )
+
+
 def hard_negatives_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1279,6 +1279,60 @@ def similarity_training_triplets(
 
 
 @q(
+    "similarity_training_triplets_ivf",
+    """
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.vec_id AS anchor_id, c.vec_id AS cand_id,
+               c.label = q.label AS same,
+               round(
+                   list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                       x -> x[1]::DOUBLE * x[2]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(q.embedding, v -> v::DOUBLE * v::DOUBLE)))
+                    * sqrt(list_sum(list_transform(c.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+               4) AS cos
+        FROM q, embeddings c
+        WHERE c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY anchor_id, same ORDER BY cos DESC, cand_id ASC
+        ) AS rk FROM scored
+    ),
+    pos AS (SELECT anchor_id, cand_id AS positive_id, cos AS pos_cos
+            FROM ranked WHERE same AND rk <= 2),
+    neg AS (SELECT anchor_id, cand_id AS negative_id, cos AS neg_cos
+            FROM ranked WHERE NOT same AND rk <= 2)
+    SELECT pos.anchor_id, positive_id, negative_id, pos_cos, neg_cos,
+           round(pos_cos - neg_cos, 4) AS margin
+    FROM pos JOIN neg ON pos.anchor_id = neg.anchor_id
+    """,
+    "The SCALE path for triplet mining (r10): positives AND negatives "
+    "both drawn from each anchor's probed IVF cells — ONE cell "
+    "equi-join feeds both (anchor, same-label) windows, mirroring how "
+    "the brute form carves both sides from one scored cross join; "
+    "candidate volume ~corpus·nprobe/nlist where the brute form is "
+    "|corpus|x|anchors|. Registered at FULL probe (nprobe=nlist), "
+    "exhaustive by construction — the brute form's SQL IS the oracle; "
+    "pruning is pinned by the subset test, the hard_negatives_ivf "
+    "contract applied to triplets.",
+)
+def similarity_training_triplets_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.training_triplets_ivf(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") % 100 == 0),
+        nlist=8,
+        nprobe=8,
+        k_pos=2,
+        k_neg=2,
+    )
+
+
+@q(
     "text_quality",
     """
     SELECT doc_id,

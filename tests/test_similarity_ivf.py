@@ -395,3 +395,31 @@ def test_hard_negatives_lsh_label_correct_and_join_parity(spark):
         emb, qs, plane_sets, k=3, broadcast_queries=False
     ).collect()
     assert sorted(map(tuple, shuffled)) == sorted(map(tuple, out))
+
+
+def test_training_triplets_ivf_full_probe_equals_brute_and_prunes(spark):
+    """Full probe (nprobe=nlist) is exhaustive — bit-identical to the
+    brute training_triplets; pruned probes stay label-correct and draw
+    from the exhaustive candidate space."""
+    from impresso_ta.operators.similarity import (
+        training_triplets,
+        training_triplets_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    brute = sorted(map(tuple, training_triplets(
+        emb, qs, k_pos=2, k_neg=2).collect()))
+    full = sorted(map(tuple, training_triplets_ivf(
+        emb, qs, nlist=4, nprobe=4, k_pos=2, k_neg=2).collect()))
+    assert brute == full
+    pruned = training_triplets_ivf(
+        emb, qs, nlist=4, nprobe=1, k_pos=2, k_neg=2
+    ).collect()
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    for r in pruned:
+        assert labels[r.positive_id] == labels[r.anchor_id]
+        assert labels[r.negative_id] != labels[r.anchor_id]
+        assert r.anchor_id not in (r.positive_id, r.negative_id)
+        assert r.margin == round(r.pos_cos - r.neg_cos, 4)
+    assert len(pruned) <= len(brute)
