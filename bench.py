@@ -172,6 +172,7 @@ EXTENDED_QUERIES = [
     # and the triplet miner's IVF scale path
     "similarity_hard_negatives_lsh",
     "similarity_training_triplets_ivf",
+    "similarity_semihard_triplets",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]

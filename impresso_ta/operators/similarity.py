@@ -227,6 +227,85 @@ def hard_negatives_ivf(
     )
 
 
+def _carve_triplets(
+    scored: DataFrame,
+    k_pos: int,
+    k_neg: int,
+    round_to: int,
+    semi_hard: bool,
+) -> DataFrame:
+    """Shared triplet carve over a scored candidate frame
+    (anchor_id, cand_id, _same BOOLEAN, _cos) — used by both
+    ``training_triplets`` (brute candidates) and
+    ``training_triplets_ivf`` (probed-cell candidates).
+
+    Default mode: k_pos nearest positives x k_neg nearest negatives
+    per anchor. ``semi_hard`` (FaceNet, Schroff et al. 2015): per
+    (anchor, positive), the k_neg HARDEST negatives that are still
+    EASIER than the positive (neg_cos < pos_cos) — the band that
+    trains without collapsing the embedding. Margin > 0 by
+    construction; an (anchor, positive) whose every candidate negative
+    is harder than the positive yields no row (callers wanting the
+    hardest-overall fallback union the default mode's output). NULL
+    labels never rank on either side in either mode (``_same`` is
+    NULL and both carve predicates are null-rejecting)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("anchor_id", "_same").orderBy(
+        F.desc("_cos"), F.asc("cand_id")
+    )
+    ranked = scored.withColumn("_rk", F.row_number().over(w))
+    pos = ranked.where(F.col("_same") & (F.col("_rk") <= k_pos)).select(
+        "anchor_id",
+        F.col("cand_id").alias("positive_id"),
+        F.col("_cos").alias("pos_cos"),
+    )
+    if semi_hard:
+        # rank negatives per (anchor, POSITIVE) after the easier-than-
+        # positive filter: the global top-k_neg window cannot be reused
+        # because all of its survivors may be harder than the positive
+        # while semi-hard candidates rank below them
+        negs = ranked.where(~F.col("_same")).select(
+            "anchor_id",
+            F.col("cand_id").alias("negative_id"),
+            F.col("_cos").alias("neg_cos"),
+        )
+        sw = Window.partitionBy("anchor_id", "positive_id").orderBy(
+            F.desc("neg_cos"), F.asc("negative_id")
+        )
+        return (
+            pos.join(negs, "anchor_id")
+            .where(F.col("neg_cos") < F.col("pos_cos"))
+            .withColumn("_srk", F.row_number().over(sw))
+            .where(F.col("_srk") <= k_neg)
+            .select(
+                "anchor_id",
+                "positive_id",
+                "negative_id",
+                "pos_cos",
+                "neg_cos",
+                F.round(
+                    F.col("pos_cos") - F.col("neg_cos"), round_to
+                ).alias("margin"),
+            )
+        )
+    neg = ranked.where(~F.col("_same") & (F.col("_rk") <= k_neg)).select(
+        "anchor_id",
+        F.col("cand_id").alias("negative_id"),
+        F.col("_cos").alias("neg_cos"),
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "positive_id",
+        "negative_id",
+        "pos_cos",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), round_to).alias(
+            "margin"
+        ),
+    )
+
+
 def training_triplets_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -238,6 +317,7 @@ def training_triplets_ivf(
     vec_col: str = "embedding",
     label_col: str = "label",
     round_to: int = 4,
+    semi_hard: bool = False,
 ) -> DataFrame:
     """The scale path for ``training_triplets``: candidates for BOTH the
     positive (same-label) and negative (different-label) sides come
@@ -295,32 +375,7 @@ def training_triplets_ivf(
             ).alias("_cos"),
         )
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("anchor_id", "_same").orderBy(
-        F.desc("_cos"), F.asc("cand_id")
-    )
-    ranked = scored.withColumn("_rk", F.row_number().over(w))
-    pos = ranked.where(F.col("_same") & (F.col("_rk") <= k_pos)).select(
-        "anchor_id",
-        F.col("cand_id").alias("positive_id"),
-        F.col("_cos").alias("pos_cos"),
-    )
-    neg = ranked.where(~F.col("_same") & (F.col("_rk") <= k_neg)).select(
-        "anchor_id",
-        F.col("cand_id").alias("negative_id"),
-        F.col("_cos").alias("neg_cos"),
-    )
-    return pos.join(neg, "anchor_id").select(
-        "anchor_id",
-        "positive_id",
-        "negative_id",
-        "pos_cos",
-        "neg_cos",
-        F.round(F.col("pos_cos") - F.col("neg_cos"), round_to).alias(
-            "margin"
-        ),
-    )
+    return _carve_triplets(scored, k_pos, k_neg, round_to, semi_hard)
 
 
 def hard_negatives_lsh(
@@ -423,6 +478,7 @@ def training_triplets(
     vec_col: str = "embedding",
     label_col: str = "label",
     round_to: int = 4,
+    semi_hard: bool = False,
 ) -> DataFrame:
     """Triplet assembly for metric learning: per anchor, the k_pos
     nearest SAME-label vectors (positives) crossed with the k_neg
@@ -464,32 +520,7 @@ def training_triplets(
             ),
         )
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("anchor_id", "_same").orderBy(
-        F.desc("_cos"), F.asc("cand_id")
-    )
-    ranked = scored.withColumn("_rk", F.row_number().over(w))
-    pos = ranked.where(F.col("_same") & (F.col("_rk") <= k_pos)).select(
-        "anchor_id",
-        F.col("cand_id").alias("positive_id"),
-        F.col("_cos").alias("pos_cos"),
-    )
-    neg = ranked.where(~F.col("_same") & (F.col("_rk") <= k_neg)).select(
-        "anchor_id",
-        F.col("cand_id").alias("negative_id"),
-        F.col("_cos").alias("neg_cos"),
-    )
-    return pos.join(neg, "anchor_id").select(
-        "anchor_id",
-        "positive_id",
-        "negative_id",
-        "pos_cos",
-        "neg_cos",
-        F.round(F.col("pos_cos") - F.col("neg_cos"), round_to).alias(
-            "margin"
-        ),
-    )
+    return _carve_triplets(scored, k_pos, k_neg, round_to, semi_hard)
 
 
 def semantic_decontamination(

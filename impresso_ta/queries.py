@@ -1279,6 +1279,68 @@ def similarity_training_triplets(
 
 
 @q(
+    "similarity_semihard_triplets",
+    """
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.vec_id AS anchor_id, c.vec_id AS cand_id,
+               c.label = q.label AS same,
+               round(
+                   list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                       x -> x[1]::DOUBLE * x[2]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(q.embedding, v -> v::DOUBLE * v::DOUBLE)))
+                    * sqrt(list_sum(list_transform(c.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+               4) AS cos
+        FROM q, embeddings c
+        WHERE c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY anchor_id, same ORDER BY cos DESC, cand_id ASC
+        ) AS rk FROM scored
+    ),
+    pos AS (SELECT anchor_id, cand_id AS positive_id, cos AS pos_cos
+            FROM ranked WHERE same AND rk <= 2),
+    negs AS (SELECT anchor_id, cand_id AS negative_id, cos AS neg_cos
+             FROM ranked WHERE NOT same)
+    SELECT anchor_id, positive_id, negative_id, pos_cos, neg_cos,
+           round(pos_cos - neg_cos, 4) AS margin
+    FROM (
+        SELECT pos.anchor_id, positive_id, negative_id, pos_cos, neg_cos,
+               row_number() OVER (
+                   PARTITION BY pos.anchor_id, positive_id
+                   ORDER BY neg_cos DESC, negative_id ASC
+               ) AS srk
+        FROM pos JOIN negs ON pos.anchor_id = negs.anchor_id
+        WHERE neg_cos < pos_cos
+    ) WHERE srk <= 2
+    """,
+    "SEMI-HARD triplet selection (FaceNet, Schroff et al. 2015): per "
+    "(anchor, positive), the k_neg hardest negatives that are still "
+    "EASIER than the positive (neg_cos < pos_cos) — the band that "
+    "trains a metric without collapsing it; margin > 0 by "
+    "construction. Ranked per (anchor, positive) AFTER the "
+    "easier-than-positive filter (the global top-k_neg window cannot "
+    "be reused: all of its survivors may be harder than the positive "
+    "while semi-hard candidates rank below them). Pairs with no "
+    "semi-hard negative yield no row — callers union the default "
+    "hardest mode as the fallback.",
+)
+def similarity_semihard_triplets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.training_triplets(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") % 100 == 0),
+        k_pos=2,
+        k_neg=2,
+        semi_hard=True,
+    )
+
+
+@q(
     "similarity_training_triplets_ivf",
     """
     WITH q AS (SELECT vec_id, embedding, label FROM embeddings

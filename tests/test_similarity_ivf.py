@@ -423,3 +423,43 @@ def test_training_triplets_ivf_full_probe_equals_brute_and_prunes(spark):
         assert r.anchor_id not in (r.positive_id, r.negative_id)
         assert r.margin == round(r.pos_cos - r.neg_cos, 4)
     assert len(pruned) <= len(brute)
+
+
+def test_semihard_triplets_band_properties(spark):
+    """Semi-hard mode: every emitted negative is strictly easier than
+    its positive (margin > 0), yet the hardest such negative is chosen
+    — and the IVF form at full probe agrees with brute bit-for-bit."""
+    from impresso_ta.operators.similarity import (
+        training_triplets,
+        training_triplets_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    semi = training_triplets(emb, qs, k_pos=2, k_neg=2, semi_hard=True)
+    rows = semi.collect()
+    assert rows
+    for r in rows:
+        assert r.neg_cos < r.pos_cos and r.margin > 0
+    # per (anchor, positive): the emitted negatives are the HARDEST of
+    # the easier-than-positive band (no skipped harder-but-still-easier
+    # candidate) — check against the exhaustive default carve
+    full = training_triplets(emb, qs, k_pos=2, k_neg=10**9).collect()
+    band = {}
+    for r in full:
+        if r.neg_cos < r.pos_cos:
+            band.setdefault((r.anchor_id, r.positive_id), []).append(
+                (-r.neg_cos, r.negative_id)
+            )
+    for key, cands in band.items():
+        want = [nid for _c, nid in sorted(cands)[:2]]
+        got = sorted(
+            (r for r in rows
+             if (r.anchor_id, r.positive_id) == key),
+            key=lambda r: (-r.neg_cos, r.negative_id),
+        )
+        assert [r.negative_id for r in got] == want
+    ivf_semi = training_triplets_ivf(
+        emb, qs, nlist=4, nprobe=4, k_pos=2, k_neg=2, semi_hard=True
+    ).collect()
+    assert sorted(map(tuple, ivf_semi)) == sorted(map(tuple, rows))
