@@ -93,6 +93,14 @@ QUERIES = [
      "and applied as a partition filter, so only probed cells' files "
      "are read regardless of the DPP heuristics that declined the "
      "nested-broadcast probe subtree at nlist>64"),
+    ("similarity_hard_negatives_lsh", "beyond-IVF mining (r10): "
+     "row-local bucket assignment, label filter fused into each "
+     "bucket join, scoring INSIDE the join projection so the "
+     "cross-table dedup shuffles 24-byte rows, not vectors"),
+    ("similarity_training_triplets_ivf", "triplet mining scale path "
+     "(r10): ONE probed cell equi-join feeds both the positive and "
+     "negative (anchor, same-label) windows; label rides the "
+     "assignment"),
 ]
 
 
