@@ -1533,15 +1533,21 @@ def jaccard_prefix_pairs(
     224 s with verify arrays shipped per clone pair, vs the collapsed
     form where verify sees each distinct text once).
 
-    ``cache`` (default on) persists the multiply-referenced subtrees
-    (the per-doc shingle-set frame — referenced five times; the
-    clone-group frame — four times). The blocks live until the session
-    clears them (the returned frame is lazy, so this function cannot
-    unpersist) — a long-lived session issuing many jaccard calls over
-    different inputs should either clearCache between calls (the bench
-    discipline) or pass ``cache=False`` and manage materialization
-    itself; False trades ~5x recomputation (measured: 119 s vs 24 s at
-    sf1) for zero cache residency.
+    ``cache`` (default on) materializes the multiply-referenced
+    subtrees via LAZY ``localCheckpoint`` (the per-doc shingle-set
+    frame — referenced five times; the clone-group frame — four
+    times). localCheckpoint (not ``persist``) so residency is BOUNDED:
+    the blocks belong to the checkpointed RDD, which the
+    ContextCleaner frees once the returned frame is garbage-collected
+    — a long-lived session issuing repeated calls does not accumulate
+    CacheManager entries without bound (the r10-review failure mode of
+    the persist form). Lazy (eager=False) so the function still
+    returns an unexecuted plan. The trade vs persist: lineage is
+    truncated, so a lost partition cannot be recomputed — on a
+    cluster with executor churn prefer ``cache=False`` plus a caller-
+    managed reliable ``checkpoint()``. ``cache=False`` trades ~5x
+    recomputation (measured: 119 s vs 24 s at sf1) for zero block
+    residency.
     """
     if collapse_exact:
         base = docs.select(
@@ -1558,10 +1564,10 @@ def jaccard_prefix_pairs(
             )
         )
         if cache:
-            # referenced 4x downstream (reps, expansion sides, intra)
-            from pyspark import StorageLevel
-
-            groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
+            # referenced 4x downstream (reps, expansion sides, intra);
+            # lazy localCheckpoint: blocks are ContextCleaner-freed when
+            # the frame is GC'd (see the docstring residency note)
+            groups = groups.localCheckpoint(eager=False)
         reps = groups.select(id_col, text_col)
         rep_pairs = jaccard_prefix_pairs(
             reps, id_col, text_col, k, threshold, collapse_exact=False,
@@ -1614,17 +1620,16 @@ def jaccard_prefix_pairs(
         )
         return inter.unionByName(intra)
 
-    from pyspark import StorageLevel
-
     sh = _explode_shingle_hashes(docs, id_col, text_col, k)
     dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
     ranked = sh.join(dfreq, "h")
-    # persisted: the plan references this frame FIVE times (both sides
-    # of the prefix self-join, both verify sides, and through cand) —
-    # unpersisted, Spark recomputes the explode+dfreq-join+collect
-    # subtree per reference (measured at sf1: 119 s total vs 24 s with
-    # the subtree materialized once; candidate gen is 4 s and verify
-    # 7 s — the other ~95 s was pure recomputation)
+    # materialized once (lazy localCheckpoint): the plan references
+    # this frame FIVE times (both sides of the prefix self-join, both
+    # verify sides, and through cand) — unmaterialized, Spark
+    # recomputes the explode+dfreq-join+collect subtree per reference
+    # (measured at sf1: 119 s total vs 24 s with the subtree
+    # materialized once; candidate gen is 4 s and verify 7 s — the
+    # other ~95 s was pure recomputation)
     sets = ranked.groupBy("doc_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("df", "h"))),
@@ -1634,7 +1639,7 @@ def jaccard_prefix_pairs(
         F.count("*").alias("n"),
     )
     if cache:
-        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+        sets = sets.localCheckpoint(eager=False)
     # integer-exact prefix length for t' = (threshold*1000 - 1)/1000:
     # L = n - ceil(t'*n) + 1 = n - ((a*n + 999) div 1000) + 1
     a_num = int(round(threshold * 1000)) - 1
@@ -1759,10 +1764,9 @@ def jaccard_prefix_contracted(
     )
     if cache:
         # referenced 4x downstream (rep texts, both size joins, intra);
-        # see jaccard_prefix_pairs' cache note for the residency trade
-        from pyspark import StorageLevel
-
-        groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
+        # lazy localCheckpoint, GC-bounded residency — see
+        # jaccard_prefix_pairs' cache note for the trade
+        groups = groups.localCheckpoint(eager=False)
     rep_pairs = jaccard_prefix_pairs(
         groups.select(id_col, text_col),
         id_col,

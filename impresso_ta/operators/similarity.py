@@ -233,34 +233,62 @@ def _carve_triplets(
     k_neg: int,
     round_to: int,
     semi_hard: bool,
+    cache: bool = True,
 ) -> DataFrame:
     """Shared triplet carve over a scored candidate frame
-    (anchor_id, cand_id, _same BOOLEAN, _cos) — used by both
-    ``training_triplets`` (brute candidates) and
-    ``training_triplets_ivf`` (probed-cell candidates).
+    (anchor_id, cand_id, _same BOOLEAN, _cos) — used by
+    ``training_triplets`` (brute candidates), ``training_triplets_ivf``
+    (probed-cell candidates) and ``training_triplets_lsh`` (bucket
+    candidates).
 
     Default mode: k_pos nearest positives x k_neg nearest negatives
-    per anchor. ``semi_hard`` (FaceNet, Schroff et al. 2015): per
-    (anchor, positive), the k_neg HARDEST negatives that are still
-    EASIER than the positive (neg_cos < pos_cos) — the band that
-    trains without collapsing the embedding. Margin > 0 by
-    construction; an (anchor, positive) whose every candidate negative
-    is harder than the positive yields no row (callers wanting the
-    hardest-overall fallback union the default mode's output). NULL
-    labels never rank on either side in either mode (``_same`` is
-    NULL and both carve predicates are null-rejecting)."""
+    per anchor — carved in ONE pass over ``scored``: both sides
+    survive the same window filter, fold into per-anchor positive/
+    negative arrays (bounded at k_pos + k_neg structs), and the
+    per-anchor cross product is an explode of those arrays. No
+    self-join, so the expensive scoring subtree is evaluated exactly
+    once (the r10 form carved pos and neg as two filters joined on
+    anchor_id — Spark evaluated the scored cross join once PER SIDE,
+    the same recomputation class the jaccard persist fix retired).
+
+    ``semi_hard`` (FaceNet, Schroff et al. 2015): per (anchor,
+    positive), the k_neg HARDEST negatives that are still EASIER than
+    the positive (neg_cos < pos_cos) — the band that trains without
+    collapsing the embedding. Margin > 0 by construction; an (anchor,
+    positive) whose every candidate negative is harder than the
+    positive yields no row (callers wanting the hardest-overall
+    fallback union the default mode's output). The band filter cannot
+    be pre-cut to a fixed top-k (every negative easier than the
+    positive is a candidate), so this mode joins the k_pos positives
+    against ALL same-anchor negatives — both sides hang off the
+    ranked frame, and ``cache`` (default on) materializes it ONCE via
+    lazy ``localCheckpoint`` instead of re-evaluating the scoring
+    subtree per side (measured at sf1: 20.1 s -> the single-
+    evaluation cost; blocks are ContextCleaner-freed when the frame
+    is GC'd, the bounded-residency discipline of
+    ``jaccard_prefix_pairs``). The frame is candidate-volume-sized:
+    cell-bounded for the IVF/LSH miners, |corpus|x|anchors| for the
+    brute form — pass ``cache=False`` there if that exceeds executor
+    storage and eat the recomputation.
+
+    NULL labels never rank on either side in either mode (``_same``
+    is NULL and every carve predicate is null-rejecting)."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("anchor_id", "_same").orderBy(
         F.desc("_cos"), F.asc("cand_id")
     )
     ranked = scored.withColumn("_rk", F.row_number().over(w))
-    pos = ranked.where(F.col("_same") & (F.col("_rk") <= k_pos)).select(
-        "anchor_id",
-        F.col("cand_id").alias("positive_id"),
-        F.col("_cos").alias("pos_cos"),
-    )
     if semi_hard:
+        if cache:
+            ranked = ranked.localCheckpoint(eager=False)
+        pos = ranked.where(
+            F.col("_same") & (F.col("_rk") <= k_pos)
+        ).select(
+            "anchor_id",
+            F.col("cand_id").alias("positive_id"),
+            F.col("_cos").alias("pos_cos"),
+        )
         # rank negatives per (anchor, POSITIVE) after the easier-than-
         # positive filter: the global top-k_neg window cannot be reused
         # because all of its survivors may be harder than the positive
@@ -289,20 +317,37 @@ def _carve_triplets(
                 ).alias("margin"),
             )
         )
-    neg = ranked.where(~F.col("_same") & (F.col("_rk") <= k_neg)).select(
-        "anchor_id",
-        F.col("cand_id").alias("negative_id"),
-        F.col("_cos").alias("neg_cos"),
+    carved = ranked.where(
+        (F.col("_same") & (F.col("_rk") <= k_pos))
+        | (~F.col("_same") & (F.col("_rk") <= k_neg))
     )
-    return pos.join(neg, "anchor_id").select(
-        "anchor_id",
-        "positive_id",
-        "negative_id",
-        "pos_cos",
-        "neg_cos",
-        F.round(F.col("pos_cos") - F.col("neg_cos"), round_to).alias(
-            "margin"
-        ),
+    folded = (
+        carved.groupBy("anchor_id")
+        .agg(F.collect_list(F.struct("_same", "cand_id", "_cos")).alias("_c"))
+        .select(
+            "anchor_id",
+            F.filter("_c", lambda s: s["_same"]).alias("_p"),
+            F.filter("_c", lambda s: ~s["_same"]).alias("_n"),
+        )
+    )
+    return (
+        folded.select("anchor_id", F.explode("_p").alias("_pp"), "_n")
+        .select(
+            "anchor_id",
+            F.col("_pp.cand_id").alias("positive_id"),
+            F.col("_pp._cos").alias("pos_cos"),
+            F.explode("_n").alias("_nn"),
+        )
+        .select(
+            "anchor_id",
+            "positive_id",
+            F.col("_nn.cand_id").alias("negative_id"),
+            "pos_cos",
+            F.col("_nn._cos").alias("neg_cos"),
+            F.round(F.col("pos_cos") - F.col("_nn._cos"), round_to).alias(
+                "margin"
+            ),
+        )
     )
 
 
@@ -318,6 +363,7 @@ def training_triplets_ivf(
     label_col: str = "label",
     round_to: int = 4,
     semi_hard: bool = False,
+    cache: bool = True,
 ) -> DataFrame:
     """The scale path for ``training_triplets``: candidates for BOTH the
     positive (same-label) and negative (different-label) sides come
@@ -334,8 +380,11 @@ def training_triplets_ivf(
     (nprobe=nlist) is EXHAUSTIVE and equals ``training_triplets``
     bit-for-bit — that identity is the oracle. NULL labels never rank
     on either side (``_same`` is NULL, and both carve predicates are
-    null-rejecting — the brute form's semantics). Returns (anchor_id,
-    positive_id, negative_id, pos_cos, neg_cos, margin).
+    null-rejecting — the brute form's semantics). ``cache`` applies
+    only to ``semi_hard`` (see ``_carve_triplets`` — here the
+    materialized frame is cell-bounded: ~corpus·nprobe/nlist rows of
+    four narrow columns). Returns (anchor_id, positive_id,
+    negative_id, pos_cos, neg_cos, margin).
     """
     seed_rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
@@ -375,7 +424,7 @@ def training_triplets_ivf(
             ).alias("_cos"),
         )
     )
-    return _carve_triplets(scored, k_pos, k_neg, round_to, semi_hard)
+    return _carve_triplets(scored, k_pos, k_neg, round_to, semi_hard, cache)
 
 
 def hard_negatives_lsh(
@@ -414,6 +463,8 @@ def hard_negatives_lsh(
     scores rounded before ranking, (cosine desc, id asc) tie-break.
     Returns (query_id, neighbor_id, cosine, rank).
     """
+    if not plane_sets:
+        raise ValueError("plane_sets must be non-empty")
     spread = spread_small_input(corpus)
     parts = []
     for planes in plane_sets:
@@ -469,6 +520,97 @@ def hard_negatives_lsh(
     )
 
 
+def training_triplets_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    plane_sets: list[list[list[float]]],
+    k_pos: int = 2,
+    k_neg: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 4,
+    semi_hard: bool = False,
+    broadcast_queries: bool = True,
+    cache: bool = True,
+) -> DataFrame:
+    """The beyond-IVF scale path for ``training_triplets`` —
+    completing the mining family symmetry (``hard_negatives`` has
+    brute/IVF/LSH tiers; this gives triplets the same third tier):
+    candidates for BOTH the positive and negative carve come from
+    multi-probe hyperplane-LSH buckets, whose assignment is ROW-LOCAL
+    in n·bits·dims — no Θ(n·nlist) Voronoi scoring, the term the
+    committed mining curve (tools/scale_mining_results.json) shows
+    dominating ``training_triplets_ivf`` at the 100× tier exactly as
+    it dominated ``hard_negatives_ivf`` before ``hard_negatives_lsh``
+    routed around it.
+
+    Plan shape = ``hard_negatives_lsh`` feeding ``_carve_triplets``:
+    per plane table the corpus and anchors hash to sign-pattern
+    buckets and join on the bucket (self-pairs excluded; NO label
+    predicate in the join — both label sides are carve candidates),
+    the (_same, cosine) pair is computed INSIDE the join projection so
+    the cross-table dedup shuffles ~25-byte rows instead of two
+    64-float vectors (the measured 182→108.8 s fix on the
+    hard-negative twin), and the deduped candidates go through the
+    shared one-pass carve. ``semi_hard`` composes exactly as in the
+    other miners (``cache`` materializes the ranked frame once there;
+    the frame is bucket-bounded: ~|anchors|·n_tables·n/2^bits rows).
+
+    ``broadcast_queries=False`` for corpus-sized anchor sets (the
+    mining regime): the bucket join shuffles on (bucket) per table —
+    size n_planes so 2^n_planes ≳ cores, the bounded-parallelism note
+    of ``hard_negatives_lsh``.
+
+    Exactness contract: a single plane table with ZERO planes puts
+    everything in bucket 0 — candidates are exhaustive and the output
+    equals brute ``training_triplets`` bit-for-bit (tested). With
+    real plane sets the candidate set is the recall-compounding union
+    over tables (1-Π(1-rᵢ)); determinism discipline as everywhere:
+    ``deterministic_plane_sets`` Weyl coefficients make the DuckDB
+    twin EXACT, scores rounded before ranking, id tie-breaks.
+    Returns (anchor_id, positive_id, negative_id, pos_cos, neg_cos,
+    margin).
+    """
+    if not plane_sets:
+        raise ValueError("plane_sets must be non-empty")
+    spread = spread_small_input(corpus)
+    parts = []
+    for planes in plane_sets:
+        bq = queries.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("_qlabel"),
+            hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        bc = spread.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("cv"),
+            F.col(label_col).alias("_clabel"),
+            hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        joined = bc.join(
+            F.broadcast(bq) if broadcast_queries else bq, "bucket"
+        ).where(F.col("cand_id") != F.col("anchor_id"))
+        parts.append(
+            joined.select(
+                "anchor_id",
+                "cand_id",
+                (F.col("_clabel") == F.col("_qlabel")).alias("_same"),
+                F.round(
+                    cosine(F.col("qv"), F.col("cv")), round_to
+                ).alias("_cos"),
+            )
+        )
+    cand = parts[0]
+    for part in parts[1:]:
+        cand = cand.unionByName(part)
+    # _same and _cos are deterministic functions of the pair, so a pair
+    # found by several tables dedupes to exactly one identical row
+    scored = cand.dropDuplicates(["anchor_id", "cand_id"])
+    return _carve_triplets(scored, k_pos, k_neg, round_to, semi_hard, cache)
+
+
 def training_triplets(
     corpus: DataFrame,
     queries: DataFrame,
@@ -479,6 +621,7 @@ def training_triplets(
     label_col: str = "label",
     round_to: int = 4,
     semi_hard: bool = False,
+    cache: bool = True,
 ) -> DataFrame:
     """Triplet assembly for metric learning: per anchor, the k_pos
     nearest SAME-label vectors (positives) crossed with the k_neg
@@ -489,11 +632,14 @@ def training_triplets(
     (margin below the loss margin) without recomputing similarities.
 
     Plan: ONE broadcast cross join scores every (corpus, anchor) pair
-    and both ranked sides are carved out of it by label predicate +
-    window — the corpus is scanned once, not twice; the final
-    positives × negatives cross is per-anchor (k_pos·k_neg rows) via an
-    equi-join on the anchor id. Determinism: same rounding and
-    (cosine desc, id asc) tie-break as every similarity oracle.
+    and both ranked sides are carved out of it in a single pass
+    (window filter -> per-anchor fold -> explode of the k_pos × k_neg
+    cross — see ``_carve_triplets``), so the scored subtree is
+    evaluated exactly once. Determinism: same rounding and (cosine
+    desc, id asc) tie-break as every similarity oracle. ``cache``
+    applies only to ``semi_hard``, where the materialized frame is
+    |corpus|×|anchors| rows of four narrow columns — the brute
+    memory trade ``_carve_triplets`` documents.
 
     Returns (anchor_id, positive_id, negative_id, pos_cos, neg_cos,
     margin), margin rounded to ``round_to``.
@@ -520,7 +666,7 @@ def training_triplets(
             ),
         )
     )
-    return _carve_triplets(scored, k_pos, k_neg, round_to, semi_hard)
+    return _carve_triplets(scored, k_pos, k_neg, round_to, semi_hard, cache)
 
 
 def semantic_decontamination(
@@ -1118,12 +1264,23 @@ def _ivf_probe_rank(
     before scoring; ``broadcast_probes=False`` lets AQE pick the join
     strategy when the anchor set is corpus-sized (a forced broadcast of
     a corpus-sized probe table is a driver OOM, not an optimization).
-    ``cell_salt`` (non-broadcast path only) sub-buckets the cell join
-    key — see the inline comment at the join for when the nlist-bounded
-    key domain needs it. ``probes_df`` injects a pre-built (typically
+    ``cell_salt`` sub-buckets the cell join key (requires
+    ``broadcast_probes=False`` — combining it with a broadcast plan
+    raises, so the parallelism knob can never be a silent no-op); see
+    the inline comment at the join for when the nlist-bounded key
+    domain needs it. ``probes_df`` injects a pre-built (typically
     pre-materialized) probe table so a caller that already derived
     per-query cells (static pruning) joins against the SAME evaluation
     of ``queries``."""
+    if cell_salt is not None and broadcast_probes:
+        # the salt exists to widen the SHUFFLE join's nlist-bounded key
+        # domain; a broadcast join has no shuffle to widen, so silently
+        # ignoring the knob would make a parallelism request a no-op
+        raise ValueError(
+            "cell_salt requires broadcast_probes=False (the salt "
+            "sub-buckets the shuffle join's cell key; the broadcast "
+            "plan has no such shuffle)"
+        )
     probes = probes_df
     if probes is None:
         probes = _probe_frame(
@@ -1281,6 +1438,8 @@ def multiprobe_lsh_topk(
     joins on (t, bucket); duplicates across tables are dropped before
     the final window so a candidate is scored once.
     """
+    if not plane_sets:
+        raise ValueError("plane_sets must be non-empty")
     spread = spread_small_input(corpus)
     scored_parts = []
     for t_idx, planes in enumerate(plane_sets):

@@ -117,7 +117,14 @@ def _cdc_fn(delete_value: str, has_op: bool, ttl_ms: int | None = None):
                     op = getattr(row, "op", None) if has_op else None
                     ts = None
                     if ttl_ms is not None:
-                        ts = int(pd.Timestamp(row.ts).value // 1_000_000)
+                        # ts_ms is computed IN THE PLAN (unix_millis,
+                        # true epoch) — the TIMESTAMP column arrives in
+                        # the pandas worker localized to
+                        # spark.sql.session.timeZone, so converting it
+                        # here would shift every tombstone horizon by
+                        # the session's UTC offset while
+                        # getCurrentWatermarkMs stays true epoch
+                        ts = int(row.ts_ms)
                     best = (
                         seq,
                         None if row.payload is None else str(row.payload),
@@ -197,6 +204,9 @@ def stream_latest_wins(
 
         ttl_ms = _parse_gap_us(tombstone_ttl) // 1000
         cols.append(f"CAST({ts_col} AS TIMESTAMP) AS ts")
+        # epoch millis as a LONG, computed JVM-side: timezone-immune
+        # (the ts TIMESTAMP itself is still selected for the watermark)
+        cols.append(f"unix_millis(CAST({ts_col} AS TIMESTAMP)) AS ts_ms")
     selected = (
         log.selectExpr(*cols)
         # a NULL key or seq (including non-numeric values the CAST nulls

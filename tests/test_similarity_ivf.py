@@ -425,6 +425,101 @@ def test_training_triplets_ivf_full_probe_equals_brute_and_prunes(spark):
     assert len(pruned) <= len(brute)
 
 
+def test_training_triplets_lsh_full_bucket_equals_brute(spark):
+    """A single zero-plane table puts everything in bucket 0 — the
+    candidate set is exhaustive, so the LSH miner equals brute
+    training_triplets bit-for-bit, in BOTH carve modes and via both
+    join strategies; semi-hard cache=False stays output-identical."""
+    from impresso_ta.operators.similarity import (
+        training_triplets,
+        training_triplets_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    for semi in (False, True):
+        brute = sorted(map(tuple, training_triplets(
+            emb, qs, k_pos=2, k_neg=2, semi_hard=semi).collect()))
+        full = sorted(map(tuple, training_triplets_lsh(
+            emb, qs, [[]], k_pos=2, k_neg=2, semi_hard=semi).collect()))
+        assert brute == full
+        shuffled = sorted(map(tuple, training_triplets_lsh(
+            emb, qs, [[]], k_pos=2, k_neg=2, semi_hard=semi,
+            broadcast_queries=False).collect()))
+        assert brute == shuffled
+    uncached = sorted(map(tuple, training_triplets_lsh(
+        emb, qs, [[]], k_pos=2, k_neg=2, semi_hard=True,
+        cache=False).collect()))
+    assert uncached == sorted(map(tuple, training_triplets(
+        emb, qs, k_pos=2, k_neg=2, semi_hard=True).collect()))
+
+
+def test_training_triplets_lsh_bucketed_properties(spark):
+    """Real plane sets: every triplet is label-correct, non-self, and
+    drawn from the exhaustive candidate space (pairs subset of brute's
+    unbounded carve); semi-hard keeps margin > 0."""
+    from impresso_ta.operators.similarity import (
+        deterministic_plane_sets,
+        training_triplets,
+        training_triplets_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    plane_sets = deterministic_plane_sets(2, 4, 64)
+    out = training_triplets_lsh(
+        emb, qs, plane_sets, k_pos=2, k_neg=2
+    ).collect()
+    assert out
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    exhaustive = training_triplets(
+        emb, qs, k_pos=10**9, k_neg=10**9
+    ).collect()
+    pos_pairs = {(r.anchor_id, r.positive_id) for r in exhaustive}
+    neg_pairs = {(r.anchor_id, r.negative_id) for r in exhaustive}
+    for r in out:
+        assert labels[r.positive_id] == labels[r.anchor_id]
+        assert labels[r.negative_id] != labels[r.anchor_id]
+        assert r.anchor_id not in (r.positive_id, r.negative_id)
+        assert (r.anchor_id, r.positive_id) in pos_pairs
+        assert (r.anchor_id, r.negative_id) in neg_pairs
+        assert r.margin == round(r.pos_cos - r.neg_cos, 4)
+    semi = training_triplets_lsh(
+        emb, qs, plane_sets, k_pos=2, k_neg=2, semi_hard=True
+    ).collect()
+    for r in semi:
+        assert r.neg_cos < r.pos_cos and r.margin > 0
+
+
+def test_mining_contract_guards(spark):
+    """Loud-failure contracts: empty plane_sets raise a named error in
+    every LSH entry point; cell_salt with broadcast_probes=True raises
+    instead of silently ignoring the parallelism knob."""
+    import pytest
+
+    from impresso_ta.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    for fn in (
+        lambda: sim.hard_negatives_lsh(emb, qs, [], k=3),
+        lambda: sim.multiprobe_lsh_topk(emb, qs, [], k=3),
+        lambda: sim.training_triplets_lsh(emb, qs, []),
+    ):
+        with pytest.raises(ValueError, match="plane_sets"):
+            fn()
+    seeds = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    with pytest.raises(ValueError, match="cell_salt"):
+        sim._ivf_probe_rank(
+            sim.ivf_assign(emb, seeds), qs, seeds, nprobe=2, k=3,
+            id_col="vec_id", vec_col="embedding", round_to=4,
+            strategy="literal", cell_salt=4, broadcast_probes=True,
+        )
+
+
 def test_semihard_triplets_band_properties(spark):
     """Semi-hard mode: every emitted negative is strictly easier than
     its positive (margin > 0), yet the hardest such negative is chosen

@@ -228,6 +228,79 @@ def test_stream_latest_wins_tombstone_ttl_ages_out(spark, tmp_path):
     )
 
 
+def test_stream_latest_wins_ttl_non_utc_session(spark, tmp_path):
+    """The TTL horizon must be timezone-immune: the anchor is computed
+    in the PLAN (unix_millis — true epoch), not from the
+    session-localized timestamp the pandas worker receives. Under a
+    non-UTC session the old worker-side conversion shifted every
+    horizon by the UTC offset (tombstones aged 5h late under
+    America/New_York), so this replays the ageing scenario with the
+    session timezone moved off UTC."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        drop = tmp_path / "tz_log"
+        drop.mkdir()
+        ckpt = tmp_path / "tz_ckpt"
+        out = tmp_path / "tz_out"
+
+        def run():
+            stream = spark.readStream.schema(TS_SCHEMA).json(str(drop))
+            q = (
+                stream_latest_wins(
+                    stream, key_col="k", seq_col="seq",
+                    payload_col="payload", op_col="op",
+                    ts_col="ts", tombstone_ttl="10 seconds",
+                )
+                .writeStream.format("parquet")
+                .option("path", str(out))
+                .outputMode("append")
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            assert q.exception() is None
+            return [
+                r.asDict() for r in spark.read.parquet(str(out)).collect()
+            ]
+
+        _write_ts(drop, "a.jsonl", [
+            (2, 2, None, "delete", "2024-01-01 10:00:05"),
+            (9, 1, "keep", "upsert", "2024-01-01 10:00:00"),
+        ])
+        ups = run()
+        assert (2, 2, True) in {
+            (r["key"], r["seq"], r["deleted"]) for r in ups
+        }
+
+        # advance the watermark far past 10:00:05 + ttl, then fire GC
+        _write_ts(drop, "b.jsonl", [
+            (9, 2, "tick", "upsert", "2024-01-01 10:01:00"),
+        ])
+        run()
+        _write_ts(drop, "c.jsonl", [
+            (9, 3, "tick2", "upsert", "2024-01-01 10:02:00"),
+        ])
+        run()
+
+        # past the horizon the tombstone is gone: a lower-seq row
+        # resurrects the key — under the buggy worker-side conversion
+        # the horizon sat 5h out and this row stayed suppressed
+        _write_ts(drop, "d.jsonl", [
+            (2, 1, "resurrected", "upsert", "2024-01-01 10:02:30"),
+        ])
+        ups = run()
+        key2_live = [
+            r for r in ups if r["key"] == 2 and not r["deleted"]
+        ]
+        assert [(r["seq"], r["payload"]) for r in key2_live] == [
+            (1, "resurrected")
+        ]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def test_stream_latest_wins_ttl_requires_ts_col(spark, tmp_path):
     import pytest
 
