@@ -259,45 +259,85 @@ def _carve_triplets(
     positive yields no row (callers wanting the hardest-overall
     fallback union the default mode's output). The band filter cannot
     be pre-cut to a fixed top-k (every negative easier than the
-    positive is a candidate), so this mode joins the k_pos positives
-    against ALL same-anchor negatives — both sides hang off the
-    ranked frame, and ``cache`` (default on) materializes it ONCE via
-    lazy ``localCheckpoint`` instead of re-evaluating the scoring
-    subtree per side (measured at sf1: 20.1 s -> the single-
-    evaluation cost; blocks are ContextCleaner-freed when the frame
-    is GC'd, the bounded-residency discipline of
-    ``jaccard_prefix_pairs``). The frame is candidate-volume-sized:
-    cell-bounded for the IVF/LSH miners, |corpus|x|anchors| for the
-    brute form — pass ``cache=False`` there if that exceeds executor
-    storage and eat the recomputation.
+    positive is a candidate) — but NO unfiltered window is needed
+    either, and that is where the r10 cost lived: it carved both
+    sides out of one fully-ranked frame, and the negatives side
+    consumed the window WITHOUT a rank filter, which disqualified
+    Spark's WindowGroupLimit rewrite and forced a full sort+window
+    over every scored candidate (measured at sf1: ~10 s of the
+    20.1 s total for a 3.7 s scoring pass). Here every window is
+    rank-FILTERED, so both group-limit (top-k heap, map-side partial
+    prune before the exchange — no full sort materialization):
+    positives rank over the positives-only subset (top k_pos per
+    anchor), negatives take NO window at all (straight off
+    ``scored``), and the per-(anchor, positive) band rank runs over
+    the joined fan-out with its ``<= k_neg`` cut in place.
+
+    ``cache`` (default on) materializes ``scored`` once via lazy
+    ``localCheckpoint`` (both carve sides hang off it; blocks are
+    ContextCleaner-freed when the frame is GC'd). The frame is
+    candidate-volume-sized: cell/bucket-bounded for the IVF/LSH
+    miners, |corpus|×|anchors| for the brute form — pass
+    ``cache=False`` there if that exceeds executor storage and eat
+    one recomputation.
 
     NULL labels never rank on either side in either mode (``_same``
     is NULL and every carve predicate is null-rejecting)."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("anchor_id", "_same").orderBy(
-        F.desc("_cos"), F.asc("cand_id")
-    )
-    ranked = scored.withColumn("_rk", F.row_number().over(w))
     if semi_hard:
         if cache:
-            ranked = ranked.localCheckpoint(eager=False)
-        pos = ranked.where(
-            F.col("_same") & (F.col("_rk") <= k_pos)
-        ).select(
-            "anchor_id",
-            F.col("cand_id").alias("positive_id"),
-            F.col("_cos").alias("pos_cos"),
+            # EAGER checkpoint FIRST: the two carve sides are
+            # independent shuffle-map stages that run CONCURRENTLY — a
+            # lazy checkpoint lets both compute the not-yet-
+            # materialized scoring RDD (the race measured as ~2x
+            # scoring cost in executed-plan stage times); eager
+            # materializes it in its own job, so both stages read
+            # blocks. Runs a Spark job at CALL time (the
+            # er.resolve_entities convention).
+            scored = scored.localCheckpoint(eager=True)
+        # THEN an explicit repartition on the anchor key, partition
+        # count PINNED to the session's shuffle parallelism. Two
+        # reasons, both measured at sf1: (a) the checkpoint's
+        # LogicalRDD drops partitioning info, so without this each
+        # branch inserts its own ENSURE_REQUIREMENTS exchange; (b) the
+        # session coalesces post-shuffle partitions by SIZE
+        # (parallelismFirst=false — right for IO-bound stages), and
+        # this frame is ~25 B/row compressed with CPU-dense
+        # sort+window downstream — 64 MB of advisory size is millions
+        # of rows on ONE core (the coalesced band stage hid ~8 s of
+        # single-threaded join+sort). AQE never coalesces a user
+        # repartition with an explicit count, and
+        # hashpartitioning(anchor) satisfies every downstream
+        # clustering (positives window, the join's streamed side, the
+        # per-(anchor, positive) band window), so this is the ONLY
+        # exchange the carve pays. Together: 20.1 s -> 5.9 s at sf1.
+        n_parts = int(
+            scored.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-        # rank negatives per (anchor, POSITIVE) after the easier-than-
-        # positive filter: the global top-k_neg window cannot be reused
-        # because all of its survivors may be harder than the positive
-        # while semi-hard candidates rank below them
-        negs = ranked.where(~F.col("_same")).select(
+        scored = scored.repartition(n_parts, "anchor_id")
+        pw = Window.partitionBy("anchor_id").orderBy(
+            F.desc("_cos"), F.asc("cand_id")
+        )
+        pos = (
+            scored.where(F.col("_same"))
+            .withColumn("_rk", F.row_number().over(pw))
+            .where(F.col("_rk") <= k_pos)
+            .select(
+                "anchor_id",
+                F.col("cand_id").alias("positive_id"),
+                F.col("_cos").alias("pos_cos"),
+            )
+        )
+        negs = scored.where(~F.col("_same")).select(
             "anchor_id",
             F.col("cand_id").alias("negative_id"),
             F.col("_cos").alias("neg_cos"),
         )
+        # rank negatives per (anchor, POSITIVE) after the easier-than-
+        # positive filter: the global top-k_neg cut cannot be reused
+        # because all of its survivors may be harder than the positive
+        # while semi-hard candidates rank below them
         sw = Window.partitionBy("anchor_id", "positive_id").orderBy(
             F.desc("neg_cos"), F.asc("negative_id")
         )
@@ -317,6 +357,10 @@ def _carve_triplets(
                 ).alias("margin"),
             )
         )
+    w = Window.partitionBy("anchor_id", "_same").orderBy(
+        F.desc("_cos"), F.asc("cand_id")
+    )
+    ranked = scored.withColumn("_rk", F.row_number().over(w))
     carved = ranked.where(
         (F.col("_same") & (F.col("_rk") <= k_pos))
         | (~F.col("_same") & (F.col("_rk") <= k_neg))
