@@ -173,6 +173,10 @@ EXTENDED_QUERIES = [
     "similarity_hard_negatives_lsh",
     "similarity_training_triplets_ivf",
     "similarity_semihard_triplets",
+    # r11: the triplet miner's beyond-IVF route (family symmetry) and
+    # the persisted IVF-PQ code store (the FAISS on-disk shape)
+    "similarity_training_triplets_lsh",
+    "similarity_ivfpq_indexed_topk",
     # NOT benched: *_recall evals (their brute-force ground truth is
     # O(n²) by definition — sf0.01 accuracy checks, not perf surface)
 ]
@@ -219,6 +223,12 @@ MIN_OF_3 = {
     "dedup_minhash_lsh",
     "similarity_topk_cosine",
     "dedup_simhash",
+    # r10 flagged o2 (0.856->1.28 s) and events_hourly (0.277->0.416 s)
+    # moving 1.5x while the environment yardstick moved 1.19-1.25x; the
+    # same-code local record had both in-band — same treatment
+    # (VERDICT r10 "What's wrong" #2).
+    "o2_sort_dedup_pages",
+    "events_hourly_window",
 }
 
 

@@ -176,6 +176,7 @@ def pq_encode(
     vec_col: str = "embedding",
     round_to: int = 4,
     strategy: str = "auto",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode each vector as m subspace codes: code_j = argmin of the
     ROUNDED squared L2 to subspace j's centroids, ties → smallest code.
@@ -190,10 +191,16 @@ def pq_encode(
       transform — plan size AND driver build cost O(1), so m=16/
       ksub=256 (64k literals in the literal form) is expressible, and
       even the m=4/ksub=8 default measures ~2.5× faster end-to-end.
+
+    ``extra_cols`` carries named input columns through to the output
+    (the ``ivf_assign`` convention) — e.g. the IVF ``cell`` when
+    building the persisted IVF-PQ store, so assign + encode fuse into
+    one scan-project instead of a join on id.
     """
     m = len(codebook)
     sub = len(codebook[0][0])
     strategy = _resolve_strategy(strategy, codebook)
+    carry = [F.col(c) for c in (extra_cols or [])]
     code_cols = []
     if strategy == "relation":
         book = _book_relation(corpus.sparkSession, codebook)
@@ -213,7 +220,9 @@ def pq_encode(
         return (
             spread_small_input(corpus)
             .crossJoin(F.broadcast(book))
-            .select(F.col(id_col), F.array(*code_cols).alias("codes"))
+            .select(
+                F.col(id_col), F.array(*code_cols).alias("codes"), *carry
+            )
         )
     for j in range(m):
         cands = F.array(
@@ -229,7 +238,7 @@ def pq_encode(
         )
         code_cols.append(F.array_min(cands)["c"])
     return spread_small_input(corpus).select(
-        F.col(id_col), F.array(*code_cols).alias("codes")
+        F.col(id_col), F.array(*code_cols).alias("codes"), *carry
     )
 
 
@@ -369,14 +378,7 @@ def ivf_pq_topk(
 
     Returns (query_id, neighbor_id, approx_dist, rnk).
     """
-    from impresso_ta.operators.similarity import (
-        LITERAL_MAX_NLIST,
-        _cell_scores_over,
-        _cell_scores_sql,
-        _centroids_relation,
-        ivf_assign,
-        norm,
-    )
+    from impresso_ta.operators.similarity import ivf_assign
 
     seed_rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
@@ -385,26 +387,85 @@ def ivf_pq_topk(
         .collect()
     )
     centroids = [(int(r[id_col]), list(r[vec_col])) for r in seed_rows]
-    assigned = ivf_assign(
-        corpus, centroids, id_col, vec_col, round_to, strategy="auto"
-    ).select(F.col(id_col), "cell")
     codebook = pq_codebook(
         corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
     )
-    sub = len(codebook[0][0])
     strategy = _resolve_strategy(strategy, codebook)
-    codes = pq_encode(
-        corpus,
+    # assign + encode fuse into ONE zero-shuffle scan-project (the cell
+    # rides through pq_encode's extra_cols — no join back on id)
+    codes = ivf_pq_index_frame(
+        corpus, centroids, codebook, id_col, vec_col, round_to, strategy
+    )
+    probes = _pq_probe_frame(
+        corpus.sparkSession, queries, centroids, codebook, nprobe,
+        id_col, vec_col, round_to, strategy,
+    )
+    return _adc_rank(codes, probes, len(codebook), k, id_col, round_to)
+
+
+def ivf_pq_index_frame(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebook: Codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    strategy: str = "auto",
+) -> DataFrame:
+    """The persisted IVF-PQ store's frame: (id, codes array<int>, cell)
+    — the FAISS on-disk shape (coarse cell + PQ codes, ~16× fewer bytes
+    than the raw-vector store at realistic m/ksub since only m small
+    ints survive per row). One zero-shuffle map pass over the corpus:
+    ``ivf_assign`` keeps the vector alongside the cell and
+    ``pq_encode`` carries the cell through ``extra_cols``, so Catalyst
+    fuses assignment + encode into a single scan-project. Write it with
+    ``similarity.write_ivf_index`` (one file per cell) and serve with
+    :func:`ivf_pq_topk_indexed`. Incremental appends with FROZEN
+    centroids AND codebook compose exactly like the raw IVF store."""
+    from impresso_ta.operators.similarity import ivf_assign
+
+    strategy = _resolve_strategy(strategy, codebook)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, round_to)
+    return pq_encode(
+        assigned,
         codebook,
         id_col=id_col,
         vec_col=vec_col,
         round_to=round_to,
         strategy=strategy,
-    ).join(assigned, id_col)
+        extra_cols=["cell"],
+    )
 
+
+def _pq_probe_frame(
+    spark,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebook: Codebook,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    round_to: int,
+    strategy: str,
+) -> DataFrame:
+    """(query_id, _qt0.._qt{m-1}, cell): each query exploded to its
+    ``nprobe`` nearest IVF cells, carrying its m scaled-BIGINT ADC
+    tables — all row-local (the PQ twin of ``similarity._probe_frame``).
+    Probe-cell scoring follows ``ivf_assign``'s literal-vs-relation
+    cutover; the ADC tables follow the codebook ``strategy``."""
+    from impresso_ta.operators.similarity import (
+        LITERAL_MAX_NLIST,
+        _cell_scores_over,
+        _cell_scores_sql,
+        _centroids_relation,
+        norm,
+    )
+
+    m = len(codebook)
+    sub = len(codebook[0][0])
     scale = 10 ** round_to
     if strategy == "relation":
-        book = _book_relation(corpus.sparkSession, codebook)
+        book = _book_relation(spark, codebook)
         def _qtab(j):
             # closure-bound j (two-param lambdas receive the array index)
             return lambda s: F.round(
@@ -446,9 +507,7 @@ def ivf_pq_topk(
     # score array comes from the broadcast _cents relation instead of
     # an O(nlist·dims)-literal expression (bit-identical scores)
     if len(centroids) > LITERAL_MAX_NLIST:
-        q = q.crossJoin(
-            F.broadcast(_centroids_relation(corpus.sparkSession, centroids))
-        )
+        q = q.crossJoin(F.broadcast(_centroids_relation(spark, centroids)))
         scores = _cell_scores_over(F.col("qv"), F.col("_qnorm"), round_to)
     else:
         frags = _cell_scores_sql("`qv`", "`_qnorm`", centroids, round_to)
@@ -457,11 +516,26 @@ def ivf_pq_topk(
         F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
         lambda s: (-s["negcell"]).cast("int"),
     )
-    probes = q.select(
+    return q.select(
         "query_id",
         *[f"_qt{j}" for j in range(m)],
         F.explode(probe_cells).alias("cell"),
     )
+
+
+def _adc_rank(
+    codes: DataFrame,
+    probes: DataFrame,
+    m: int,
+    k: int,
+    id_col: str,
+    round_to: int,
+) -> DataFrame:
+    """ADC scoring + top-k over a (id, codes, cell) frame joined with a
+    ``_pq_probe_frame``: each surviving candidate costs m table lookups
+    + a fixed-order BIGINT sum; the probes broadcast (serving batches
+    are small by contract) so the codes side is never shuffled."""
+    scale = 10 ** round_to
     approx = None
     for j in range(m):
         term = F.element_at(
@@ -479,3 +553,49 @@ def ivf_pq_topk(
     return scored.select(
         "*", F.row_number().over(w).cast("int").alias("rnk")
     ).where(F.col("rnk") <= k)
+
+
+def ivf_pq_topk_indexed(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebook: Codebook,
+    nprobe: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    strategy: str = "auto",
+    static_prune: bool = True,
+) -> DataFrame:
+    """``ivf_pq_topk`` over a PERSISTED code store — the FAISS on-disk
+    architecture completed: ``index`` is the (id, codes, cell) frame
+    :func:`ivf_pq_index_frame` produced at ingest, written
+    cell-partitioned via ``similarity.write_ivf_index``. Serving then
+    touches neither the raw vectors (PQ bounds the BYTES per row — the
+    store holds m small ints, not dims floats) nor the unprobed cells
+    (``static_prune`` bounds the FILES read, the same guaranteed
+    file-level pruning ``ivf_topk_indexed`` uses — a collected
+    probed-cell set applied as a plan-time partition filter, because
+    the DPP heuristic measurably declines broadcast reuse at
+    nlist > LITERAL_MAX_NLIST and reads every file).
+
+    ``centroids`` and ``codebook`` must be the ones the index was
+    built with (frozen across incremental appends); results are then
+    bit-identical to inline ``ivf_pq_topk`` over the original corpus
+    (parity-tested). The probe frame is localCheckpoint'ed once so a
+    non-deterministic queries frame cannot probe cells the pruned scan
+    no longer contains."""
+    strategy = _resolve_strategy(strategy, codebook)
+    probes = _pq_probe_frame(
+        index.sparkSession, queries, centroids, codebook, nprobe,
+        id_col, vec_col, round_to, strategy,
+    )
+    if static_prune:
+        probes = probes.localCheckpoint(eager=True)
+        cells = sorted(
+            r["cell"] for r in probes.select("cell").distinct().collect()
+        )
+        if cells and len(cells) < len(centroids):
+            index = index.filter(F.col("cell").isin(cells))
+    return _adc_rank(index, probes, len(codebook), k, id_col, round_to)

@@ -2415,6 +2415,80 @@ def similarity_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _training_triplets_lsh_sql() -> str:
+    def bucket_expr(col: str, planes: list[list[float]]) -> str:
+        terms = []
+        for i, plane in enumerate(planes):
+            lits = ", ".join(str(v) for v in plane)
+            terms.append(
+                f"(CASE WHEN list_sum(list_transform(list_zip({col}::DOUBLE[], "
+                f"[{lits}]::DOUBLE[]), x -> x[1] * x[2])) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return "CAST(" + " + ".join(terms) + " AS INT)"
+
+    plane_sets = _lsh_plane_sets(2)
+    bucket_cols = ", ".join(
+        f"{bucket_expr('embedding', planes)} AS b{i}"
+        for i, planes in enumerate(plane_sets)
+    )
+    # NO label predicate in the candidate join: both label sides feed
+    # the carve (positives AND negatives) — only self-pairs are excluded
+    cand_union = " UNION ALL ".join(
+        f"SELECT q.vec_id AS anchor_id, c.vec_id AS cand_id, "
+        f"c.label = q.label AS same, "
+        f"round({_cos_sql('q.embedding', 'c.embedding')}, 4) AS cos "
+        f"FROM b q JOIN b c ON q.b{ti} = c.b{ti} "
+        f"WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id"
+        for ti in range(len(plane_sets))
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, label, {bucket_cols}
+               FROM embeddings),
+    scored AS (SELECT DISTINCT anchor_id, cand_id, same, cos
+               FROM ({cand_union})),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY anchor_id, same ORDER BY cos DESC, cand_id ASC
+        ) AS rk FROM scored
+    ),
+    pos AS (SELECT anchor_id, cand_id AS positive_id, cos AS pos_cos
+            FROM ranked WHERE same AND rk <= 2),
+    neg AS (SELECT anchor_id, cand_id AS negative_id, cos AS neg_cos
+            FROM ranked WHERE NOT same AND rk <= 2)
+    SELECT pos.anchor_id, positive_id, negative_id, pos_cos, neg_cos,
+           round(pos_cos - neg_cos, 4) AS margin
+    FROM pos JOIN neg ON pos.anchor_id = neg.anchor_id
+    """
+
+
+@q(
+    "similarity_training_triplets_lsh",
+    _training_triplets_lsh_sql(),
+    "The beyond-IVF triplet mining route (r11) — family symmetry with "
+    "hard_negatives_lsh: candidates for BOTH carve sides come from "
+    "multi-probe hyperplane-LSH buckets (row-local assignment in "
+    "n*bits*dims — no Theta(n*nlist) Voronoi scoring, the term the "
+    "committed mining curve shows dominating the IVF route at 100x), "
+    "self-pairs excluded but NO label predicate in the bucket join "
+    "(both label sides are candidates), (_same, cosine) computed "
+    "inside the join projection so the cross-table dedup shuffles "
+    "~25-byte rows, then the shared one-pass carve. Weyl plane sets "
+    "shared with the recall oracle make this DuckDB twin EXACT.",
+)
+def similarity_training_triplets_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.training_triplets_lsh(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") % 100 == 0),
+        plane_sets=_lsh_plane_sets(2),
+        k_pos=2,
+        k_neg=2,
+    )
+
+
 @q(
     "a10_salted_skew_agg",
     """
@@ -7771,9 +7845,7 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "similarity_ivfpq_topk",
-    f"""
+_IVFPQ_SQL = f"""
     WITH
     cseeds AS (SELECT vec_id AS cell, embedding AS sv FROM embeddings
                WHERE vec_id < 8),
@@ -7826,7 +7898,12 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             PARTITION BY query_id ORDER BY approx_dist ASC, neighbor_id ASC
         ) AS rk FROM pairs
     ) WHERE rk <= 3
-    """,
+    """
+
+
+@q(
+    "similarity_ivfpq_topk",
+    _IVFPQ_SQL,
     "IVF-PQ (the FAISS architecture composed from the repo's two "
     "halves): coarse Voronoi cells (nlist=8, nprobe=2 — candidate "
     "volume ~corpus·nprobe/nlist) prune WHICH rows each query scores, "
@@ -7843,6 +7920,42 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") % 97 == 0)
     return ivf_pq_topk(e, qs, nlist=8, nprobe=2, m=4, ksub=8, k=3)
+
+
+@q(
+    "similarity_ivfpq_indexed_topk",
+    _IVFPQ_SQL,
+    "ivf_pq_topk over a PERSISTED code store (r11) — the FAISS on-disk "
+    "shape completed: ivf_pq_index_frame builds (id, codes, cell) in "
+    "ONE zero-shuffle scan (cell rides pq_encode's extra_cols, no join "
+    "back on id), write_ivf_index lays it out one file per cell, and "
+    "serving touches neither raw vectors (codes are ~16x fewer bytes) "
+    "nor unprobed cells (static cell pruning — collected probe set as "
+    "a plan-time partition filter, metric-asserted in "
+    "test_ivf_pq_indexed_parity_pruning_and_size because the DPP "
+    "heuristic measurably reads every file at nlist > 64). Frozen "
+    "centroids + codebook make incremental appends compose; results "
+    "bit-identical to inline ivf_pq_topk, so the inline oracle IS this "
+    "oracle.",
+)
+def similarity_ivfpq_indexed_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from impresso_ta.operators.pq import (
+        ivf_pq_index_frame,
+        ivf_pq_topk_indexed,
+        pq_codebook,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 97 == 0)
+    seeds = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in e.orderBy("vec_id").limit(8).collect()
+    ]
+    book = pq_codebook(e, m=4, ksub=8)
+    index = ivf_pq_index_frame(e, seeds, book)
+    return ivf_pq_topk_indexed(index, qs, seeds, book, nprobe=2, k=3)
 
 
 # =====================================================================

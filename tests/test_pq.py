@@ -182,3 +182,106 @@ def test_ivfpq_big_nlist_routes_probe_side_to_relation(spark, emb):
     big = sorted(map(tuple, ivf_pq_topk(
         emb, qs, nlist=80, nprobe=80, k=3).collect()))
     assert [r[:2] for r in small] == [r[:2] for r in big]
+
+
+def _cell_scan_files_read(df) -> int | None:
+    """Max numFiles over the cell-partitioned scans in the EXECUTED plan
+    (the test_similarity_ivf.py metric-assertion pattern — plan strings
+    can claim pruning the runtime doesn't do)."""
+    files_read = None
+    stack, seen = [df._jdf.queryExecution().executedPlan()], set()
+    while stack:
+        node = stack.pop()
+        if node.id() in seen:
+            continue
+        seen.add(node.id())
+        name = node.getClass().getSimpleName()
+        if "FileSourceScan" in name and "cell" in node.toString():
+            o = node.metrics().get("numFiles")
+            if o.isDefined():
+                files_read = max(files_read or 0, o.get().value())
+        try:
+            it = node.children().iterator()
+            while it.hasNext():
+                stack.append(it.next())
+        except Exception:
+            pass
+        for meth in ("finalPhysicalPlan", "executedPlan", "plan", "child"):
+            try:
+                stack.append(getattr(node, meth)())
+            except Exception:
+                pass
+    return files_read
+
+
+def test_ivf_pq_indexed_parity_pruning_and_size(spark, emb, tmp_path):
+    """The persisted IVF-PQ code store: bit-identical serving vs inline
+    ivf_pq_topk, guaranteed file-level pruning (executed-plan numFiles,
+    not plan text), and a store measurably smaller than the raw-vector
+    index — both 100 TB levers (files touched AND bytes per row) on the
+    same store."""
+    import os
+
+    from impresso_ta.operators.pq import (
+        ivf_pq_index_frame,
+        ivf_pq_topk,
+        ivf_pq_topk_indexed,
+        pq_codebook,
+    )
+    from impresso_ta.operators.similarity import ivf_assign, write_ivf_index
+
+    qs = emb.filter(F.col("vec_id") % 97 == 0)
+    seeds = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    book = pq_codebook(emb, m=4, ksub=8)
+    inline = sorted(map(tuple, ivf_pq_topk(
+        emb, qs, nlist=8, nprobe=2, m=4, ksub=8, k=3).collect()))
+
+    store = str(tmp_path / "ivfpq_index")
+    write_ivf_index(ivf_pq_index_frame(emb, seeds, book), store)
+    n_files = sum(
+        1 for _r, _d, fs in os.walk(store)
+        for f in fs if f.endswith(".parquet")
+    )
+    assert n_files == 8  # one file per cell (the write_ivf_index layout)
+    index = spark.read.parquet(store)
+    served = ivf_pq_topk_indexed(index, qs, seeds, book, nprobe=2, k=3)
+    assert sorted(map(tuple, served.collect())) == inline
+
+    # pruning as a METRIC: re-serve and read the scan's numFiles
+    probed = ivf_pq_topk_indexed(index, qs, seeds, book, nprobe=2, k=3)
+    probed.collect()
+    files_read = _cell_scan_files_read(probed)
+    assert files_read is not None and files_read < n_files
+
+    # static_prune=False (corpus-sized-queries path) stays identical
+    unpruned = ivf_pq_topk_indexed(
+        index, qs, seeds, book, nprobe=2, k=3, static_prune=False
+    )
+    assert sorted(map(tuple, unpruned.collect())) == inline
+
+    # the bytes lever: the code store must be materially smaller than
+    # the raw-vector store over the SAME corpus and layout
+    raw_store = str(tmp_path / "ivf_raw_index")
+    write_ivf_index(ivf_assign(emb, seeds), raw_store)
+    size = lambda p: sum(  # noqa: E731
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+    )
+    assert size(store) < size(raw_store) / 2
+
+    # incremental append with FROZEN centroids + codebook composes
+    new_batch = emb.selectExpr(
+        "vec_id + 100000 AS vec_id", "embedding", "label"
+    ).limit(3)
+    ivf_pq_index_frame(new_batch, seeds, book).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(store)
+    grown = spark.read.parquet(store)
+    assert grown.count() == emb.count() + 3
+    out2 = ivf_pq_topk_indexed(
+        grown, qs, seeds, book, nprobe=8, k=3
+    ).collect()
+    assert any(r.neighbor_id >= 100000 for r in out2)  # clones tie in

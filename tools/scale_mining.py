@@ -26,8 +26,22 @@ the two advertised scale claims into numbers:
    the executed plan vs the store totals — the files-read fraction is
    the DPP claim as a measurement, not a plan-string assertion.
 
-Usage: python tools/scale_mining.py        # generate 100x (once) + run
-Writes tools/scale_mining_results.json; prints a ratio table.
+Round 11 adds two sections:
+
+3. Triplet-miner curves — `training_triplets_ivf` vs the new
+   `training_triplets_lsh` in the same growing-anchor regime (the
+   VERDICT r10 task: a measured point at the 100x tier where the
+   row-local bucket assignment beats the Voronoi term, completing the
+   family symmetry `hard_negatives_lsh` established).
+4. `ivf_pq_topk_indexed` — the persisted CODE store probed with static
+   cell pruning: files AND bytes read vs the raw-vector index at the
+   same tier (the PQ claim is a bytes claim — record filesSize, not
+   just numFiles).
+
+Usage: python tools/scale_mining.py [sections...]
+  sections ∈ {mining, serving, triplets, ivfpq}; default = all.
+  Results are MERGED into tools/scale_mining_results.json so a new
+  section doesn't force re-measuring the committed ones.
 """
 
 from __future__ import annotations
@@ -69,7 +83,9 @@ def scan_metrics(df) -> list[dict]:
             # committed files_read would stop measuring pruning
             m = node.metrics()
             vals: dict = {}
-            for key in ("numFiles", "numPartitions", "numOutputRows"):
+            for key in (
+                "numFiles", "numPartitions", "numOutputRows", "filesSize"
+            ):
                 o = m.get(key)
                 if o.isDefined():
                     vals[key] = o.get().value()
@@ -98,12 +114,15 @@ def store_files(path: str) -> int:
 
 
 def main() -> None:
+    sections = set(sys.argv[1:]) or {"mining", "serving", "triplets", "ivfpq"}
+
     from tools.scale_docs import generate_sf10
 
     generate_sf10()
 
     from pyspark.sql import functions as F
 
+    from impresso_ta.operators import pq as pqmod
     from impresso_ta.operators import similarity
     from impresso_ta.session import get_spark
 
@@ -129,102 +148,194 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return round(best, 3)
 
-    results: dict[str, dict] = {
-        "hard_negatives_ivf": {},
-        "hard_negatives_brute": {},
-        "ivf_indexed_ingest": {},
-        "ivf_indexed_query": {},
-        "ivf_indexed_files": {},
-        "params": {},
-    }
+    res_path = os.path.join(REPO, "tools", "scale_mining_results.json")
+    results: dict[str, dict] = {}
+    if os.path.exists(res_path):
+        with open(res_path) as f:
+            results = json.load(f)  # merge: new sections join old rows
+    for key in (
+        "hard_negatives_ivf", "hard_negatives_brute", "hard_negatives_lsh",
+        "ivf_indexed_ingest", "ivf_indexed_query", "ivf_indexed_files",
+        "training_triplets_ivf", "training_triplets_lsh",
+        "training_triplets_brute", "ivfpq_indexed_ingest",
+        "ivfpq_indexed_query", "ivfpq_indexed_files", "params",
+    ):
+        results.setdefault(key, {})
     os.makedirs(STORES, exist_ok=True)
+
+    def store_bytes(path: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
 
     for tag, d in (("1x", SF01), ("10x", SF1), ("100x", SF10)):
         emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
         n = emb.count()
         nlist = max(8, int(4 * math.sqrt(n)))
         results["params"][tag] = {"n_vectors": n, "nlist": nlist, "nprobe": 2}
-
-        # --- mining: anchors grow WITH the corpus (10% of rows) ------
         anchors = emb.filter(F.col("vec_id") % 10 == 0)
-        try:
-            results["hard_negatives_ivf"][tag] = timed(
-                lambda: similarity.hard_negatives_ivf(
-                    emb, anchors, nlist=nlist, nprobe=2, k=3
-                )
-            )
-        except Exception as ex:
-            results["hard_negatives_ivf"][tag] = None
-            results["hard_negatives_ivf"][f"{tag}_error"] = str(ex).split(
-                "\n"
-            )[0][:200]
-        if tag != "100x":  # brute is |corpus|x|anchors|: 4e9 pairs at 100x
-            results["hard_negatives_brute"][tag] = timed(
-                lambda: similarity.hard_negatives(emb, anchors, k=3)
-            )
-        # the beyond-IVF route: row-local bucket assignment, bits sized
-        # so candidates/anchor ~ n/2^bits stays ~constant -> the whole
-        # mining pass should be ~linear in n (vs IVF's n^1.5 assignment)
         bits = max(2, math.ceil(math.log2(max(2, n / 512))))
         plane_sets = similarity.deterministic_plane_sets(2, bits, 64)
-        results.setdefault("hard_negatives_lsh", {})[tag] = timed(
-            lambda: similarity.hard_negatives_lsh(
-                emb, anchors, plane_sets, k=3, broadcast_queries=False
-            )
-        )
 
-        # --- serving: ingest once, query a FIXED 200-anchor batch ----
+        # --- mining: anchors grow WITH the corpus (10% of rows) ------
+        if "mining" in sections:
+            try:
+                results["hard_negatives_ivf"][tag] = timed(
+                    lambda: similarity.hard_negatives_ivf(
+                        emb, anchors, nlist=nlist, nprobe=2, k=3
+                    )
+                )
+            except Exception as ex:
+                results["hard_negatives_ivf"][tag] = None
+                results["hard_negatives_ivf"][f"{tag}_error"] = str(ex).split(
+                    "\n"
+                )[0][:200]
+            if tag != "100x":  # brute is |corpus|x|anchors|: 4e9 pairs
+                results["hard_negatives_brute"][tag] = timed(
+                    lambda: similarity.hard_negatives(emb, anchors, k=3)
+                )
+            # the beyond-IVF route: row-local bucket assignment, bits
+            # sized so candidates/anchor ~ n/2^bits stays ~constant ->
+            # the whole mining pass should be ~linear in n (vs IVF's
+            # n^1.5 assignment)
+            results["hard_negatives_lsh"][tag] = timed(
+                lambda: similarity.hard_negatives_lsh(
+                    emb, anchors, plane_sets, k=3, broadcast_queries=False
+                )
+            )
+
+        # --- triplet miners in the same growing-anchor regime --------
+        if "triplets" in sections:
+            try:
+                results["training_triplets_ivf"][tag] = timed(
+                    lambda: similarity.training_triplets_ivf(
+                        emb, anchors, nlist=nlist, nprobe=2,
+                        k_pos=2, k_neg=2,
+                    )
+                )
+            except Exception as ex:
+                results["training_triplets_ivf"][tag] = None
+                results["training_triplets_ivf"][f"{tag}_error"] = str(
+                    ex
+                ).split("\n")[0][:200]
+            results["training_triplets_lsh"][tag] = timed(
+                lambda: similarity.training_triplets_lsh(
+                    emb, anchors, plane_sets, k_pos=2, k_neg=2,
+                    broadcast_queries=False,
+                )
+            )
+            if tag != "100x":  # brute cross join: 4e9 pairs at 100x
+                results["training_triplets_brute"][tag] = timed(
+                    lambda: similarity.training_triplets(
+                        emb, anchors, k_pos=2, k_neg=2
+                    )
+                )
+
         seeds = [
             (int(r.vec_id), list(r.embedding))
             for r in emb.orderBy("vec_id").limit(nlist).collect()
         ]
-        store = os.path.join(STORES, tag)
-        t0 = time.time()
-        shutil.rmtree(store, ignore_errors=True)
-        similarity.write_ivf_index(similarity.ivf_assign(emb, seeds), store)
-        results["ivf_indexed_ingest"][tag] = round(time.time() - t0, 3)
-
-        index = spark.read.parquet(store)
         qbatch = emb.filter(F.col("vec_id") < 2000).limit(200)
-        build = lambda: similarity.ivf_topk_indexed(  # noqa: E731
-            index, qbatch, seeds, nprobe=2, k=3
-        )
-        results["ivf_indexed_query"][tag] = timed(build)
-        # files-read: execute via collect so the metrics live on THIS
-        # DataFrame's queryExecution, then read the scan counters
-        probe_df = build()
-        probe_df.collect()
-        scans = scan_metrics(probe_df)
-        biggest = max(scans, key=lambda s: s.get("numFiles", 0), default={})
-        results["ivf_indexed_files"][tag] = {
-            "files_read": biggest.get("numFiles"),
-            "partitions_read": biggest.get("numPartitions"),
-            "files_total": store_files(store),
-            "partitions_total": nlist,
-        }
+
+        # --- serving: ingest once, query a FIXED 200-anchor batch ----
+        if "serving" in sections:
+            store = os.path.join(STORES, tag)
+            t0 = time.time()
+            shutil.rmtree(store, ignore_errors=True)
+            similarity.write_ivf_index(
+                similarity.ivf_assign(emb, seeds), store
+            )
+            results["ivf_indexed_ingest"][tag] = round(time.time() - t0, 3)
+
+            index = spark.read.parquet(store)
+            build = lambda: similarity.ivf_topk_indexed(  # noqa: E731
+                index, qbatch, seeds, nprobe=2, k=3
+            )
+            results["ivf_indexed_query"][tag] = timed(build)
+            # files-read: execute via collect so the metrics live on
+            # THIS DataFrame's queryExecution, then read the counters
+            probe_df = build()
+            probe_df.collect()
+            scans = scan_metrics(probe_df)
+            biggest = max(
+                scans, key=lambda s: s.get("numFiles", 0), default={}
+            )
+            results["ivf_indexed_files"][tag] = {
+                "files_read": biggest.get("numFiles"),
+                "partitions_read": biggest.get("numPartitions"),
+                "bytes_read": biggest.get("filesSize"),
+                "files_total": store_files(store),
+                "bytes_total": store_bytes(store),
+                "partitions_total": nlist,
+            }
+
+        # --- the persisted CODE store (IVF-PQ): files AND bytes ------
+        if "ivfpq" in sections:
+            book = pqmod.pq_codebook(emb, m=4, ksub=8)
+            pq_store = os.path.join(STORES, f"{tag}_pq")
+            t0 = time.time()
+            shutil.rmtree(pq_store, ignore_errors=True)
+            similarity.write_ivf_index(
+                pqmod.ivf_pq_index_frame(emb, seeds, book), pq_store
+            )
+            results["ivfpq_indexed_ingest"][tag] = round(
+                time.time() - t0, 3
+            )
+            pq_index = spark.read.parquet(pq_store)
+            build_pq = lambda: pqmod.ivf_pq_topk_indexed(  # noqa: E731
+                pq_index, qbatch, seeds, book, nprobe=2, k=3
+            )
+            results["ivfpq_indexed_query"][tag] = timed(build_pq)
+            probe_df = build_pq()
+            probe_df.collect()
+            scans = scan_metrics(probe_df)
+            biggest = max(
+                scans, key=lambda s: s.get("numFiles", 0), default={}
+            )
+            results["ivfpq_indexed_files"][tag] = {
+                "files_read": biggest.get("numFiles"),
+                "partitions_read": biggest.get("numPartitions"),
+                "bytes_read": biggest.get("filesSize"),
+                "files_total": store_files(pq_store),
+                "bytes_total": store_bytes(pq_store),
+                "partitions_total": nlist,
+            }
 
     print(f"{'probe':24s} {'1x':>8s} {'10x':>8s} {'100x':>9s} {'100x/10x':>9s}")
     for q in (
         "hard_negatives_ivf",
         "hard_negatives_brute",
         "hard_negatives_lsh",
+        "training_triplets_ivf",
+        "training_triplets_lsh",
+        "training_triplets_brute",
         "ivf_indexed_ingest",
         "ivf_indexed_query",
+        "ivfpq_indexed_ingest",
+        "ivfpq_indexed_query",
     ):
-        r = results[q]
+        r = results.get(q, {})
         t1, t10, t100 = r.get("1x"), r.get("10x"), r.get("100x")
         step = f"{t100 / t10:8.1f}x" if t10 and t100 else "     n/a"
         fmt = lambda v: f"{v:8.2f}" if v is not None else "    skip"  # noqa: E731
         print(f"{q:24s} {fmt(t1)} {fmt(t10)} {fmt(t100)} {step}")
-    for tag in ("1x", "10x", "100x"):
-        f = results["ivf_indexed_files"].get(tag, {})
-        print(
-            f"ivf_indexed_files {tag}: {f.get('files_read')}/"
-            f"{f.get('files_total')} files, {f.get('partitions_read')}/"
-            f"{f.get('partitions_total')} cells"
-        )
+    for key in ("ivf_indexed_files", "ivfpq_indexed_files"):
+        for tag in ("1x", "10x", "100x"):
+            f = results.get(key, {}).get(tag, {})
+            if not f:
+                continue
+            print(
+                f"{key} {tag}: {f.get('files_read')}/"
+                f"{f.get('files_total')} files, "
+                f"{f.get('bytes_read')}/{f.get('bytes_total')} bytes, "
+                f"{f.get('partitions_read')}/"
+                f"{f.get('partitions_total')} cells"
+            )
 
-    with open(os.path.join(REPO, "tools", "scale_mining_results.json"), "w") as f:
+    with open(res_path, "w") as f:
         json.dump(results, f, indent=1)
     spark.stop()
 
