@@ -234,6 +234,7 @@ def _carve_triplets(
     round_to: int,
     semi_hard: bool,
     cache: bool = True,
+    pin: bool = True,
 ) -> DataFrame:
     """Shared triplet carve over a scored candidate frame
     (anchor_id, cand_id, _same BOOLEAN, _cos) — used by
@@ -357,6 +358,12 @@ def _carve_triplets(
                 ).alias("margin"),
             )
         )
+    if pin:
+        # hash(anchor) satisfies the window's (anchor, _same) clustering
+        # AND the fold's groupBy(anchor) — one uncoalesced exchange
+        # replaces both ENSURE_REQUIREMENTS shuffles (callers that
+        # already deliver an anchor-clustered frame pass pin=False)
+        scored = _pin_parallelism(scored, "anchor_id")
     w = Window.partitionBy("anchor_id", "_same").orderBy(
         F.desc("_cos"), F.asc("cand_id")
     )
@@ -524,6 +531,14 @@ def hard_negatives_lsh(
             F.col(label_col).alias("_clabel"),
             hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
         )
+        if not broadcast_queries:
+            # the mining regime's bucket join shuffles BOTH sides on a
+            # 2^n_planes key domain; the compressed exchanges sit under
+            # the AQE advisory size and coalesce to ~1 task, making the
+            # in-join scoring single-threaded — pin them (serving keeps
+            # the broadcast plan: no corpus exchange to pin)
+            bc = _pin_parallelism(bc, "bucket")
+            bq = _pin_parallelism(bq, "bucket")
         joined = bc.join(
             F.broadcast(bq) if broadcast_queries else bq, "bucket"
         ).where(
@@ -551,7 +566,12 @@ def hard_negatives_lsh(
     cand = parts[0]
     for part in parts[1:]:
         cand = cand.unionByName(part)
-    scored = cand.dropDuplicates(["query_id", "neighbor_id"])
+    # ONE pinned exchange serves the dedup (hash(query_id) satisfies
+    # the (query_id, neighbor_id) clustering) AND the rank window —
+    # no ENSURE_REQUIREMENTS exchange is left for AQE to coalesce
+    scored = _pin_parallelism(cand, "query_id").dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -633,6 +653,10 @@ def training_triplets_lsh(
             F.col(label_col).alias("_clabel"),
             hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
         )
+        if not broadcast_queries:
+            # mining-regime join parallelism pin — see hard_negatives_lsh
+            bc = _pin_parallelism(bc, "bucket")
+            bq = _pin_parallelism(bq, "bucket")
         joined = bc.join(
             F.broadcast(bq) if broadcast_queries else bq, "bucket"
         ).where(F.col("cand_id") != F.col("anchor_id"))
@@ -650,9 +674,15 @@ def training_triplets_lsh(
     for part in parts[1:]:
         cand = cand.unionByName(part)
     # _same and _cos are deterministic functions of the pair, so a pair
-    # found by several tables dedupes to exactly one identical row
-    scored = cand.dropDuplicates(["anchor_id", "cand_id"])
-    return _carve_triplets(scored, k_pos, k_neg, round_to, semi_hard, cache)
+    # found by several tables dedupes to exactly one identical row; the
+    # pinned exchange (hash(anchor) satisfies the dedup's clustering)
+    # keeps the dedup AND the carve windows at full parallelism
+    scored = _pin_parallelism(cand, "anchor_id").dropDuplicates(
+        ["anchor_id", "cand_id"]
+    )
+    return _carve_triplets(
+        scored, k_pos, k_neg, round_to, semi_hard, cache, pin=False
+    )
 
 
 def training_triplets(
@@ -888,6 +918,22 @@ def semantic_decontamination_lsh(
         .filter(~F.coalesce(hit, F.lit(False)))
         .drop("_bmap", "_tnorm")
     )
+
+
+def _pin_parallelism(df: DataFrame, *keys: str) -> DataFrame:
+    """Explicit-count repartition on ``keys`` — the narrow-row CPU-dense
+    escape hatch from the session's size-based AQE coalescing
+    (parallelismFirst=false, right for IO-bound stages): a compressed
+    ~25 B/row shuffle coalesces to 1-2 tasks at the 64 MB advisory
+    size, putting millions of rows of downstream sort/window/join/
+    scoring on one core (measured: the 100x LSH triplet mining tier ran
+    831 s coalesced). AQE never coalesces a user repartition with an
+    explicit count, and hashpartitioning(keys) satisfies every
+    downstream ClusteredDistribution over a superset of ``keys``, so
+    one pin usually replaces the ENSURE_REQUIREMENTS exchange it
+    shadows rather than adding one."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(k) for k in keys])
 
 
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
@@ -1276,11 +1322,75 @@ def write_ivf_index(
     2,000 vectors) and multiplies the per-file open cost of every
     subsequent probe. Incremental appends with frozen centroids:
     ``mode="append"`` adds one file per touched cell per batch —
-    compact periodically with ``layout.compaction_plan`` if batch
-    count grows large."""
+    compact periodically with :func:`compact_ivf_index` (the tested
+    plan-then-dynamic-overwrite loop) if batch count grows large."""
     assigned.repartition("cell").write.mode(mode).partitionBy(
         "cell"
     ).parquet(path)
+
+
+def compact_ivf_index(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_threshold_pct: int = 50,
+) -> list[int]:
+    """The maintenance loop ``write_ivf_index``'s docstring promises:
+    incremental appends with frozen centroids add one file per touched
+    cell per batch, and this pass merges multi-batch cells back toward
+    one file per cell. Composes two existing pieces:
+
+    - ``layout.compaction_plan`` over a CONTENT-PRUNED ``binaryFile``
+      listing of the store (path/length/cell only — the
+      detect_issues_distributed listing trick; no parquet bytes read)
+      decides which cells need rewriting (integer-exact, respects
+      ``target_bytes`` so a genuinely large cell is left as multiple
+      target-sized files);
+    - flagged cells are re-read, eagerly localCheckpoint'ed (the
+      overwrite below would otherwise be reading its own output path),
+      and rewritten with DYNAMIC partition overwrite — only the
+      flagged cell directories are replaced, concurrent readers of
+      other cells never see a partial store.
+
+    Returns the compacted cell ids (empty when the store is already
+    compact). Query results are unchanged by construction
+    (row-preserving rewrite — parity-tested), and subsequent probes
+    read fewer files (metric-tested)."""
+    from impresso_ta.operators.layout import compaction_plan
+
+    listing = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(path)
+        .select(F.col("length").alias("bytes"), F.col("cell"))
+    )
+    plan = compaction_plan(
+        listing,
+        ["cell"],
+        size_col="bytes",
+        target_bytes=target_bytes,
+        small_threshold_pct=small_threshold_pct,
+    )
+    flagged = sorted(
+        int(r["cell"])
+        for r in plan.filter(F.col("needs_compaction")).collect()
+    )
+    if not flagged:
+        return []
+    rows = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(flagged))
+        .localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rows.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return flagged
 
 
 def _ivf_probe_rank(

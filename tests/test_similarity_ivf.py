@@ -558,3 +558,90 @@ def test_semihard_triplets_band_properties(spark):
         emb, qs, nlist=4, nprobe=4, k_pos=2, k_neg=2, semi_hard=True
     ).collect()
     assert sorted(map(tuple, ivf_semi)) == sorted(map(tuple, rows))
+
+
+def test_ivf_store_maintenance_loop(spark, tmp_path):
+    """The incremental-store maintenance recipe end-to-end: N appended
+    batches with frozen centroids fragment the cells; compact_ivf_index
+    plans (content-pruned listing), rewrites ONLY flagged cells via
+    dynamic partition overwrite, query results are bit-identical
+    before/after, and the probe reads fewer files after."""
+    import os
+
+    from impresso_ta.operators.similarity import (
+        compact_ivf_index,
+        ivf_assign,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 97 == 0)
+    seeds = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    store = str(tmp_path / "ivf_maint")
+    write_ivf_index(ivf_assign(emb, seeds), store)
+    base = emb.count()
+    for i in range(3):  # three incremental crawls, frozen centroids
+        batch = emb.selectExpr(
+            f"vec_id + {(i + 1) * 100000} AS vec_id", "embedding", "label"
+        ).limit(20)
+        ivf_assign(batch, seeds).write.mode("append").partitionBy(
+            "cell"
+        ).parquet(store)
+
+    def n_files():
+        return sum(
+            1 for _r, _d, fs in os.walk(store)
+            for f in fs if f.endswith(".parquet")
+        )
+
+    frag_files = n_files()
+    assert frag_files > 8  # the appends fragmented the cells
+    grown = spark.read.parquet(store)
+    assert grown.count() == base + 60
+    before = sorted(map(tuple, ivf_topk_indexed(
+        grown, qs, seeds, nprobe=2, k=3).collect()))
+
+    flagged = compact_ivf_index(spark, store)
+    assert flagged  # the fragmented cells were planned for rewrite
+    assert n_files() < frag_files
+    compacted = spark.read.parquet(store)
+    assert compacted.count() == base + 60  # row-preserving rewrite
+    after_df = ivf_topk_indexed(compacted, qs, seeds, nprobe=2, k=3)
+    assert sorted(map(tuple, after_df.collect())) == before
+
+    # the probe over the compacted store reads fewer files: files read
+    # <= probed cells + appends' residue (one file per compacted cell)
+    probed = ivf_topk_indexed(compacted, qs, seeds, nprobe=2, k=3)
+    probed.collect()
+    jplan = probed._jdf.queryExecution().executedPlan()
+    files_read = None
+    stack, seen = [jplan], set()
+    while stack:
+        node = stack.pop()
+        if node.id() in seen:
+            continue
+        seen.add(node.id())
+        if ("FileSourceScan" in node.getClass().getSimpleName()
+                and "cell" in node.toString()):
+            o = node.metrics().get("numFiles")
+            if o.isDefined():
+                files_read = max(files_read or 0, o.get().value())
+        try:
+            it = node.children().iterator()
+            while it.hasNext():
+                stack.append(it.next())
+        except Exception:
+            pass
+        for meth in ("finalPhysicalPlan", "executedPlan", "plan", "child"):
+            try:
+                stack.append(getattr(node, meth)())
+            except Exception:
+                pass
+    assert files_read is not None and files_read <= len(flagged) + 8
+
+    # idempotence: a second maintenance pass finds nothing to do
+    assert compact_ivf_index(spark, store) == []
