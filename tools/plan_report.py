@@ -101,6 +101,22 @@ QUERIES = [
      "(r10): ONE probed cell equi-join feeds both the positive and "
      "negative (anchor, same-label) windows; label rides the "
      "assignment"),
+    ("similarity_training_triplets_lsh", "beyond-IVF triplet route "
+     "(r11): row-local Weyl-plane buckets feed BOTH carve sides — no "
+     "Voronoi assignment term; (_same, cos) computed inside the join "
+     "projection so the cross-table dedup shuffles ~25-byte rows; "
+     "single-pass carve (window filter -> per-anchor fold -> explode), "
+     "every window rank-filtered so WindowGroupLimit applies"),
+    ("similarity_ivfpq_indexed_topk", "persisted IVF-PQ code store "
+     "(r11): static cell pruning on the partition filter (probed set "
+     "collected, bounded by nlist); serving scans CODES, not vectors — "
+     "ADC tables broadcast with the probes; the store scan is the only "
+     "corpus-sized op"),
+    ("similarity_semihard_triplets", "semi-hard band carve (r11 rework): "
+     "eager-checkpointed scored frame + ONE pinned anchor exchange "
+     "(explicit-count repartition AQE never coalesces) feeds the "
+     "rank-filtered positives window, the no-window negatives side and "
+     "the per-(anchor,positive) band rank — every window group-limits"),
 ]
 
 
