@@ -57,6 +57,7 @@ def stream_ivf_ingest(
     vec_col: str = "embedding",
     available_now: bool = True,
     max_files_per_trigger: int = 32,
+    codebook=None,
 ):
     """Drain a parquet vector drop zone into a ``batch=N/cell=K``
     staging IVF store with frozen ``centroids``.
@@ -68,15 +69,30 @@ def stream_ivf_ingest(
     on replay. ``centroids`` must stay frozen for the store's lifetime
     (the ``ivf_topk_indexed`` contract); re-clustering is a publish-time
     event, not a streaming one.
+
+    ``codebook`` (optional, FROZEN like the centroids) switches the
+    staging store to PQ CODES: each micro-batch is assigned AND encoded
+    in the same zero-shuffle scan-project (``ivf_pq_index_frame``), so
+    the continuously-ingested store carries the measured ~40× bytes
+    lever (tools/pq_bytes_results.json) from the first trigger — serve
+    it with ``ivf_pq_topk_indexed`` using the same frozen
+    centroids + codebook (parity-tested).
     """
+    from impresso_ta.operators.pq import ivf_pq_index_frame
     from impresso_ta.operators.similarity import ivf_assign
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        assigned = (
+            ivf_pq_index_frame(
+                batch, centroids, codebook, id_col=id_col, vec_col=vec_col
+            )
+            if codebook is not None
+            else ivf_assign(batch, centroids, id_col=id_col, vec_col=vec_col)
+        )
         (
-            ivf_assign(batch, centroids, id_col=id_col, vec_col=vec_col)
-            .repartition("cell")
+            assigned.repartition("cell")
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(f"{store_path}/batch={batch_id}")

@@ -224,3 +224,42 @@ def test_publish_ivf_store_flat_layout_and_parity(spark, tmp_path):
 
     with pytest.raises(ValueError, match="serving_path != staging_path"):
         publish_ivf_store(spark, staging, staging + "/")
+
+
+def test_stream_ivf_ingest_pq_codes_parity(spark, tmp_path):
+    """codebook= switches the staged store to PQ codes: each batch is
+    assigned AND encoded map-side; serving the staging store with the
+    same frozen centroids + codebook is bit-identical to inline
+    ivf_pq_topk over the drained corpus."""
+    from impresso_ta.operators.pq import (
+        ivf_pq_topk,
+        ivf_pq_topk_indexed,
+        pq_codebook,
+    )
+
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    store = str(tmp_path / "store")
+    seeds = _seeds(spark)
+    corpus = _drop_slices(spark, drop, [(0, 250), (250, 500)])
+    codebook = pq_codebook(corpus, m=4, ksub=8)
+
+    q = stream_ivf_ingest(
+        spark, drop, store, seeds, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, codebook=codebook,
+    )
+    q.awaitTermination(180)
+    staged = spark.read.parquet(store)
+    assert set(staged.columns) == {"vec_id", "codes", "batch", "cell"}
+    assert staged.count() == 500
+
+    qs = corpus.filter(F.col("vec_id") % 97 == 0)
+    # inline ivf_pq_topk derives centroids from the corpus head and its
+    # own codebook — replicate its probe with the explicit frozen pair
+    served = ivf_pq_topk_indexed(
+        staged, qs, seeds, codebook, nprobe=2, k=3
+    )
+    inline = ivf_pq_topk(corpus, qs, nlist=8, nprobe=2, m=4, ksub=8, k=3)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
