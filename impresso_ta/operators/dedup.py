@@ -1533,21 +1533,26 @@ def jaccard_prefix_pairs(
     224 s with verify arrays shipped per clone pair, vs the collapsed
     form where verify sees each distinct text once).
 
-    ``cache`` (default on) materializes the multiply-referenced
-    subtrees via LAZY ``localCheckpoint`` (the per-doc shingle-set
-    frame — referenced five times; the clone-group frame — four
-    times). localCheckpoint (not ``persist``) so residency is BOUNDED:
-    the blocks belong to the checkpointed RDD, which the
-    ContextCleaner frees once the returned frame is garbage-collected
-    — a long-lived session issuing repeated calls does not accumulate
-    CacheManager entries without bound (the r10-review failure mode of
-    the persist form). Lazy (eager=False) so the function still
-    returns an unexecuted plan. The trade vs persist: lineage is
-    truncated, so a lost partition cannot be recomputed — on a
-    cluster with executor churn prefer ``cache=False`` plus a caller-
-    managed reliable ``checkpoint()``. ``cache=False`` trades ~5x
-    recomputation (measured: 119 s vs 24 s at sf1) for zero block
-    residency.
+    ``cache`` (default on) PERSISTS the multiply-referenced subtrees
+    (the per-doc shingle-set frame — referenced five times; the
+    clone-group frame — four times). persist, deliberately NOT
+    ``localCheckpoint``: an r11 attempt to bound residency with
+    localCheckpoint (lazy and eager both) regressed this query 11 →
+    118 s at sf1, caught by the bench — the checkpoint's LogicalRDD
+    hides Catalyst stats, so the downstream consumers lose their
+    broadcast joins (executed plans: 13 BroadcastHashJoin with
+    persist's InMemoryRelation vs 5 over the checkpointed ExistingRDD
+    scans; A/B: persist 20 s, lazy ckpt 129 s, eager ckpt 123 s, old
+    code 17 s, same sf1 data). InMemoryRelation keeps stats AND
+    re-optimizes per consumer; that is worth more here than bounded
+    block residency. The residency trade that motivated the attempt
+    stands: blocks live until the session clears them (the returned
+    frame is lazy, so this function cannot unpersist) — a long-lived
+    service session issuing many jaccard calls should
+    ``spark.catalog.clearCache()`` between calls (the bench
+    discipline) or pass ``cache=False`` and manage materialization
+    itself; False trades ~5x recomputation (measured: 119 s vs 24 s
+    at sf1) for zero cache residency.
     """
     if collapse_exact:
         base = docs.select(
@@ -1565,9 +1570,11 @@ def jaccard_prefix_pairs(
         )
         if cache:
             # referenced 4x downstream (reps, expansion sides, intra);
-            # lazy localCheckpoint: blocks are ContextCleaner-freed when
-            # the frame is GC'd (see the docstring residency note)
-            groups = groups.localCheckpoint(eager=False)
+            # persist, NOT localCheckpoint — the LogicalRDD would hide
+            # stats and cost the consumers their broadcasts (docstring)
+            from pyspark import StorageLevel
+
+            groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
         reps = groups.select(id_col, text_col)
         rep_pairs = jaccard_prefix_pairs(
             reps, id_col, text_col, k, threshold, collapse_exact=False,
@@ -1623,13 +1630,15 @@ def jaccard_prefix_pairs(
     sh = _explode_shingle_hashes(docs, id_col, text_col, k)
     dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
     ranked = sh.join(dfreq, "h")
-    # materialized once (lazy localCheckpoint): the plan references
-    # this frame FIVE times (both sides of the prefix self-join, both
-    # verify sides, and through cand) — unmaterialized, Spark
-    # recomputes the explode+dfreq-join+collect subtree per reference
-    # (measured at sf1: 119 s total vs 24 s with the subtree
-    # materialized once; candidate gen is 4 s and verify 7 s — the
-    # other ~95 s was pure recomputation)
+    # persisted: the plan references this frame FIVE times (both sides
+    # of the prefix self-join, both verify sides, and through cand) —
+    # unpersisted, Spark recomputes the explode+dfreq-join+collect
+    # subtree per reference (measured at sf1: 119 s total vs 24 s with
+    # the subtree materialized once; candidate gen is 4 s and verify
+    # 7 s — the other ~95 s was pure recomputation). persist, NOT
+    # localCheckpoint: the ckpt LogicalRDD hides stats and the five
+    # consumers lose their broadcast joins — measured right back at
+    # ~120 s (see the cache docstring note)
     sets = ranked.groupBy("doc_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("df", "h"))),
@@ -1639,7 +1648,9 @@ def jaccard_prefix_pairs(
         F.count("*").alias("n"),
     )
     if cache:
-        sets = sets.localCheckpoint(eager=False)
+        from pyspark import StorageLevel
+
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     # integer-exact prefix length for t' = (threshold*1000 - 1)/1000:
     # L = n - ceil(t'*n) + 1 = n - ((a*n + 999) div 1000) + 1
     a_num = int(round(threshold * 1000)) - 1
@@ -1764,9 +1775,11 @@ def jaccard_prefix_contracted(
     )
     if cache:
         # referenced 4x downstream (rep texts, both size joins, intra);
-        # lazy localCheckpoint, GC-bounded residency — see
-        # jaccard_prefix_pairs' cache note for the trade
-        groups = groups.localCheckpoint(eager=False)
+        # persist, NOT localCheckpoint — see jaccard_prefix_pairs'
+        # cache note for the measured stats/broadcast regression
+        from pyspark import StorageLevel
+
+        groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     rep_pairs = jaccard_prefix_pairs(
         groups.select(id_col, text_col),
         id_col,
