@@ -229,6 +229,13 @@ MIN_OF_3 = {
     # (VERDICT r10 "What's wrong" #2).
     "o2_sort_dedup_pages",
     "events_hourly_window",
+    # r11 flagged these two at sf1: untouched code, in-band yardstick,
+    # yet sustained 1.3-1.5x movement across all three r11 runs while
+    # their own callees (minhash_lsh) benched FASTER — min-of-3 so one
+    # inflated sample can't mimic a regression; stage-decompose in r12
+    # if the movement survives (PLANS.md "Watch items for r12").
+    "dedup_exact_substring",
+    "corpus_prepare_pipeline",
 }
 
 
