@@ -794,6 +794,39 @@ def semantic_decontamination(
                 dims=dims,
                 n_probes=n_probes,
             )
+    if threshold > 0:
+        # r12 fast path (guide §4.2): the row-local EXISTS evaluates
+        # |bench| interpreted higher-order dot products per train row —
+        # the same screen as one vectorized matrix product. Bit-
+        # identical results, proven three ways: the round(cos, r) >=
+        # threshold predicate is algebraically a plain cos >= cutoff
+        # (arrowkit.ge_round_cutoff — exact Decimal derivation of
+        # Spark's shortest-repr HALF_UP round), any clean pair within
+        # 1e-9 of the cutoff under the fast normalized GEMM (fp error
+        # bound ~1e-14 at these dims) is re-decided with the JVM's
+        # exactly-ordered fold, and every degenerate pair (NaN/inf
+        # values, under/overflowing norms — where Spark's nan-safe
+        # ordering makes a NaN cosine a HIT) is decided by a bit-exact
+        # scalar emulation. Parity is pinned by the boundary-value
+        # test against the retained EXISTS form.
+        return _semantic_decontamination_arrow(
+            train, bench, vec_col, threshold, round_to
+        )
+    return _semantic_decontamination_exists(
+        train, bench, vec_col, threshold, round_to
+    )
+
+
+def _semantic_decontamination_exists(
+    train: DataFrame,
+    bench: DataFrame,
+    vec_col: str,
+    threshold: float,
+    round_to: int,
+) -> DataFrame:
+    """The r11 pure-JVM exact screen (broadcast one-row bench array +
+    row-local EXISTS) — kept as the reference implementation and the
+    fallback for thresholds the cutoff algebra does not cover (<= 0)."""
     barr = bench.select(
         F.collect_list(
             F.struct(
@@ -818,6 +851,187 @@ def semantic_decontamination(
         .filter(~F.coalesce(hit, F.lit(False)))
         .drop("_bench", "_tnorm")
     )
+
+
+def _seq_sq_norms(m):
+    """Euclidean norms with the JVM fold's exact FP order: squares are
+    added left-to-right per dimension (``acc += m[:,d]*m[:,d]``), which
+    performs the identical IEEE addition sequence as
+    ``aggregate(zip_with(v, v, *), 0.0, +)`` for every row at once."""
+    import numpy as np
+
+    acc = np.zeros(m.shape[0])
+    with np.errstate(over="ignore", invalid="ignore"):
+        for d in range(m.shape[1]):
+            acc = acc + m[:, d] * m[:, d]
+    return np.sqrt(acc)
+
+
+# Norm band for the vectorized screen: inside it the pairwise norm
+# product can neither underflow to 0.0 (which try_divide turns into
+# NULL = no hit) nor overflow to inf (which turns the cosine into
+# 0/NaN) — outside it a row is handled by the exact scalar emulation.
+_NORM_LO = 1e-150
+_NORM_HI = 1e150
+
+
+def _spark_pair_hit(tv, bv, cutoff: float) -> bool:
+    """Bit-exact emulation of one EXISTS element for degenerate pairs:
+    ``round(try_divide(dot(t, b), norm(t) * norm(b)), r) >= threshold``
+    under Spark semantics — left-to-right double folds, try_divide
+    NULL only on an exactly-zero divisor (NULL = no hit), round(x, r)
+    passing NaN/±inf through unchanged, and Spark's nan-safe comparison
+    ordering NaN ABOVE every value (so a NaN cosine IS a hit)."""
+    import math
+
+    dot = 0.0
+    sa = 0.0
+    sb = 0.0
+    for x, y in zip(tv.tolist(), bv.tolist()):
+        dot = dot + x * y
+        sa = sa + x * x
+        sb = sb + y * y
+    div = math.sqrt(sa) * math.sqrt(sb)
+    if div == 0.0:
+        return False
+    cos = dot / div
+    if math.isnan(cos):
+        return True
+    if math.isinf(cos):
+        return cos > 0
+    return cos >= cutoff
+
+
+def _semantic_decontamination_arrow(
+    train: DataFrame,
+    bench: DataFrame,
+    vec_col: str,
+    threshold: float,
+    round_to: int,
+) -> DataFrame:
+    """Vectorized exact screen: bench is collected to the driver (small
+    by the operator's contract — the JVM form already folded it into one
+    broadcast row) and shipped to ``mapInArrow`` tasks that drop each
+    train batch's contaminated rows with one normalized matrix product.
+
+    Exactness: see the dispatch comment in
+    :func:`semantic_decontamination`. Rows that can never pair with a
+    non-NULL cosine are settled structurally: a NULL train vector, a
+    NULL array element on either side, or a length with no bench group
+    folds to a NULL dot through ``zip_with`` (never a hit), so bench
+    vectors are grouped BY LENGTH and each train row is screened only
+    against its own length group. Within a group, the GEMM screen
+    covers only CLEAN×CLEAN pairs (all-finite values, norm inside
+    ``(_NORM_LO, _NORM_HI)`` so the norm product cannot underflow to
+    try_divide's NULL or overflow to a NaN cosine); every pair with a
+    degenerate side is decided by :func:`_spark_pair_hit`, the
+    bit-exact scalar emulation of the JVM element — including Spark's
+    nan-safe ordering that makes a NaN cosine a HIT.
+    """
+    import numpy as np
+
+    from impresso_ta.operators.arrowkit import ge_round_cutoff
+
+    cutoff = ge_round_cutoff(threshold, round_to)
+    eps = 1e-9  # >> the ~1e-14 GEMM-vs-sequential fp divergence bound
+
+    by_len: dict[int, list] = {}
+    for r in bench.select(vec_col).collect():
+        v = r[0]
+        # NULL vectors / NULL elements / empty vectors: dot folds to
+        # NULL against every train row — can never hit, drop here
+        if v is not None and len(v) > 0 and not any(x is None for x in v):
+            by_len.setdefault(len(v), []).append(v)
+    groups: dict[int, tuple] = {}
+    for length, vecs in by_len.items():
+        b64 = np.asarray(vecs, dtype=np.float64)
+        bn = _seq_sq_norms(b64)
+        clean = (
+            np.isfinite(b64).all(axis=1)
+            & (bn > _NORM_LO)
+            & (bn < _NORM_HI)
+        )
+        cb, cn = b64[clean], bn[clean]
+        groups[length] = (
+            cb,
+            cn,
+            # pre-normalized transpose for the fast screen
+            (cb / cn[:, None]).T if cb.shape[0] else None,
+            list(b64[~clean]),  # degenerate bench rows, exact path
+        )
+    schema = train.schema
+    vec_idx = schema.names.index(vec_col)
+
+    def screen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            keep = np.ones(n, dtype=bool)
+            if groups:
+                vl = batch.column(vec_idx).to_pylist()
+                by_len_rows: dict[int, list[int]] = {}
+                for i, v in enumerate(vl):
+                    if (
+                        v is not None
+                        and len(v) in groups
+                        and not any(x is None for x in v)
+                    ):
+                        by_len_rows.setdefault(len(v), []).append(i)
+                for length, rows in by_len_rows.items():
+                    cb, cn, cbT, bdirty = groups[length]
+                    t64 = np.asarray(
+                        [vl[i] for i in rows], dtype=np.float64
+                    )
+                    tn = _seq_sq_norms(t64)
+                    tclean = (
+                        np.isfinite(t64).all(axis=1)
+                        & (tn > _NORM_LO)
+                        & (tn < _NORM_HI)
+                    )
+                    if cbT is not None and tclean.any():
+                        gi = np.nonzero(tclean)[0]
+                        tnn = t64[gi] / tn[gi, None]
+                        m = (tnn @ cbT).max(axis=1)
+                        for j, mi in zip(gi, m):
+                            if mi >= cutoff + eps:
+                                keep[rows[j]] = False
+                            elif not (mi < cutoff - eps):
+                                # boundary band: exact FP-order
+                                # recompute of this row's pairs (the
+                                # fold below IS the JVM dot, bit for
+                                # bit; the norm band keeps the divisor
+                                # finite and nonzero)
+                                acc = np.zeros(cb.shape[0])
+                                tv = t64[j]
+                                for d in range(length):
+                                    acc = acc + tv[d] * cb[:, d]
+                                cos = acc / (tn[j] * cn)
+                                if bool(np.any(cos >= cutoff)):
+                                    keep[rows[j]] = False
+                    if bdirty or not tclean.all():
+                        cblist = list(cb)
+                        for jj, i in enumerate(rows):
+                            if not keep[i]:
+                                continue
+                            tv = t64[jj]
+                            cands = (
+                                bdirty
+                                if tclean[jj]
+                                else cblist + bdirty
+                            )
+                            for bv in cands:
+                                if _spark_pair_hit(tv, bv, cutoff):
+                                    keep[i] = False
+                                    break
+            if keep.all():
+                yield batch
+            else:
+                yield batch.filter(pa.array(keep))
+
+    return train.mapInArrow(screen, schema=schema)
 
 
 def semantic_decontamination_lsh(

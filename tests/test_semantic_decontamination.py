@@ -73,7 +73,10 @@ def test_schema_passthrough_and_zero_vector_safe(spark):
     assert out.columns == ["vec_id", "embedding", "extra"]
 
 
-def test_plan_is_broadcast_no_shuffle(spark):
+def test_plan_is_rowlocal_no_shuffle(spark):
+    # r12: the exact screen is one MapInArrow over the train scan —
+    # still zero exchanges over the corpus (the bench side rides in the
+    # task closure, the r11 form's one-row broadcast made JVM-local)
     _, _, tdf, bdf = _frames(spark)
     plan = (
         semantic_decontamination(tdf, bdf)
@@ -81,9 +84,77 @@ def test_plan_is_broadcast_no_shuffle(spark):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastNestedLoopJoin" in plan
-    # the train side reaches the filter without any hash exchange
+    assert "MapInArrow" in plan
+    # the train side reaches the screen without any hash exchange
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_arrow_screen_matches_jvm_exists_on_boundary_values(spark):
+    """The vectorized screen vs the retained JVM EXISTS reference on
+    vectors engineered to land cosines exactly at the round(x,4)
+    boundary (0.34995 edges), plus degenerate rows (zero vector, NaN,
+    mismatched dims, NULL)."""
+    import math
+
+    from impresso_ta.operators.similarity import (
+        _semantic_decontamination_exists,
+    )
+
+    rng = np.random.default_rng(123)
+    bench = [[1.0, 0.0, 0.0, 0.0]]
+    rows = []
+    # cosines swept across the boundary: cos = c for unit vectors
+    for i, c in enumerate(
+        [0.34990, 0.34994999, 0.34995, 0.3499500001, 0.35, 0.3500499,
+         0.34995000000000003, 0.3499499999999999]
+    ):
+        s = math.sqrt(max(0.0, 1 - c * c))
+        rows.append((i, [c, s, 0.0, 0.0]))
+    for i in range(50):
+        v = rng.normal(size=4)
+        rows.append((100 + i, [float(x) for x in v]))
+    rows += [
+        (900, [0.0, 0.0, 0.0, 0.0]),
+        (901, [float("nan"), 1.0, 0.0, 0.0]),   # NaN cosine IS a hit
+        (902, [1.0, 0.0]),              # shorter than bench
+        (903, [1.0, 0.0, 0.0, 0.0, 0.0]),  # longer than bench
+        (904, None),
+        (905, [float("inf"), 1.0, 0.0, 0.0]),
+        (906, [1e200, 1e200, 0.0, 0.0]),   # norm-product overflow
+        (907, [1e-200, 1e-200, 0.0, 0.0]),  # norm-product underflow
+        # length-3 group: pairs degenerate BENCH vectors (NaN / zero /
+        # huge-norm) with clean, zero and tiny train rows
+        (910, [1.0, 0.0, 0.0]),
+        (911, [0.0, 0.0, 0.0]),
+        (912, [1e-200, 0.0, 0.0]),
+        # length-2 group: clean bench, degenerate train only
+        (920, [0.7, 0.7]),
+    ]
+    tdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bdf = spark.createDataFrame(
+        [
+            (99, bench[0]),
+            (98, [float("nan"), 0.0, 0.0]),
+            (97, [0.0, 0.0, 0.0]),
+            (96, [1e200, 1e200, 1e200]),
+            (95, [1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    for threshold in (0.35, 0.7, 0.9999):
+        fast = sorted(
+            r["vec_id"]
+            for r in semantic_decontamination(
+                tdf, bdf, threshold=threshold, lsh_bench_threshold=None
+            ).collect()
+        )
+        ref = sorted(
+            r["vec_id"]
+            for r in _semantic_decontamination_exists(
+                tdf, bdf, "embedding", threshold, 4
+            ).collect()
+        )
+        assert fast == ref, threshold
 
 
 def test_lsh_exhaustive_probing_equals_exact(spark):
