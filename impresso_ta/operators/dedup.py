@@ -100,25 +100,30 @@ def collapse_exact_reps(
     return docs.join(rep_ids, id_col, "left_semi")
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a document (portable: split on \\s+).
+def _word_grams(words: Column, k: int) -> Column:
+    """ALL k-word grams of a word array, in position order (duplicates
+    kept — position i holds words[i..i+k-1] joined by single spaces).
 
     Built by zip_with-ing k progressively-shifted copies of the word array
-    (shingle_i = w_i ⊕ w_{i+1} ⊕ … ⊕ w_{i+k-1}) instead of
+    (gram_i = w_i ⊕ w_{i+1} ⊕ … ⊕ w_{i+k-1}) instead of
     transform(sequence(0, n-k), i -> slice…): the materialized integer
     sequence defeats whole-stage codegen and measured 4× slower at sf0.1.
     zip_with pads the shorter (shifted) side with nulls, concat_ws drops
-    them, and the final slice keeps only full-length shingles — except for
-    documents shorter than k words, which yield one short shingle (same as
-    the sequence form).
-    """
-    words = F.split(F.trim(text), r"\s+")
+    them, and the final slice keeps only full-length grams — except for
+    arrays shorter than k words, which yield one short gram (same as
+    the sequence form)."""
     n = F.size(words)
     acc = words
     for j in range(1, k):
         shifted = F.slice(words, j + 1, F.greatest(n - j, F.lit(1)))
         acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    return F.array_distinct(F.slice(acc, 1, F.greatest(n - k + 1, F.lit(1))))
+    return F.slice(acc, 1, F.greatest(n - k + 1, F.lit(1)))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a document (portable: split on \\s+).
+    See :func:`_word_grams` for the zip_with construction."""
+    return F.array_distinct(_word_grams(F.split(F.trim(text), r"\s+"), k))
 
 
 def shingle_hash(shingle: Column) -> Column:
@@ -260,11 +265,18 @@ def _minhash_parts(
     num_perm: int,
     bands: int,
     cache_shingles: bool = False,
+    with_sets: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared MinHash plumbing: (shingle frame, signature frame, band
     table). Hash parameters are a pure function of the permutation
     index, so two corpora banded through this helper are join-compatible
-    — the property :func:`incremental_minhash_dedup` relies on."""
+    — the property :func:`incremental_minhash_dedup` relies on.
+
+    ``with_sets`` additionally collects each document's SORTED shingle-
+    hash array (``hs``) in the same groupBy — the exchange is shared, so
+    the only cost is the array payload — for consumers that verify
+    candidates row-locally (``minhash_lsh_pairs``'s array_intersect
+    verify) instead of re-exploding and re-shuffling the corpus."""
     rows = num_perm // bands
     sh = _explode_shingle_hashes(docs, id_col, text_col, k)
     if cache_shingles:
@@ -284,6 +296,8 @@ def _minhash_parts(
     # size lookup then reuses this aggregate instead of re-exploding and
     # re-shuffling the corpus a fourth time
     aggs.append(F.count("*").alias("n_shingles"))
+    if with_sets:
+        aggs.append(F.sort_array(F.collect_list("h")).alias("hs"))
     # persist the SIGNATURE frame, not the shingle frame: it is
     # O(|docs|) rows × (num_perm+2) longs — tiny at any scale — and four
     # consumers hang off it (both band-join sides, both size lookups);
@@ -359,7 +373,12 @@ def minhash_lsh_pairs(
     the oracle-pinned semantics are unchanged.
     """
     sh, sigs, banded = parts if parts is not None else _minhash_parts(
-        docs, id_col, text_col, k, num_perm, bands, cache_shingles
+        docs, id_col, text_col, k, num_perm, bands, cache_shingles,
+        # r12: collect the sorted shingle-hash arrays in the signature
+        # groupBy so the verify below is a row-local array_intersect
+        # over the candidate pairs — the r11 form re-exploded and
+        # re-shuffled the full (doc, h) frame through two joins instead
+        with_sets=True,
     )
     if max_bucket_size is not None:
         from pyspark.sql.window import Window
@@ -412,8 +431,52 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # verify candidates with exact jaccard over the shared shingle frame;
-    # sizes ride the signature aggregate (no extra explode/shuffle)
+    if "hs" in sigs.columns:
+        # Row-local verify (r12): join each candidate pair to its two
+        # persisted sorted shingle-hash arrays and intersect in place —
+        # two |candidates|-row joins against the already-persisted
+        # signature frame, instead of re-exploding the corpus twice and
+        # shuffling the full (doc, h) frame through two equi-joins
+        # (guide §2.2: shuffle candidate-proportional bytes, not
+        # corpus-proportional). Same jaccard per pair: the shingles of
+        # one document are DISTINCT strings, so the hash multiset and
+        # the join-counted matches agree except under 48-bit collisions
+        # (see shingle_hash48 — already accepted by every consumer).
+        sides = sigs.select("doc_id", "hs", "n_shingles")
+        return (
+            candidates.join(
+                sides.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("hs").alias("hs_a"),
+                    F.col("n_shingles").alias("n_a"),
+                ),
+                "doc_a",
+            )
+            .join(
+                sides.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("hs").alias("hs_b"),
+                    F.col("n_shingles").alias("n_b"),
+                ),
+                "doc_b",
+            )
+            .withColumn(
+                "n_common", F.size(F.array_intersect("hs_a", "hs_b"))
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                    4,
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    # external ``parts`` without hs arrays (the streaming gate's shared
+    # triple): verify over the shared shingle frame as before
     sizes = sigs.select("doc_id", "n_shingles")
     # count common shingles per candidate pair only (join-pruned)
     common = (
@@ -935,7 +998,15 @@ def exact_substring_dedup(
         F.col(id_col).alias("doc_id"),
         tokens.alias("_w"),
     )
-    # (doc_id, p, h) for every k-token window, 1-based positions
+    # (doc_id, p, h) for every k-token window, 1-based positions.
+    # r12 note: three "obvious" rewrites were measured SLOWER at sf1 and
+    # rejected (tools/r12_variants_exact_substring.py, min-of-2 noop):
+    # building the window strings with the zip_with gram chain + a
+    # post-explode codegen md5 was 2× slower than this lambda (8.4 s vs
+    # 4.4 s for the window frame alone — k-1 zip_with passes allocate
+    # O(n·k) progressively longer strings, dwarfing the saved
+    # interpretation); unhex(md5) binary shuffle keys and a per-gap
+    # slice rewrite each regressed the full query by 1.1-1.25×.
     win = base.filter(F.size("_w") >= k).select(
         "doc_id",
         F.explode(
