@@ -9,8 +9,8 @@ the hash level):
 
 - :func:`java_tokens` reproduces ``F.split(F.trim(text), r"\\s+")``
   exactly (Spark trim strips only 0x20; Java ``\\s`` is the ASCII class
-  ``[ \\t\\n\\x0B\\f\\r]``; Java ``split`` drops trailing empty strings
-  but keeps a leading one).
+  ``[ \\t\\n\\x0B\\f\\r]``; Spark's ``split`` has limit=-1, which KEEPS
+  trailing empty strings — unlike Java's ``String.split`` default).
 - :func:`ge_round_cutoff` converts a ``round(x, r) >= threshold``
   predicate on doubles into an equivalent plain ``x >= cutoff``:
   Spark's ``round`` on DoubleType is ``BigDecimal.valueOf(x)`` (i.e.
@@ -44,18 +44,14 @@ _WS_SPLIT = re.compile(r"\s+", re.ASCII)
 def java_tokens(text: str) -> list[str]:
     """``F.split(F.trim(text), r"\\s+")`` for one string, bit-compatible.
 
-    Spark's ``trim`` strips only space (0x20); Java's ``String.split``
-    removes trailing empty strings but keeps a leading empty string
-    (when the input starts with a delimiter); the empty input yields
-    ``[""]``.
+    Spark's ``trim`` strips only space (0x20). Spark's ``split`` calls
+    ``Pattern.split(input, -1)``: limit -1 keeps BOTH a leading empty
+    string (input starts with a delimiter) and a trailing one (input
+    ends with non-space whitespace, which trim left in place); the
+    empty input yields ``[""]``. Python's ``re.split`` has exactly the
+    limit=-1 behavior, so no post-processing is needed.
     """
-    t = text.strip(" ")
-    parts = _WS_SPLIT.split(t)
-    # Java split drops trailing empties (only the last element can be
-    # empty here, since \s+ merges runs and leading yields parts[0]=="")
-    if len(parts) > 1 and parts[-1] == "":
-        parts.pop()
-    return parts
+    return _WS_SPLIT.split(text.strip(" "))
 
 
 def _shortest(x: float) -> Decimal:

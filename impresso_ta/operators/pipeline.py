@@ -190,21 +190,32 @@ def prepare_corpus(
     cur = step(
         "input", docs, spread_small_input(docs) if spread == "input" else docs
     )
-    # Both signal families are row-local column builders — filter
-    # directly on the scan (no keep-id self-joins, no shuffle, no doc_id
-    # cast), so with spread != "input" predicate pushdown fuses them
-    # into the parquet scan (filters run where the data is read, nothing
-    # survives that shouldn't reach a shuffle).
-    if c4:
-        cur = step(
-            "c4_filters", cur, cur.filter(_ta.c4_signals(F.col(text_col))["keep"])
-        )
-    if gopher:
-        cur = step(
-            "gopher_repetition",
-            cur,
-            cur.filter(_ta.repetition_signals(F.col(text_col))["keep"]),
-        )
+    # r12 (guide §4.2): the filter stack runs as ONE Arrow batch pass —
+    # the r11 stage decomposition pinned the whole pipeline cost on this
+    # scan's INTERPRETED HOF lambdas (13.0 s of 12.8 s sf1); the Arrow
+    # twin computes the identical keep predicates at C speed, one
+    # tokenization feeding both families (survivor parity pinned by
+    # tests/test_text_arrow.py). With collect_stats the stages stay
+    # separate so each Observation boundary still reports its own count;
+    # the JVM expression forms remain in text_analysis (c4_signals /
+    # repetition_signals — the streaming gates still compose them).
+    from impresso_ta.operators.text_arrow import filter_keep_arrow
+
+    if c4 and gopher and not collect_stats:
+        cur = filter_keep_arrow(cur, text_col=text_col, c4=True, gopher=True)
+    else:
+        if c4:
+            cur = step(
+                "c4_filters",
+                cur,
+                filter_keep_arrow(cur, text_col=text_col, c4=True, gopher=False),
+            )
+        if gopher:
+            cur = step(
+                "gopher_repetition",
+                cur,
+                filter_keep_arrow(cur, text_col=text_col, c4=False, gopher=True),
+            )
     if spread == "after_filters":
         cur = spread_small_input(cur)
     if multi_use_downstream:

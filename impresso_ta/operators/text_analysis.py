@@ -64,10 +64,24 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 
 def quality_features(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Per-document quality features: token counts, type/token ratio,
-    mean token length, punctuation ratio."""
+    mean token length, punctuation ratio.
+
+    ``engine="arrow"`` (default, r12) computes the identical values in
+    one mapInArrow batch pass — the per-token work (tokenize, distinct,
+    char sums, regex counts) runs at C speed instead of through
+    Catalyst's interpreted HOF lambdas (guide §4.2); bit-parity pinned
+    by tests/test_text_arrow.py. ``engine="expr"`` keeps the pure
+    column-expression form (streaming-safe reference)."""
+    if engine == "arrow":
+        from impresso_ta.operators.text_arrow import quality_features_arrow
+
+        return quality_features_arrow(docs, id_col=id_col, text_col=text_col)
     text = F.col(text_col)
     toks = tokens(text)
     n_tokens = F.size(toks)
@@ -423,6 +437,7 @@ def c4_filters(
     min_mean_word_len: float = 3.0,
     max_mean_word_len: float = 10.0,
     min_alpha_frac: float = 0.8,
+    engine: str = "arrow",
 ) -> DataFrame:
     """C4-style heuristic document filters (Raffel et al. 2020, §2.2),
     adapted for flowed text: word-count bounds, mean word length bounds,
@@ -430,9 +445,26 @@ def c4_filters(
     boilerplate blacklist (lorem ipsum / javascript / cookie policy /
     curly braces). ``keep`` conjoins them all.
 
-    Pure column expressions — one codegen'd scan, zero shuffle; the 100 TB
-    cost is the scan itself.
+    ``engine="arrow"`` (default, r12): same values from one mapInArrow
+    batch pass — C-speed tokenize + counts instead of the interpreted
+    HOF fold (guide §4.2; parity in tests/test_text_arrow.py).
+    ``engine="expr"``: the pure column-expression form (one codegen'd
+    scan, zero shuffle — the streaming-safe reference; its per-token
+    fold runs interpreted).
     """
+    if engine == "arrow":
+        from impresso_ta.operators.text_arrow import c4_filters_arrow
+
+        return c4_filters_arrow(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            min_words=min_words,
+            max_words=max_words,
+            min_mean_word_len=min_mean_word_len,
+            max_mean_word_len=max_mean_word_len,
+            min_alpha_frac=min_alpha_frac,
+        )
     sig = c4_signals(
         F.col(text_col),
         min_words=min_words,
@@ -619,13 +651,33 @@ def repetition_features(
     top_word_max: float = 0.15,
     dup_2gram_max: float = 0.10,
     dup_3gram_max: float = 0.05,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021, §A1.1): fraction
     of tokens taken by the single most frequent word, and the fraction of
     2-/3-gram occurrences that are repeats of an earlier occurrence.
     ``keep`` applies the thresholds a pre-training pipeline would filter
     on. Zero shuffles — see ``repetition_signals``.
+
+    ``engine="arrow"`` (default, r12): identical values from one
+    mapInArrow pass — the three gram histograms are Counter loops at C
+    speed instead of three interpreted sort+fold passes (guide §4.2;
+    parity in tests/test_text_arrow.py). ``engine="expr"`` keeps the
+    column-expression form (streaming-safe reference).
     """
+    if engine == "arrow":
+        from impresso_ta.operators.text_arrow import (
+            repetition_features_arrow,
+        )
+
+        return repetition_features_arrow(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            top_word_max=top_word_max,
+            dup_2gram_max=dup_2gram_max,
+            dup_3gram_max=dup_3gram_max,
+        )
     from impresso_ta.operators.partitioning import spread_small_input
 
     sig = repetition_signals(

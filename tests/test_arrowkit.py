@@ -100,7 +100,11 @@ def test_java_tokens_shapes():
     assert java_tokens("a  b") == ["a", "b"]
     assert java_tokens("a b ") == ["a", "b"]
     assert java_tokens("a b") == ["a b"]
-    assert java_tokens("\t") == [""]
+    # Spark split has limit=-1 (Pattern.split(input, -1)): trailing
+    # empties are KEPT; trim strips only 0x20, so a trailing tab leaves
+    # one behind
+    assert java_tokens("\t") == ["", ""]
+    assert java_tokens("a\t") == ["a", ""]
 
 
 def test_java_tokens_vs_spark(spark):

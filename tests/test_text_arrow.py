@@ -1,0 +1,119 @@
+"""Parity tests for the Arrow text-stats fast paths (round 12): every
+signal frame must be BIT-IDENTICAL to the JVM expression form it
+replaces — same doubles, same booleans, same NULL propagation — on an
+adversarial corpus exercising tokenizer edges (leading/trailing
+whitespace, empty text, NULL text, unicode, single tokens, short docs,
+heavy repetition, rounding-boundary fractions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from impresso_ta.operators import text_analysis as ta
+from impresso_ta.operators import text_arrow as tx
+
+
+ADVERSARIAL = [
+    (1, "the quick brown fox jumps over the lazy dog " * 3),
+    (2, ""),
+    (3, None),
+    (4, "   "),
+    (5, "\tword\t"),
+    (6, "one"),
+    (7, "a b a b a b a b a b a b a b a b a b a b"),
+    (8, "x " * 25),  # heavy 1-gram repetition, 25 words
+    (9, "lorem ipsum dolor sit amet " * 5),
+    (10, "wordy " * 19),  # just under min_words
+    (11, "wordy " * 20),  # exactly min_words
+    (12, "aaa bbb ccc ddd eee fff ggg hhh iii jjj " * 2),
+    (13, "123 456 789 !!! ??? ..."),
+    (14, "héllo wörld ünïcode tëxt " * 8),
+    (15, "ab " * 40),  # mean_word_len 2.0 < 3.0
+    (16, "abc " * 40),  # mean_word_len exactly 3.0
+    (17, "abcdefghij " * 40),  # mean exactly 10.0
+    (18, "abcdefghijk " * 40),  # mean 11.0 > 10.0
+    (19, "w1 w2 w3 w1 w2 w3 w1 w2 w3 " * 4),
+    (20, "{ json blob }"),
+    (21, "newline\nsplit\ttab split " * 10),
+    (22, "trailing tab then\t"),
+    (23, "a" * 500),
+    (24, ("tok%d " % 7) * 7 + " ".join(f"tok{i}" for i in range(30))),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ADVERSARIAL, "doc_id long, text string")
+
+
+def _assert_frames_equal(a, b, key="doc_id"):
+    ra = {r[key]: tuple(r) for r in a.collect()}
+    rb = {r[key]: tuple(r) for r in b.collect()}
+    assert a.columns == b.columns
+    assert set(ra) == set(rb)
+    for k in ra:
+        assert ra[k] == rb[k], f"{key}={k}: {ra[k]} != {rb[k]}"
+
+
+def test_c4_parity(docs):
+    _assert_frames_equal(
+        ta.c4_filters(docs, engine="expr"), tx.c4_filters_arrow(docs)
+    )
+
+
+def test_repetition_parity(docs):
+    _assert_frames_equal(
+        ta.repetition_features(docs, engine="expr"),
+        tx.repetition_features_arrow(docs),
+    )
+
+
+def test_quality_parity(docs):
+    _assert_frames_equal(
+        ta.quality_features(docs, engine="expr"),
+        tx.quality_features_arrow(docs),
+    )
+
+
+def test_filter_keep_parity(docs):
+    jvm = docs.filter(
+        ta.c4_signals(F.col("text"))["keep"]
+    ).filter(ta.repetition_signals(F.col("text"))["keep"])
+    arrow = tx.filter_keep_arrow(docs, c4=True, gopher=True)
+    assert sorted(r["doc_id"] for r in jvm.collect()) == sorted(
+        r["doc_id"] for r in arrow.collect()
+    )
+    # single-family forms too
+    jvm_c4 = docs.filter(ta.c4_signals(F.col("text"))["keep"])
+    arrow_c4 = tx.filter_keep_arrow(docs, c4=True, gopher=False)
+    assert sorted(r["doc_id"] for r in jvm_c4.collect()) == sorted(
+        r["doc_id"] for r in arrow_c4.collect()
+    )
+    jvm_g = docs.filter(ta.repetition_signals(F.col("text"))["keep"])
+    arrow_g = tx.filter_keep_arrow(docs, c4=False, gopher=True)
+    assert sorted(r["doc_id"] for r in jvm_g.collect()) == sorted(
+        r["doc_id"] for r in arrow_g.collect()
+    )
+    # all columns must survive the pass-through untouched
+    assert arrow.columns == docs.columns
+
+
+def test_filter_keep_preserves_values(docs):
+    arrow = tx.filter_keep_arrow(docs, c4=True, gopher=True)
+    surviving = {r["doc_id"]: r["text"] for r in arrow.collect()}
+    original = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for k, v in surviving.items():
+        assert original[k] == v
+
+
+def test_spark_round4_matches_spark(spark):
+    vals = [
+        0.15, 0.05, 3.0, 10.0, 0.8, 0.12345, 0.123449999, 0.99995,
+        2.99995, 2.9999499999999997, 0.074999999999999997, 1 / 3, 2 / 7,
+        5.0, 0.0, 123.456789, 0.00005, 0.000049999999999,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.select(F.round("x", 4).alias("r")).collect()
+    for v, row in zip(vals, got):
+        assert tx.spark_round4(v) == row["r"], v.hex()
