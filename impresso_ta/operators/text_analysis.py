@@ -108,6 +108,7 @@ def hashed_doc_vectors(
     text_col: str = "text",
     dim: int = 64,
     round_to: int = 6,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Feature-hashed bag-of-words document vectors (Weinberger et al.
     2009): each word maps to bucket md5(word) % dim, bucket values are
@@ -134,7 +135,23 @@ def hashed_doc_vectors(
     token — this operator's per-bucket comparisons), where exploding
     into a codegen'd hash aggregate amortizes the shuffle over JIT'd
     per-row work. Measure before moving an operator across the line.
+
+    ``engine="arrow"`` (default, r12): one mapInArrow pass assembles
+    each document's vector in place — hashlib md5 (== Spark md5 over
+    UTF-8) with a per-task word→bucket memo, exact-int counts, one IEEE
+    sqrt/division, :func:`text_arrow.spark_round` — collapsing the
+    explode + two corpus shuffles to zero (guide §4.2; bit parity in
+    tests/test_text_arrow.py). ``engine="expr"`` keeps this plan.
     """
+    if engine == "arrow":
+        from impresso_ta.operators.text_arrow import (
+            hashed_doc_vectors_arrow,
+        )
+
+        return hashed_doc_vectors_arrow(
+            docs, id_col=id_col, text_col=text_col, dim=dim,
+            round_to=round_to,
+        )
     from impresso_ta.operators.dedup import shingle_hash48
     from impresso_ta.operators.partitioning import spread_small_input
 

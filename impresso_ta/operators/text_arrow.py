@@ -54,6 +54,7 @@ from impresso_ta.operators.arrowkit import java_tokens
 _ALPHA = re.compile(r"[A-Za-z]")
 _PUNCT = re.compile(r"[^A-Za-z0-9\s]", re.ASCII)
 _BPE_ISH = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", re.ASCII)
+_WS_RUN = re.compile(r"\s+", re.ASCII)
 
 _Q4 = Decimal(1).scaleb(-4)
 
@@ -62,6 +63,13 @@ def spark_round4(x: float) -> float:
     """Spark ``round(double, 4)``: BigDecimal.valueOf (shortest decimal
     repr — Python ``repr`` produces the same string) rounded HALF_UP."""
     return float(Decimal(repr(x)).quantize(_Q4, ROUND_HALF_UP))
+
+
+def spark_round(x: float, r: int) -> float:
+    """Spark ``round(double, r)`` — general-scale :func:`spark_round4`."""
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-r), ROUND_HALF_UP)
+    )
 
 
 def _c4_signals_py(
@@ -297,6 +305,162 @@ def quality_features_arrow(
 ) -> DataFrame:
     """Arrow twin of ``text_analysis.quality_features``."""
     return _map_signals(docs, id_col, text_col, QUALITY_SCHEMA, _quality_py)
+
+
+def hashed_doc_vectors_arrow(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Arrow twin of ``text_analysis.hashed_doc_vectors`` — the whole
+    vector is assembled per document in its own batch row, so the
+    explode → two hash aggregations → map-assembly plan (two corpus
+    shuffles) collapses to ONE zero-shuffle scan pass (guide §4.2).
+
+    Bit parity: bucket = md5-prefix48(word) % dim (hashlib md5 over
+    UTF-8 == Spark md5); counts are exact ints, so the norm's c² sum is
+    order-immune (< 2^53); the division and sqrt are single IEEE ops;
+    rounding is :func:`spark_round`. NULL-text docs are absent from the
+    output, matching the explode's empty generator. A per-task word →
+    bucket memo amortizes the md5 over token repetitions.
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import ArrayType
+
+    from impresso_ta.operators.partitioning import spread_small_input
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("vector", ArrayType(DoubleType())),
+        ]
+    )
+    arrow_schema = to_arrow_schema(out_schema)
+    base = spread_small_input(
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)
+        )
+    )
+
+    def fn(batches):
+        memo: dict[str, int] = {}
+
+        def bucket(w: str) -> int:
+            b = memo.get(w)
+            if b is None:
+                if len(memo) > 2_000_000:  # bound per-task residency
+                    memo.clear()
+                b = (
+                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:12], 16)
+                    % dim
+                )
+                memo[w] = b
+            return b
+
+        from math import sqrt
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids: list[int] = []
+            out_vecs: list[list[float]] = []
+            for i, text in zip(ids, texts):
+                if text is None:
+                    continue  # explode of NULL tokens emits no rows
+                counts = Counter(bucket(w) for w in java_tokens(text))
+                nrm = sqrt(float(sum(c * c for c in counts.values())))
+                vec = [0.0] * dim
+                for b, c in counts.items():
+                    vec[b] = spark_round(c / nrm, round_to)
+                out_ids.append(i)
+                out_vecs.append(vec)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=pa.int64()),
+                    pa.array(out_vecs, type=arrow_schema.field(1).type),
+                ],
+                schema=arrow_schema,
+            )
+
+    return base.mapInArrow(fn, schema=out_schema)
+
+
+def scorecard_flags_arrow(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = ("n_chars",),
+) -> DataFrame:
+    """The text-quality scorecard's row-local flags in one Arrow pass:
+    (doc_id, keep_c4, keep_gopher, _fp, *extra_cols) where ``_fp`` is
+    ``dedup.text_fingerprint`` (md5 of whitespace-collapsed lowercase
+    text — hashlib md5 over the identically normalized string). The
+    uniqueness window stays JVM-side (it needs the shuffle)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StringType
+
+    from impresso_ta.operators.partitioning import spread_small_input
+    from impresso_ta.operators.text_analysis import C4_BLACKLIST
+
+    bl = tuple(C4_BLACKLIST)
+    in_cols = [F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)]
+    in_cols += [F.col(c) for c in extra_cols]
+    base = spread_small_input(docs.select(*in_cols))
+    out_fields = [
+        StructField("doc_id", LongType()),
+        StructField("keep_c4", BooleanType()),
+        StructField("keep_gopher", BooleanType()),
+        StructField("_fp", StringType()),
+    ]
+    out_fields += [base.schema[c] for c in extra_cols]
+    out_schema = StructType(out_fields)
+    arrow_schema = to_arrow_schema(out_schema)
+    n_extra = len(extra_cols)
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            c_id, c_c4, c_g, c_fp = [], [], [], []
+            for i, text in zip(ids, texts):
+                c_id.append(i)
+                if text is None:
+                    c_c4.append(None)
+                    c_g.append(None)
+                    c_fp.append(None)
+                    continue
+                c_c4.append(
+                    _c4_signals_py(text, 20, 100_000, 3.0, 10.0, 0.8, bl)[4]
+                )
+                c_g.append(_rep_signals_py(text, 0.15, 0.10, 0.05)[3])
+                c_fp.append(
+                    hashlib.md5(
+                        _WS_RUN.sub(
+                            " ", text.strip(" ").lower()
+                        ).encode("utf-8")
+                    ).hexdigest()
+                )
+            arrays = [
+                pa.array(c_id, type=pa.int64()),
+                pa.array(c_c4, type=pa.bool_()),
+                pa.array(c_g, type=pa.bool_()),
+                pa.array(c_fp, type=pa.string()),
+            ]
+            for j in range(n_extra):
+                arrays.append(batch.column(2 + j))
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    return base.mapInArrow(fn, schema=out_schema)
 
 
 def filter_keep_arrow(

@@ -4333,21 +4333,24 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "all uniformly keyed.",
 )
 def text_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # All signal families are row-local column builders, so the whole
-    # scorecard is ONE scan + ONE shuffle (the uniqueness window on the
-    # fingerprint) — no self-joins of per-signal sub-frames.
-    from impresso_ta.operators.partitioning import spread_small_input
+    # All signal families are row-local, so the whole scorecard is ONE
+    # scan + ONE shuffle (the uniqueness window on the fingerprint) —
+    # no self-joins of per-signal sub-frames. r12: the row-local part
+    # (both keep predicates + the md5 fingerprint) runs as one Arrow
+    # batch pass (text_arrow.scorecard_flags_arrow, guide §4.2 — the
+    # JVM form's per-token work was interpreted HOF lambdas); the
+    # window stays JVM-side. Values bit-identical (oracle-pinned).
+    from impresso_ta.operators.text_arrow import scorecard_flags_arrow
 
     docs = t(spark, sf_dir, "documents")
     w = Window.partitionBy("_fp").orderBy("doc_id")
     return (
-        spread_small_input(docs).select(
+        scorecard_flags_arrow(docs, extra_cols=("n_chars",))
+        .select(
             "doc_id",
-            text_analysis.c4_signals(F.col("text"))["keep"].alias("keep_c4"),
-            text_analysis.repetition_signals(F.col("text"))["keep"].alias(
-                "keep_gopher"
-            ),
-            dedup.text_fingerprint(F.col("text")).alias("_fp"),
+            "keep_c4",
+            "keep_gopher",
+            "_fp",
             F.col("n_chars").between(100, 1_000_000).alias("keep_length"),
         )
         .withColumn("keep_unique", F.row_number().over(w) == 1)

@@ -107,6 +107,34 @@ def test_filter_keep_preserves_values(docs):
         assert original[k] == v
 
 
+def test_doc_vectors_parity(docs):
+    from impresso_ta.operators import text_analysis as ta
+
+    expr = ta.hashed_doc_vectors(docs, engine="expr")
+    arrow = tx.hashed_doc_vectors_arrow(docs)
+    ra = {r["doc_id"]: list(r["vector"]) for r in expr.collect()}
+    rb = {r["doc_id"]: list(r["vector"]) for r in arrow.collect()}
+    assert set(ra) == set(rb)  # NULL-text doc absent from both
+    for k in ra:
+        assert ra[k] == rb[k], k
+
+
+def test_scorecard_flags_parity(spark, docs):
+    from impresso_ta.operators import dedup
+    from impresso_ta.operators import text_analysis as ta
+
+    with_extra = docs.withColumn("n_chars", F.length("text"))
+    jvm = with_extra.select(
+        "doc_id",
+        ta.c4_signals(F.col("text"))["keep"].alias("keep_c4"),
+        ta.repetition_signals(F.col("text"))["keep"].alias("keep_gopher"),
+        dedup.text_fingerprint(F.col("text")).alias("_fp"),
+        "n_chars",
+    )
+    arrow = tx.scorecard_flags_arrow(with_extra, extra_cols=("n_chars",))
+    _assert_frames_equal(jvm, arrow)
+
+
 def test_spark_round4_matches_spark(spark):
     vals = [
         0.15, 0.05, 3.0, 10.0, 0.8, 0.12345, 0.123449999, 0.99995,
