@@ -59,24 +59,41 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
     Broadcast the query set (must be small); corpus is scanned once, never
     shuffled — only the (n_queries × k) result aggregates.
     Deterministic ordering: (cosine desc, neighbor id asc).
+
+    ``engine="arrow"`` (default, r12): the scored frame comes from
+    ``cosine_arrow.brute_scored_arrow`` — numpy with the JVM's exact
+    IEEE operation sequence instead of ~3·dims interpreted lambda ops
+    per pair (guide §4.2; bit parity in tests/test_cosine_arrow.py).
+    ``engine="expr"`` keeps the pure JVM broadcast cross join.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = spread_small_input(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cosine"),
-    )
+    if engine == "arrow":
+        from impresso_ta.operators.cosine_arrow import brute_scored_arrow
+
+        scored = brute_scored_arrow(
+            corpus, queries, id_col=id_col, vec_col=vec_col,
+            round_to=round_to,
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        c = spread_small_input(corpus).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        scored = c.crossJoin(F.broadcast(q)).select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias(
+                "cosine"
+            ),
+        )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -97,6 +114,7 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     round_to: int = 4,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Hard-negative mining for contrastive / metric training: per query
     vector, the top-k most similar corpus vectors with a DIFFERENT
@@ -113,31 +131,49 @@ def hard_negatives(
 
     Deterministic ordering: (cosine desc, neighbor id asc). Returns
     (query_id, neighbor_id, cosine, rank).
+
+    ``engine="arrow"`` (default, r12): scored frame from
+    ``cosine_arrow.brute_scored_arrow`` with the label-inequality
+    applied on the returned ``_same`` boolean (identical three-valued
+    logic); ``engine="expr"`` keeps the JVM cross join. Bit parity in
+    tests/test_cosine_arrow.py.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.col(label_col).alias("_qlabel"),
-    )
-    c = spread_small_input(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        F.col(label_col).alias("_clabel"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(
-            (F.col("_clabel") != F.col("_qlabel"))
-            & (F.col("neighbor_id") != F.col("query_id"))
+    if engine == "arrow":
+        from impresso_ta.operators.cosine_arrow import brute_scored_arrow
+
+        scored = (
+            brute_scored_arrow(
+                corpus, queries, id_col=id_col, vec_col=vec_col,
+                label_col=label_col, round_to=round_to, exclude_self=True,
+            )
+            .where(~F.col("_same"))
+            .drop("_same")
         )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias(
-                "cosine"
-            ),
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("_qlabel"),
         )
-    )
+        c = spread_small_input(corpus).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            F.col(label_col).alias("_clabel"),
+        )
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .where(
+                (F.col("_clabel") != F.col("_qlabel"))
+                & (F.col("neighbor_id") != F.col("query_id"))
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias(
+                    "cosine"
+                ),
+            )
+        )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -696,6 +732,7 @@ def training_triplets(
     round_to: int = 4,
     semi_hard: bool = False,
     cache: bool = True,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Triplet assembly for metric learning: per anchor, the k_pos
     nearest SAME-label vectors (positives) crossed with the k_neg
@@ -717,29 +754,43 @@ def training_triplets(
 
     Returns (anchor_id, positive_id, negative_id, pos_cos, neg_cos,
     margin), margin rounded to ``round_to``.
+
+    ``engine="arrow"`` (default, r12): the scored frame comes from
+    ``cosine_arrow.brute_scored_arrow`` (identical ``_same``/``_cos``
+    values — bit parity in tests/test_cosine_arrow.py); the carve is
+    unchanged. ``engine="expr"`` keeps the JVM cross join.
     """
-    q = queries.select(
-        F.col(id_col).alias("anchor_id"),
-        F.col(vec_col).alias("qv"),
-        F.col(label_col).alias("_qlabel"),
-    )
-    c = spread_small_input(corpus).select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("cv"),
-        F.col(label_col).alias("_clabel"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("cand_id") != F.col("anchor_id"))
-        .select(
-            "anchor_id",
-            "cand_id",
-            (F.col("_clabel") == F.col("_qlabel")).alias("_same"),
-            F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias(
-                "_cos"
-            ),
+    if engine == "arrow":
+        from impresso_ta.operators.cosine_arrow import brute_scored_arrow
+
+        scored = brute_scored_arrow(
+            corpus, queries, id_col=id_col, vec_col=vec_col,
+            label_col=label_col, round_to=round_to, exclude_self=True,
+            out_query="anchor_id", out_cand="cand_id", out_cos="_cos",
+        ).select("anchor_id", "cand_id", "_same", "_cos")
+    else:
+        q = queries.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("_qlabel"),
         )
-    )
+        c = spread_small_input(corpus).select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("cv"),
+            F.col(label_col).alias("_clabel"),
+        )
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .where(F.col("cand_id") != F.col("anchor_id"))
+            .select(
+                "anchor_id",
+                "cand_id",
+                (F.col("_clabel") == F.col("_qlabel")).alias("_same"),
+                F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias(
+                    "_cos"
+                ),
+            )
+        )
     return _carve_triplets(scored, k_pos, k_neg, round_to, semi_hard, cache)
 
 
