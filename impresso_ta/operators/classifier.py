@@ -47,6 +47,7 @@ def hashed_bucket_counts(
     text_col: str = "text",
     dim: int = 64,
     tf: bool = False,
+    engine: str = "arrow",
 ) -> DataFrame:
     """(id, bucket, c) hashed-unigram counts — the shared feature frame
     (bucket = md5(word) % dim, identical to DSIR / doc-vectors).
@@ -58,7 +59,17 @@ def hashed_bucket_counts(
     near-constant (measured: every sf0.01 doc scored ~0 at lr=1) —
     while tf features bound every margin by max|w|, so training
     actually separates. The normalizing window partitions by the doc
-    id (as many keys as rows — no skew)."""
+    id (as many keys as rows — no skew).
+
+    ``engine="arrow"`` (default, r12): each document's bucket counts
+    (and tf normalization) are assembled in one mapInArrow pass —
+    hashlib md5 (== Spark md5) with a per-task word→bucket memo, exact
+    int counts, exact c/total division + shortest-repr HALF_UP round —
+    collapsing the explode + count shuffle + normalizing window to
+    ZERO exchanges (guide §4.2; parity in tests/test_text_arrow.py).
+    ``engine="expr"`` keeps the explode/groupBy/window plan."""
+    if engine == "arrow":
+        return _hashed_bucket_counts_arrow(docs, id_col, text_col, dim, tf)
     from pyspark.sql import Window
 
     from impresso_ta.operators.dedup import shingle_hash48
@@ -82,6 +93,93 @@ def hashed_bucket_counts(
         "bucket",
         F.round(F.col("c") / F.sum("c").over(total), 9).alias("c"),
     )
+
+
+def _hashed_bucket_counts_arrow(
+    docs: DataFrame, id_col: str, text_col: str, dim: int, tf: bool
+) -> DataFrame:
+    """Arrow twin of the explode/groupBy/window feature-frame build —
+    see :func:`hashed_bucket_counts` (bit parity pinned by tests)."""
+    import hashlib
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from impresso_ta.operators.arrowkit import java_tokens
+    from impresso_ta.operators.partitioning import spread_small_input
+
+    q9 = Decimal(1).scaleb(-9)
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("bucket", LongType()),
+            StructField("c", DoubleType() if tf else LongType()),
+        ]
+    )
+    arrow_schema = to_arrow_schema(out_schema)
+    base = spread_small_input(
+        docs.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col))
+    )
+
+    def fn(batches):
+        memo: dict[str, int] = {}
+
+        def bucket(w: str) -> int:
+            b = memo.get(w)
+            if b is None:
+                if len(memo) > 2_000_000:
+                    memo.clear()
+                b = (
+                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:12], 16)
+                    % dim
+                )
+                memo[w] = b
+            return b
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            o_id, o_b, o_c = [], [], []
+            for i, text in zip(ids, texts):
+                if text is None:
+                    continue  # explode of NULL tokens emits no rows
+                toks = java_tokens(text)
+                counts = Counter(bucket(w) for w in toks)
+                total = len(toks)
+                for b, c in counts.items():
+                    o_id.append(i)
+                    o_b.append(b)
+                    if tf:
+                        o_c.append(
+                            float(
+                                Decimal(repr(c / total)).quantize(
+                                    q9, ROUND_HALF_UP
+                                )
+                            )
+                        )
+                    else:
+                        o_c.append(c)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, type=pa.int64()),
+                    pa.array(o_b, type=pa.int64()),
+                    pa.array(
+                        o_c, type=pa.float64() if tf else pa.int64()
+                    ),
+                ],
+                schema=arrow_schema,
+            )
+
+    return base.mapInArrow(fn, schema=out_schema)
 
 
 def lr_hashed_train(
@@ -112,9 +210,13 @@ def lr_hashed_train(
         raise ValueError(f"iters must be >= 1, got {iters}")
     from pyspark import StorageLevel
 
+    # r12: persist the label frame — it is consumed by EVERY iteration's
+    # residual join (and the n_row aggregate), and an expensive caller
+    # label expression (e.g. the benched interpreted filter+size HOF)
+    # otherwise re-evaluates per consumption (~1 s × iters at sf1)
     labeled = docs.select(
         F.col(id_col), F.col(label_col).cast("double").alias("_y")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     db = hashed_bucket_counts(
         docs, id_col=id_col, text_col=text_col, dim=dim, tf=tf
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -177,6 +279,7 @@ def lr_hashed_train(
     for df in intermediates[:-1]:
         df.unpersist()  # …then drop the per-iteration tables
     db.unpersist()  # and the corpus-sized feature frame
+    labeled.unpersist()
     return weights
 
 

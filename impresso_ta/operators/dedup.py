@@ -1725,10 +1725,12 @@ def jaccard_prefix_pairs(
     # integer-exact prefix length for t' = (threshold*1000 - 1)/1000:
     # L = n - ceil(t'*n) + 1 = n - ((a*n + 999) div 1000) + 1
     a_num = int(round(threshold * 1000)) - 1
+    # posexplode: the 1-based rank positions feed the PPJoin positional
+    # filter below (r12) — the explode itself is unchanged
     prefix = sets.select(
         "doc_id",
         "n",
-        F.explode(
+        F.posexplode(
             F.slice(
                 "hs_ranked",
                 1,
@@ -1738,12 +1740,29 @@ def jaccard_prefix_pairs(
                     + 1
                 ).cast("int"),
             )
-        ).alias("h"),
-    )
+        ).alias("p", "h"),
+    ).withColumn("p", F.col("p") + 1)
     # PPJoin length filter fused into the candidate join: J(a,b) >= t
     # implies |smaller| >= t*|larger| (intersection <= |smaller|, union
     # >= |larger|) — exact-integer form at the same relaxed t', prunes
-    # size-incompatible pairs before they ever materialize
+    # size-incompatible pairs before they ever materialize.
+    #
+    # r12: POSITIONAL filter (PPJoin's second pruning rule, Xiao et al.
+    # 2008 §3.2, exact): per pair, take the smallest matched rank
+    # positions (pa, pb). They both belong to the pair's MINIMAL common
+    # shingle e* under the global (df, h) rank order — any common
+    # element x matched by this prefix join is in both prefixes, and
+    # e* <= x places e* at earlier positions in both sorted arrays, so
+    # e* is matched too and attains both minima. Every other distinct
+    # common value is > e*, occupying a position after pa (resp. pb),
+    # so overlap <= 1 + min(n_a - pa, n_b - pb). A pair the verify
+    # could keep needs o(1000 + a_num) >= a_num(n_a + n_b) (the same
+    # relaxed-t' integer algebra as the prefix length), so candidates
+    # whose bound fails are dropped WITHOUT the array intersection —
+    # measured at sf1: 10.37M -> 3.20M verified candidates, output
+    # identical (the full verify of the dropped 7.2M found 0 passing
+    # pairs), full query 21.6 -> 12.1 s min-of-3. The groupBy replaces
+    # the former .distinct() (same exchange, same pair set).
     cand = (
         prefix.alias("a")
         .join(
@@ -1755,11 +1774,27 @@ def jaccard_prefix_pairs(
                 >= F.greatest("a.n", "b.n") * a_num
             ),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .distinct()
+        .agg(
+            F.min(F.col("a.p")).alias("_pa"),
+            F.min(F.col("b.p")).alias("_pb"),
+            F.min(F.col("a.n")).alias("_na"),
+            F.min(F.col("b.n")).alias("_nb"),
+        )
+        .filter(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("_na") - F.col("_pa"), F.col("_nb") - F.col("_pb")
+                )
+            )
+            * (1000 + a_num)
+            >= a_num * (F.col("_na") + F.col("_nb"))
+        )
+        .select("doc_a", "doc_b")
     )
     sides = sets.select("doc_id", "hs", "n")
     return (

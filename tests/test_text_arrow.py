@@ -135,6 +135,20 @@ def test_scorecard_flags_parity(spark, docs):
     _assert_frames_equal(jvm, arrow)
 
 
+@pytest.mark.parametrize("tf", [False, True])
+def test_hashed_bucket_counts_parity(docs, tf):
+    from impresso_ta.operators.classifier import hashed_bucket_counts
+
+    expr = hashed_bucket_counts(docs, dim=64, tf=tf, engine="expr")
+    arrow = hashed_bucket_counts(docs, dim=64, tf=tf, engine="arrow")
+    ka = sorted(map(tuple, expr.collect()))
+    kb = sorted(map(tuple, arrow.collect()))
+    assert ka == kb
+    assert [f.dataType for f in expr.schema.fields[1:]] == [
+        f.dataType for f in arrow.schema.fields[1:]
+    ]
+
+
 def test_spark_round4_matches_spark(spark):
     vals = [
         0.15, 0.05, 3.0, 10.0, 0.8, 0.12345, 0.123449999, 0.99995,
