@@ -204,14 +204,25 @@ def bpe_encode(
     merges: list[tuple[str, str, int]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Tokenize the corpus with a learned merge list: per-word symbol
-    sequences re-derived by applying the merges in order (pure column
-    expressions — the merge chain is a fixed literal replace pipeline, so
-    encoding is one codegen'd scan, zero shuffle).
+    sequences re-derived by applying the merges in order.
 
     Returns (id, tokens array, n_tokens).
+
+    ``engine="arrow"`` (default, r12, guide §4.2): one mapInArrow pass
+    encodes each DISTINCT word once per task (memo dict) with plain
+    ``str.replace`` — the identical non-overlapping left-to-right
+    semantics as SQL ``replace`` — instead of running the interpreted
+    per-word char-split + replace-chain lambda per occurrence. Zero
+    shuffle either way; bit parity (including the empty-token
+    ``sequence(1,0)`` quirk) pinned by tests/test_text_arrow.py.
+    ``engine="expr"``: the pure column-expression chain (one codegen'd
+    scan — its per-word lambda runs interpreted).
     """
+    if engine == "arrow":
+        return _bpe_encode_arrow(docs, merges, id_col, text_col)
     word_tokens = F.transform(
         F.split(F.trim(F.col(text_col)), r"\s+"),
         lambda w: _encode_word_expr(w, merges),
@@ -222,6 +233,98 @@ def bpe_encode(
         tokens.alias("tokens"),
         F.size(tokens).cast("long").alias("n_tokens"),
     )
+
+
+def _encode_word_py(
+    w: str, merges: list[tuple[str, str, int]]
+) -> list[str]:
+    """Python twin of :func:`_encode_word_expr` for ONE word.
+
+    Spark quirk replicated exactly: for the empty word,
+    ``sequence(1, length(w))`` is ``sequence(1, 0)`` which DESCENDS
+    ([1, 0]) — two empty substrings, so the char array is ["", ""].
+    ``str.replace`` == SQL ``replace`` (non-overlapping left-to-right);
+    the final split is on the literal two-space delimiter of the
+    trimmed sequence (no trailing empties arise: the seq ends in
+    "</w>" after trim).
+    """
+    chars = list(w) if w else ["", ""]
+    seq = "  " + "  ".join(chars) + "  " + END_OF_WORD + "  "
+    for lhs, rhs, _ in merges:
+        seq = seq.replace(f" {lhs}  {rhs} ", f" {lhs}{rhs} ")
+    return seq.strip(" ").split("  ")
+
+
+def _bpe_encode_arrow(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from impresso_ta.operators.arrowkit import java_tokens
+    from impresso_ta.operators.partitioning import spread_small_input
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("tokens", ArrayType(StringType())),
+            StructField("n_tokens", LongType()),
+        ]
+    )
+    arrow_schema = to_arrow_schema(out_schema)
+    base = spread_small_input(
+        docs.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col))
+    )
+    frozen = [(lhs, rhs) for lhs, rhs, _ in merges]
+
+    def fn(batches):
+        memo: dict[str, list[str]] = {}
+
+        def enc(w: str) -> list[str]:
+            t = memo.get(w)
+            if t is None:
+                if len(memo) > 1_000_000:
+                    memo.clear()
+                t = _encode_word_py(w, [(a, b, 0) for a, b in frozen])
+                memo[w] = t
+            return t
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            o_id, o_t, o_n = [], [], []
+            for i, text in zip(ids, texts):
+                o_id.append(i)
+                if text is None:
+                    o_t.append(None)
+                    o_n.append(None)
+                    continue
+                toks: list[str] = []
+                for w in java_tokens(text):
+                    toks.extend(enc(w))
+                o_t.append(toks)
+                o_n.append(len(toks))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, type=pa.int64()),
+                    pa.array(o_t, type=arrow_schema.field(1).type),
+                    pa.array(o_n, type=pa.int64()),
+                ],
+                schema=arrow_schema,
+            )
+
+    return base.mapInArrow(fn, schema=out_schema)
 
 
 def _encode_word_expr(word, merges: list[tuple[str, str, int]]):

@@ -656,6 +656,7 @@ def dsir_log_weights(
     dim: int = 256,
     round_to: int = 6,
     ngram: int = 1,
+    engine: str = "arrow",
 ) -> DataFrame:
     """DSIR importance log-weights (Xie et al., NeurIPS 2023, "Data
     Selection for Language Models via Importance Resampling"): score
@@ -686,24 +687,47 @@ def dsir_log_weights(
     counts, one doc-keyed sum. No driver collect, no all-pairs, nothing
     quadratic — the model IS the dim-row table, so target size only
     affects one linear aggregate over the target.
+
+    ``engine="arrow"`` (default, r12, guide §4.2): the three
+    term-explode aggregates (raw buckets, target buckets, per-doc
+    buckets) come from ``text_arrow.dsir_bucket_counts_arrow`` — one
+    Counter pass per Arrow batch instead of exploding every term
+    occurrence through an md5 projection and shuffling it (corpus mode
+    emits ≤dim partial rows per batch; identical counts by exactness
+    of integer addition; parity in tests/test_text_arrow.py).
+    ``engine="expr"`` keeps the explode/groupBy plans.
     """
     from impresso_ta.operators.dedup import shingle_hash48
 
     def bucket_of(col: Column) -> Column:
         return (shingle_hash48(col) % dim).alias("bucket")
 
-    def corpus_buckets(df: DataFrame, out: str) -> DataFrame:
-        return (
-            spread_small_input(df)
-            .select(
-                F.explode(
-                    _dsir_feature_terms(F.col(text_col), ngram)
-                ).alias("word")
-            )
-            .select(bucket_of(F.col("word")))
-            .groupBy("bucket")
-            .agg(F.count("*").alias(out))
+    if engine == "arrow":
+        from impresso_ta.operators.text_arrow import (
+            dsir_bucket_counts_arrow,
         )
+
+        def corpus_buckets(df: DataFrame, out: str) -> DataFrame:
+            return (
+                dsir_bucket_counts_arrow(df, text_col, dim, ngram)
+                .groupBy("bucket")
+                .agg(F.sum("c").alias(out))
+            )
+
+    else:
+
+        def corpus_buckets(df: DataFrame, out: str) -> DataFrame:
+            return (
+                spread_small_input(df)
+                .select(
+                    F.explode(
+                        _dsir_feature_terms(F.col(text_col), ngram)
+                    ).alias("word")
+                )
+                .select(bucket_of(F.col("word")))
+                .groupBy("bucket")
+                .agg(F.count("*").alias(out))
+            )
 
     raw_b = corpus_buckets(raw, "rc")
     tgt_b = corpus_buckets(target, "tc")
@@ -735,18 +759,27 @@ def dsir_log_weights(
         .cast("long")
         .alias("_lr9"),
     )
-    doc_b = (
-        spread_small_input(raw)
-        .select(
-            F.col(id_col),
-            F.explode(_dsir_feature_terms(F.col(text_col), ngram)).alias(
-                "word"
-            ),
+    if engine == "arrow":
+        from impresso_ta.operators.text_arrow import (
+            dsir_bucket_counts_arrow,
         )
-        .select(id_col, bucket_of(F.col("word")))
-        .groupBy(id_col, "bucket")
-        .agg(F.count("*").alias("c"))
-    )
+
+        doc_b = dsir_bucket_counts_arrow(
+            raw, text_col, dim, ngram, id_col=id_col
+        )
+    else:
+        doc_b = (
+            spread_small_input(raw)
+            .select(
+                F.col(id_col),
+                F.explode(
+                    _dsir_feature_terms(F.col(text_col), ngram)
+                ).alias("word"),
+            )
+            .select(id_col, bucket_of(F.col("word")))
+            .groupBy(id_col, "bucket")
+            .agg(F.count("*").alias("c"))
+        )
     weights = (
         doc_b.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)

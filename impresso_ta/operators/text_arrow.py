@@ -463,6 +463,109 @@ def scorecard_flags_arrow(
     return base.mapInArrow(fn, schema=out_schema)
 
 
+def _dsir_terms_py(toks: list[str], ngram: int) -> list[str]:
+    """Python twin of ``corpus._dsir_feature_terms``: unigrams, plus
+    space-joined adjacent bigrams when ``ngram == 2`` (a single-token
+    doc contributes no bigrams — the zip truncates, like the JVM
+    slice/zip_with)."""
+    if ngram == 1:
+        return toks
+    return toks + [a + " " + b for a, b in zip(toks, toks[1:])]
+
+
+def dsir_bucket_counts_arrow(
+    docs: DataFrame,
+    text_col: str,
+    dim: int,
+    ngram: int,
+    id_col: str | None = None,
+) -> DataFrame:
+    """The DSIR hashed-feature bucket counts in one Arrow pass
+    (guide §4.2) — replaces the term explode + md5-per-occurrence +
+    groupBy shuffle.
+
+    ``id_col=None`` → corpus mode: ONE aggregated Counter per Arrow
+    batch (≤dim rows each) is emitted as (bucket, c) partials — the
+    JVM's map-side-combined ``groupBy(bucket).sum`` collapses them to
+    the identical corpus counts. With ``id_col`` → per-document
+    (id, bucket, c) rows (the ``doc_b`` frame). hashlib md5 == Spark
+    md5 over UTF-8; counts are exact ints; a per-task word→bucket memo
+    amortizes the hashing.
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from impresso_ta.operators.partitioning import spread_small_input
+
+    per_doc = id_col is not None
+    fields = (
+        [StructField(id_col, LongType())] if per_doc else []
+    ) + [StructField("bucket", LongType()), StructField("c", LongType())]
+    out_schema = StructType(fields)
+    arrow_schema = to_arrow_schema(out_schema)
+    sel = (
+        [F.col(id_col).cast("long").alias(id_col)] if per_doc else []
+    ) + [F.col(text_col)]
+    base = spread_small_input(docs.select(*sel))
+    t_idx = 1 if per_doc else 0
+
+    def fn(batches):
+        memo: dict[str, int] = {}
+
+        def bucket(w: str) -> int:
+            b = memo.get(w)
+            if b is None:
+                if len(memo) > 2_000_000:
+                    memo.clear()
+                b = (
+                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:12], 16)
+                    % dim
+                )
+                memo[w] = b
+            return b
+
+        for batch in batches:
+            texts = batch.column(t_idx).to_pylist()
+            if per_doc:
+                ids = batch.column(0).to_pylist()
+                o_id, o_b, o_c = [], [], []
+                for i, text in zip(ids, texts):
+                    if text is None:
+                        continue  # explode of NULL terms emits no rows
+                    counts = Counter(
+                        bucket(t)
+                        for t in _dsir_terms_py(java_tokens(text), ngram)
+                    )
+                    for b, c in counts.items():
+                        o_id.append(i)
+                        o_b.append(b)
+                        o_c.append(c)
+                arrays = [
+                    pa.array(o_id, type=pa.int64()),
+                    pa.array(o_b, type=pa.int64()),
+                    pa.array(o_c, type=pa.int64()),
+                ]
+            else:
+                counts = Counter()
+                for text in texts:
+                    if text is None:
+                        continue
+                    counts.update(
+                        bucket(t)
+                        for t in _dsir_terms_py(java_tokens(text), ngram)
+                    )
+                arrays = [
+                    pa.array(list(counts.keys()), type=pa.int64()),
+                    pa.array(list(counts.values()), type=pa.int64()),
+                ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    return base.mapInArrow(fn, schema=out_schema)
+
+
 def filter_keep_arrow(
     docs: DataFrame,
     text_col: str = "text",
