@@ -265,18 +265,23 @@ def _minhash_parts(
     num_perm: int,
     bands: int,
     cache_shingles: bool = False,
-    with_sets: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared MinHash plumbing: (shingle frame, signature frame, band
     table). Hash parameters are a pure function of the permutation
     index, so two corpora banded through this helper are join-compatible
     — the property :func:`incremental_minhash_dedup` relies on.
 
-    ``with_sets`` additionally collects each document's SORTED shingle-
-    hash array (``hs``) in the same groupBy — the exchange is shared, so
-    the only cost is the array payload — for consumers that verify
-    candidates row-locally (``minhash_lsh_pairs``'s array_intersect
-    verify) instead of re-exploding and re-shuffling the corpus."""
+    The signature groupBy deliberately carries ONLY hash-friendly
+    aggregates (24 mins + a count): adding a ``collect_list`` (the
+    verify arrays an early r12 draft fused in here) downgrades the
+    whole operator from codegen'd HashAggregate to ObjectHashAggregate
+    and measured ~2x on the sf0.1 signature pass (A/B: fused
+    7.3-20.1 s vs split 4.2-8.7 s at sf0.1, equal at sf1) —
+    ``minhash_lsh_pairs`` collects its verify arrays in its own
+    groupBy over a recomputed shingle frame instead (the (long, long)
+    explode is cheaper to recompute than the shared exchange, the same
+    persist-vs-recompute trade the jaccard_pairs docstring
+    documents)."""
     rows = num_perm // bands
     sh = _explode_shingle_hashes(docs, id_col, text_col, k)
     if cache_shingles:
@@ -296,8 +301,6 @@ def _minhash_parts(
     # size lookup then reuses this aggregate instead of re-exploding and
     # re-shuffling the corpus a fourth time
     aggs.append(F.count("*").alias("n_shingles"))
-    if with_sets:
-        aggs.append(F.sort_array(F.collect_list("h")).alias("hs"))
     # persist the SIGNATURE frame, not the shingle frame: it is
     # O(|docs|) rows × (num_perm+2) longs — tiny at any scale — and four
     # consumers hang off it (both band-join sides, both size lookups);
@@ -372,13 +375,30 @@ def minhash_lsh_pairs(
     the guard protects direct callers. Never fires below the bound, so
     the oracle-pinned semantics are unchanged.
     """
-    sh, sigs, banded = parts if parts is not None else _minhash_parts(
-        docs, id_col, text_col, k, num_perm, bands, cache_shingles,
-        # r12: collect the sorted shingle-hash arrays in the signature
-        # groupBy so the verify below is a row-local array_intersect
-        # over the candidate pairs — the r11 form re-exploded and
-        # re-shuffled the full (doc, h) frame through two joins instead
-        with_sets=True,
+    external_parts = parts is not None
+    sh, sigs, banded = parts if external_parts else _minhash_parts(
+        docs, id_col, text_col, k, num_perm, bands, cache_shingles
+    )
+    # r12: the verify below is a row-local array_intersect over each
+    # candidate pair's sorted shingle-hash arrays — the r11 form
+    # re-exploded and re-shuffled the full (doc, h) frame through two
+    # corpus-proportional joins instead. The arrays come from their OWN
+    # groupBy over the (recomputed) shingle frame, NOT from extra
+    # aggregates in the signature groupBy: a collect_list there
+    # downgrades the 24 min-aggregates to ObjectHashAggregate (see
+    # _minhash_parts docstring — measured ~2x on the sf0.1 signature
+    # pass). External ``parts`` (the streaming gate's shared triple)
+    # keep the r11 join verify: their shingle frame is already
+    # persisted/shared, so re-exploding for arrays would not be free.
+    sets = (
+        None
+        if external_parts
+        else sh.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("hs"),
+            F.count("*").alias("n_shingles"),
+        )
+        .persist()
     )
     if max_bucket_size is not None:
         from pyspark.sql.window import Window
@@ -431,18 +451,18 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    if "hs" in sigs.columns:
+    if sets is not None:
         # Row-local verify (r12): join each candidate pair to its two
         # persisted sorted shingle-hash arrays and intersect in place —
-        # two |candidates|-row joins against the already-persisted
-        # signature frame, instead of re-exploding the corpus twice and
-        # shuffling the full (doc, h) frame through two equi-joins
-        # (guide §2.2: shuffle candidate-proportional bytes, not
+        # two |candidates|-row joins against the persisted sets frame,
+        # instead of re-exploding the corpus twice and shuffling the
+        # full (doc, h) frame through two equi-joins (guide §2.2:
+        # shuffle candidate-proportional bytes, not
         # corpus-proportional). Same jaccard per pair: the shingles of
         # one document are DISTINCT strings, so the hash multiset and
         # the join-counted matches agree except under 48-bit collisions
         # (see shingle_hash48 — already accepted by every consumer).
-        sides = sigs.select("doc_id", "hs", "n_shingles")
+        sides = sets.select("doc_id", "hs", "n_shingles")
         return (
             candidates.join(
                 sides.select(

@@ -93,9 +93,16 @@ def test_cosine_topk_corpus_never_shuffled_by_join(spark):
     qs = e.filter(F.col("vec_id") % 53 == 0)
     topk = cosine_topk(e, qs, k=3)
     plan = _plan(topk)
-    # query side broadcasts; the only shuffle is the final tiny window
-    assert "BroadcastExchange" in plan
+    # r12: the queries ride the Arrow task closure — no join at all;
+    # the only shuffle is the final tiny window over scored rows
+    assert "MapInArrow" in plan
+    assert "Join" not in plan
     assert _shuffles(topk) == 1
+    # the r11 JVM form's contract still holds on the expr engine:
+    # query side broadcasts, corpus never join-shuffled
+    expr = cosine_topk(e, qs, k=3, engine="expr")
+    assert "BroadcastExchange" in _plan(expr)
+    assert _shuffles(expr) == 1
 
 
 def test_multi_join_queries_broadcast_everything(spark):
