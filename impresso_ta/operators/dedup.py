@@ -265,6 +265,8 @@ def _minhash_parts(
     num_perm: int,
     bands: int,
     cache_shingles: bool = False,
+    engine: str = "expr",
+    with_sets: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared MinHash plumbing: (shingle frame, signature frame, band
     table). Hash parameters are a pure function of the permutation
@@ -281,31 +283,56 @@ def _minhash_parts(
     groupBy over a recomputed shingle frame instead (the (long, long)
     explode is cheaper to recompute than the shared exchange, the same
     persist-vs-recompute trade the jaccard_pairs docstring
-    documents)."""
+    documents).
+
+    ``engine="arrow"`` (r12, guide §4.2) computes the signature frame —
+    and, with ``with_sets=True``, the verify ``hs`` arrays in the SAME
+    pass — per document in one ``mapInArrow`` over (doc_id, text)
+    (:func:`impresso_ta.operators.minhash_arrow.minhash_signatures_arrow`,
+    bit-identical integer math): the shingle explode and the signature
+    exchange disappear from the plan entirely; only the band-join
+    shuffles remain. The returned shingle frame is the unchanged lazy
+    expression form — consumers that never evaluate it (all arrow-mode
+    callers) pay nothing for it. The streaming gate and
+    ``minhash_band_state`` keep ``engine="expr"``: their parts triple is
+    shared/persisted by contract and the expression form is the
+    streaming-safe reference."""
     rows = num_perm // bands
     sh = _explode_shingle_hashes(docs, id_col, text_col, k)
-    if cache_shingles:
-        from pyspark import StorageLevel
+    if engine == "arrow":
+        from impresso_ta.operators.minhash_arrow import (
+            minhash_signatures_arrow,
+        )
 
-        # optional: one explode+md5 pass feeds signatures, both
-        # verify-join sides and the size aggregation. Off by default —
-        # the (long, long) explode is cheaper to recompute than to
-        # materialize at bench scale; see jaccard_pairs docstring.
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    aggs = []
-    for i in range(num_perm):
-        a = 2 * i + 1
-        b = 104729 * (i + 1) % _MERSENNE
-        aggs.append(F.min((a * F.col("h") + b) % _MERSENNE).alias(f"mh{i}"))
-    # carry the shingle count in the SAME groupBy: the verify stage's
-    # size lookup then reuses this aggregate instead of re-exploding and
-    # re-shuffling the corpus a fourth time
-    aggs.append(F.count("*").alias("n_shingles"))
-    # persist the SIGNATURE frame, not the shingle frame: it is
-    # O(|docs|) rows × (num_perm+2) longs — tiny at any scale — and four
-    # consumers hang off it (both band-join sides, both size lookups);
-    # without this each consumer re-runs the explode + 24-min groupBy.
-    sigs = sh.groupBy("doc_id").agg(*aggs).persist()
+        sigs = minhash_signatures_arrow(
+            docs, id_col, text_col, k, num_perm, with_sets=with_sets
+        ).persist()
+    else:
+        if cache_shingles:
+            from pyspark import StorageLevel
+
+            # optional: one explode+md5 pass feeds signatures, both
+            # verify-join sides and the size aggregation. Off by default —
+            # the (long, long) explode is cheaper to recompute than to
+            # materialize at bench scale; see jaccard_pairs docstring.
+            sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        aggs = []
+        for i in range(num_perm):
+            a = 2 * i + 1
+            b = 104729 * (i + 1) % _MERSENNE
+            aggs.append(
+                F.min((a * F.col("h") + b) % _MERSENNE).alias(f"mh{i}")
+            )
+        # carry the shingle count in the SAME groupBy: the verify stage's
+        # size lookup then reuses this aggregate instead of re-exploding
+        # and re-shuffling the corpus a fourth time
+        aggs.append(F.count("*").alias("n_shingles"))
+        # persist the SIGNATURE frame, not the shingle frame: it is
+        # O(|docs|) rows × (num_perm+2) longs — tiny at any scale — and
+        # four consumers hang off it (both band-join sides, both size
+        # lookups); without this each consumer re-runs the explode + the
+        # 24-min groupBy.
+        sigs = sh.groupBy("doc_id").agg(*aggs).persist()
     band_cols = []
     for bidx in range(bands):
         parts = [F.col(f"mh{bidx * rows + r}") for r in range(rows)]
@@ -333,6 +360,7 @@ def minhash_lsh_pairs(
     max_bucket_size: int | None = None,
     parts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     guard_bucket_size: int | None = 50_000,
+    engine: str = "arrow",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard.
 
@@ -377,29 +405,43 @@ def minhash_lsh_pairs(
     """
     external_parts = parts is not None
     sh, sigs, banded = parts if external_parts else _minhash_parts(
-        docs, id_col, text_col, k, num_perm, bands, cache_shingles
+        docs,
+        id_col,
+        text_col,
+        k,
+        num_perm,
+        bands,
+        cache_shingles,
+        engine=engine,
+        with_sets=(engine == "arrow"),
     )
     # r12: the verify below is a row-local array_intersect over each
     # candidate pair's sorted shingle-hash arrays — the r11 form
     # re-exploded and re-shuffled the full (doc, h) frame through two
-    # corpus-proportional joins instead. The arrays come from their OWN
-    # groupBy over the (recomputed) shingle frame, NOT from extra
-    # aggregates in the signature groupBy: a collect_list there
-    # downgrades the 24 min-aggregates to ObjectHashAggregate (see
-    # _minhash_parts docstring — measured ~2x on the sf0.1 signature
-    # pass). External ``parts`` (the streaming gate's shared triple)
-    # keep the r11 join verify: their shingle frame is already
-    # persisted/shared, so re-exploding for arrays would not be free.
-    sets = (
-        None
-        if external_parts
-        else sh.groupBy("doc_id")
-        .agg(
-            F.sort_array(F.collect_list("h")).alias("hs"),
-            F.count("*").alias("n_shingles"),
+    # corpus-proportional joins instead. With engine="arrow" the arrays
+    # ride the signature mapInArrow pass itself (with_sets=True — no
+    # aggregate, so the ObjectHashAggregate tax that forbids fusing a
+    # collect_list into the signature GROUPBY does not apply, and the
+    # corpus is scanned exactly once). With engine="expr" they come
+    # from their OWN groupBy over the (recomputed) shingle frame, NOT
+    # from extra aggregates in the signature groupBy (measured ~2x on
+    # the sf0.1 signature pass — see _minhash_parts docstring).
+    # External ``parts`` (the streaming gate's shared triple) keep the
+    # r11 join verify: their shingle frame is already persisted/shared,
+    # so re-exploding for arrays would not be free.
+    if external_parts:
+        sets = None
+    elif engine == "arrow":
+        sets = sigs  # hs + n_shingles emitted in the signature pass
+    else:
+        sets = (
+            sh.groupBy("doc_id")
+            .agg(
+                F.sort_array(F.collect_list("h")).alias("hs"),
+                F.count("*").alias("n_shingles"),
+            )
+            .persist()
         )
-        .persist()
-    )
     if max_bucket_size is not None:
         from pyspark.sql.window import Window
 
@@ -537,6 +579,7 @@ def minhash_dedup_survivors(
     k: int = 3,
     num_perm: int = 24,
     bands: int = 8,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Linear-OUTPUT MinHash dedup: band-bucket union-find, no pairwise
     verification. Returns every document with its duplicate component,
@@ -563,7 +606,7 @@ def minhash_dedup_survivors(
     re-introduce the clique-quadratic cost.
     """
     _, _, banded = _minhash_parts(
-        docs, id_col, text_col, k, num_perm, bands
+        docs, id_col, text_col, k, num_perm, bands, engine=engine
     )
     bucket_min = banded.groupBy("band", "bh").agg(
         F.min("doc_id").alias("root")
@@ -597,6 +640,7 @@ def incremental_minhash_dedup(
     num_perm: int = 24,
     bands: int = 8,
     threshold: float = 0.8,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Dedupe an incoming batch against the already-ingested corpus:
     returns the NEW docs with no existing near-dup (exact Jaccard ≥
@@ -616,11 +660,14 @@ def incremental_minhash_dedup(
     incremental import anti-join (F3/J1, ref
     generic_importer.py:240-249) from exact-id skip to near-dup skip.
     """
+    arrow = engine == "arrow"
     sh_n, sigs_n, band_n = _minhash_parts(
-        new_docs, id_col, text_col, k, num_perm, bands
+        new_docs, id_col, text_col, k, num_perm, bands,
+        engine=engine, with_sets=arrow,
     )
     sh_e, sigs_e, band_e = _minhash_parts(
-        existing_docs, id_col, text_col, k, num_perm, bands
+        existing_docs, id_col, text_col, k, num_perm, bands,
+        engine=engine, with_sets=arrow,
     )
     candidates = (
         band_n.select(F.col("doc_id").alias("new_id"), "band", "bh")
@@ -631,14 +678,43 @@ def incremental_minhash_dedup(
         .select("new_id", "ex_id")
         .distinct()
     )
-    common = (
-        candidates.join(
-            sh_n.select(F.col("doc_id").alias("new_id"), "h"), "new_id"
+    if arrow:
+        # row-local verify over the hs arrays emitted by the signature
+        # pass (same array_intersect semantics as minhash_lsh_pairs —
+        # shingles are distinct strings per doc, so the hash-multiset
+        # intersection equals the join-counted matches up to the 48-bit
+        # collisions every consumer already accepts)
+        common = (
+            candidates.join(
+                sigs_n.select(
+                    F.col("doc_id").alias("new_id"), F.col("hs").alias("hs_n")
+                ),
+                "new_id",
+            )
+            .join(
+                sigs_e.select(
+                    F.col("doc_id").alias("ex_id"), F.col("hs").alias("hs_e")
+                ),
+                "ex_id",
+            )
+            .select(
+                "new_id",
+                "ex_id",
+                F.size(F.array_intersect("hs_n", "hs_e")).alias("n_common"),
+            )
         )
-        .join(sh_e.select(F.col("doc_id").alias("ex_id"), "h"), ["ex_id", "h"])
-        .groupBy("new_id", "ex_id")
-        .agg(F.count("*").alias("n_common"))
-    )
+    else:
+        common = (
+            candidates.join(
+                sh_n.select(F.col("doc_id").alias("new_id"), "h"), "new_id"
+            )
+            .join(
+                sh_e.select(F.col("doc_id").alias("ex_id"), "h"),
+                ["ex_id", "h"],
+            )
+            .groupBy("new_id", "ex_id")
+            .agg(F.count("*").alias("n_common"))
+        )
     dups = (
         common.join(
             sigs_n.select(
@@ -1644,6 +1720,15 @@ def jaccard_prefix_pairs(
     discipline) or pass ``cache=False`` and manage materialization
     itself; False trades ~5x recomputation (measured: 119 s vs 24 s
     at sf1) for zero cache residency.
+
+    An Arrow sets build (per-doc hash arrays from one mapInArrow pass,
+    dfreq + rank collect exploding the persisted LONG arrays) was
+    measured at sf1 in r12 and REJECTED: min-of-3 prefix 13.3 vs
+    12.8 s, contracted 15.2 vs 11.6 s — the dfreq/collect exchanges
+    remain either way, and the Python boundary plus the extra
+    doc-keyed hs/n join cost more than the saved codegen'd
+    tokenize+md5 explode (unlike the MinHash signature pass, where the
+    Arrow form deletes a whole exchange+24-min aggregate).
     """
     if collapse_exact:
         base = docs.select(
