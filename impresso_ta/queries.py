@@ -5459,24 +5459,39 @@ _QUANT_DEQ_CTES = """
     "reconstruction error — the bound is (hi-lo)/510 per coordinate.",
 )
 def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from impresso_ta.operators.linalg import (
-        dequantize_expr,
-        quantize_embeddings,
-        quantize_stats,
-    )
+    from impresso_ta.operators.linalg import quantize_stats
 
     e = t(spark, sf_dir, "embeddings")
     stats = quantize_stats(e)
-    qdf = quantize_embeddings(e, stats=stats)
-    errs = F.zip_with(
-        F.col("embedding"),
-        dequantize_expr(F.col("codes"), stats),
-        lambda a, b: F.abs(a.cast("double") - b),
-    )
+    # r12 (guide §7.3): the original form built the full 64-code array
+    # (quantize_embeddings) + 64-term dequantize array + zip_with err
+    # lambda — a 64-wide nested expression tree whose py4j construction
+    # and Catalyst analysis cost ~10 s at the driver while the actual
+    # execution was 1.5 s. This form posexplodes the embedding FIRST
+    # and quantizes/dequantizes each element with a handful of scalar
+    # expressions over 64-element literal arrays: same arithmetic, same
+    # op order, bit-identical per-dim means (A/B-verified at sf1), tiny
+    # plan. The per-element algebra mirrors linalg.quantize_embeddings /
+    # dequantize_expr exactly (incl. the hi==lo -> code 0 branch).
     los = F.array(*[F.lit(float(lo)) for lo, _ in stats])
     his = F.array(*[F.lit(float(hi)) for _, hi in stats])
+    rngs = F.array(*[F.lit(hi - lo) for lo, hi in stats])
+    steps = F.array(*[F.lit((hi - lo) / 255) for lo, hi in stats])
+    idx = F.col("pos") + 1
+    lo_e = F.element_at(los, idx)
+    a_d = F.col("a").cast("double")
+    scaled = F.round((a_d - lo_e) / F.element_at(rngs, idx) * 255, 0)
+    code = F.when(
+        F.element_at(rngs, idx) == 0.0, F.lit(0).cast("smallint")
+    ).otherwise(
+        F.least(F.greatest(scaled, F.lit(0.0)), F.lit(255.0)).cast(
+            "smallint"
+        )
+    )
+    deq = lo_e + code.cast("double") * F.element_at(steps, idx)
     return (
-        qdf.select(F.posexplode(errs).alias("pos", "err"))
+        e.select(F.posexplode(F.col("embedding")).alias("pos", "a"))
+        .select("pos", F.abs(a_d - deq).alias("err"))
         .groupBy("pos")
         .agg(F.round(F.avg("err"), 6).alias("mean_abs_err"))
         .select(
