@@ -60,12 +60,109 @@ def count_min_sketch(
     return cells.groupBy("row", "col").agg(F.count("*").alias("c"))
 
 
+def _sketch_and_counts_arrow(
+    docs: DataFrame, text_col: str, d: int, w: int
+) -> DataFrame:
+    """One ``mapInArrow`` corpus pass emitting BOTH count-min cell
+    partials and word-count partials (guide §4.2): per batch, one
+    tokenization feeds a word ``Counter``; each DISTINCT word's d
+    md5-derived cells (memoized per task) accumulate its count into a
+    local d×w table. Rows: ``(word, NULL, NULL, c)`` word partials and
+    ``(NULL, row, col, c)`` cell partials — ≤ |distinct words| + d·w
+    rows per batch, map-side-combined by the downstream groupBys.
+    Arithmetic is exact integers; the md5→col derivation is the
+    bit-identical Python twin of :func:`_cm_col` (same bytes hashed,
+    same 48-bit prefix, same modulus)."""
+    from hashlib import md5
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from impresso_ta.operators.partitioning import spread_small_input
+
+    out_schema = StructType(
+        [
+            StructField("word", StringType()),
+            StructField("row", IntegerType()),
+            StructField("col", LongType()),
+            StructField("c", LongType()),
+        ]
+    )
+    base = spread_small_input(docs.select(F.col(text_col).alias("_t")))
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from collections import Counter
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from impresso_ta.operators.arrowkit import java_tokens
+
+        arrow_schema = to_arrow_schema(out_schema)
+        cols_memo: dict[str, list[int]] = {}
+
+        def cells_of(word: str) -> list[int]:
+            cs = cols_memo.get(word)
+            if cs is None:
+                if len(cols_memo) > 1_000_000:
+                    cols_memo.clear()
+                cs = [
+                    int.from_bytes(
+                        md5(f"cm{r}:{word}".encode("utf-8")).digest()[:6],
+                        "big",
+                    )
+                    % w
+                    for r in range(d)
+                ]
+                cols_memo[word] = cs
+            return cs
+
+        for batch in batches:
+            wc: Counter = Counter()
+            for text in batch.column(0).to_pylist():
+                if text is None:
+                    continue
+                wc.update(java_tokens(text))
+            if not wc:
+                continue
+            table = np.zeros((d, w), dtype=np.int64)
+            for word, c in wc.items():
+                for r, col in enumerate(cells_of(word)):
+                    table[r, col] += c
+            rs, cs = np.nonzero(table)
+            n_words = len(wc)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        list(wc.keys()) + [None] * len(rs), type=pa.string()
+                    ),
+                    pa.array([None] * n_words + list(rs), type=pa.int32()),
+                    pa.array([None] * n_words + list(cs), type=pa.int64()),
+                    pa.array(
+                        list(wc.values()) + list(table[rs, cs]),
+                        type=pa.int64(),
+                    ),
+                ],
+                schema=arrow_schema,
+            )
+
+    return base.mapInArrow(fn, schema=out_schema)
+
+
 def heavy_hitter_estimates(
     docs: DataFrame,
     text_col: str = "text",
     d: int = 4,
     w: int = 256,
     top_k: int = 20,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Exact top-k words with their count-min estimates: (word, tf,
     cm_estimate). The estimate is min over the d rows — never below the
@@ -76,13 +173,41 @@ def heavy_hitter_estimates(
     exact top-k from the vocabulary aggregate, so the output doubles as
     a collision audit: cm_estimate == tf exactly when no heavier word
     shares all d cells.
+
+    ``engine="arrow"`` (r12, guide §4.2): sketch-cell and word-count
+    partials come from ONE fused Arrow corpus pass
+    (:func:`_sketch_and_counts_arrow`) — one tokenization instead of
+    two JVM scans, md5 per distinct word per task instead of 4 md5
+    expressions per token occurrence. Probe top-k keeps vocabulary's
+    (tf desc, word asc) order; ``df`` is not computed (this output
+    never used it). ``"expr"`` keeps the two-scan JVM reference form.
     """
     from impresso_ta.operators.corpus import vocabulary
 
-    sketch = count_min_sketch(docs, text_col, d, w)
-    probes = vocabulary(docs, text_col=text_col, top_k=top_k).select(
-        "word", "tf"
-    )
+    if engine == "arrow":
+        # persisted: BOTH aggregates below hang off the one Arrow pass —
+        # unpersisted, the corpus would ship through Python twice. The
+        # frame is partial-aggregate-sized (≤ distinct-words + d·w rows
+        # per batch), not corpus-sized; same action-scoped residency
+        # trade as the MinHash signature persist.
+        fused = _sketch_and_counts_arrow(docs, text_col, d, w).persist()
+        sketch = (
+            fused.filter(F.col("row").isNotNull())
+            .groupBy("row", "col")
+            .agg(F.sum("c").alias("c"))
+        )
+        probes = (
+            fused.filter(F.col("row").isNull())
+            .groupBy("word")
+            .agg(F.sum("c").cast("long").alias("tf"))
+            .orderBy(F.desc("tf"), F.asc("word"))
+            .limit(top_k)
+        )
+    else:
+        sketch = count_min_sketch(docs, text_col, d, w)
+        probes = vocabulary(docs, text_col=text_col, top_k=top_k).select(
+            "word", "tf"
+        )
     probe_cells = probes.select(
         "word",
         "tf",

@@ -29,3 +29,36 @@ def test_count_min_never_underestimates_and_is_exact_when_wide(spark):
     # a very wide sketch has no collisions on this vocabulary → exact
     wide = heavy_hitter_estimates(docs, d=4, w=65536, top_k=15).collect()
     assert all(r["cm_estimate"] == r["tf"] for r in wide)
+
+
+def test_heavy_hitters_arrow_matches_expr(spark):
+    """Bit-parity of the fused Arrow sketch+counts pass (r12) vs the
+    two-scan JVM form, on tokenizer edges (empty text -> one "" word,
+    NULL text absent, kept empty tokens) and the sample corpus."""
+    from impresso_ta.operators.sketches import heavy_hitter_estimates
+
+    adv = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "   "),
+            (3, None),
+            (4, "one"),
+            (5, "a b c a b a \t x"),
+            (6, "trailing newline\n"),
+            (7, " ".join(f"w{i % 7}" for i in range(50))),
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for frame in (adv, docs):
+        a = sorted(
+            tuple(r)
+            for r in heavy_hitter_estimates(frame, engine="arrow").collect()
+        )
+        spark.catalog.clearCache()
+        e = sorted(
+            tuple(r)
+            for r in heavy_hitter_estimates(frame, engine="expr").collect()
+        )
+        spark.catalog.clearCache()
+        assert a == e
