@@ -504,51 +504,21 @@ def minhash_lsh_pairs(
         # one document are DISTINCT strings, so the hash multiset and
         # the join-counted matches agree except under 48-bit collisions
         # (see shingle_hash48 — already accepted by every consumer).
-        # r12: PPJoin LENGTH prefilter before the array attach — the
-        # candidate pairs first join the NARROW (doc_id, n_shingles)
-        # projection (auto-broadcast: |docs| rows of two longs) and
-        # size-incompatible pairs are dropped BEFORE the hs arrays are
-        # attached. Exact at the round(j,4) edge: with
-        # a_num = round(t*1000)-1, a dropped pair has
-        # min/max < t - 1e-3, and jaccard <= min(n_a,n_b)/max(n_a,n_b),
-        # so round(jaccard, 4) < t — the verify could never keep it
-        # (the jaccard_prefix_pairs integer algebra). Measured at sf1:
-        # 24.2% of candidates pruned, full query interleaved min-of-3
-        # 8.43 -> 6.43 s (the verify's cost is the two fat array
-        # attaches — see the sized A/B in OPTIMIZATION_r12.md).
-        a_num = int(round(threshold * 1000)) - 1
-        sizes = sets.select("doc_id", "n_shingles")
-        sized = (
+        sides = sets.select("doc_id", "hs", "n_shingles")
+        return (
             candidates.join(
-                sizes.select(
+                sides.select(
                     F.col("doc_id").alias("doc_a"),
+                    F.col("hs").alias("hs_a"),
                     F.col("n_shingles").alias("n_a"),
                 ),
                 "doc_a",
             )
             .join(
-                sizes.select(
+                sides.select(
                     F.col("doc_id").alias("doc_b"),
+                    F.col("hs").alias("hs_b"),
                     F.col("n_shingles").alias("n_b"),
-                ),
-                "doc_b",
-            )
-            .filter(
-                F.least("n_a", "n_b") * 1000
-                >= F.greatest("n_a", "n_b") * a_num
-            )
-        )
-        hs_sides = sets.select("doc_id", "hs")
-        return (
-            sized.join(
-                hs_sides.select(
-                    F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")
-                ),
-                "doc_a",
-            )
-            .join(
-                hs_sides.select(
-                    F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")
                 ),
                 "doc_b",
             )
@@ -713,34 +683,9 @@ def incremental_minhash_dedup(
         # pass (same array_intersect semantics as minhash_lsh_pairs —
         # shingles are distinct strings per doc, so the hash-multiset
         # intersection equals the join-counted matches up to the 48-bit
-        # collisions every consumer already accepts). Size-incompatible
-        # pairs are pruned on NARROW n_shingles joins BEFORE the fat
-        # array attach — exact at the round(j,4) edge (same integer
-        # algebra as minhash_lsh_pairs' length prefilter).
-        a_num = int(round(threshold * 1000)) - 1
-        sized = (
-            candidates.join(
-                sigs_n.select(
-                    F.col("doc_id").alias("new_id"),
-                    F.col("n_shingles").alias("_sn"),
-                ),
-                "new_id",
-            )
-            .join(
-                sigs_e.select(
-                    F.col("doc_id").alias("ex_id"),
-                    F.col("n_shingles").alias("_se"),
-                ),
-                "ex_id",
-            )
-            .filter(
-                F.least("_sn", "_se") * 1000
-                >= F.greatest("_sn", "_se") * a_num
-            )
-            .select("new_id", "ex_id")
-        )
+        # collisions every consumer already accepts)
         common = (
-            sized.join(
+            candidates.join(
                 sigs_n.select(
                     F.col("doc_id").alias("new_id"), F.col("hs").alias("hs_n")
                 ),
