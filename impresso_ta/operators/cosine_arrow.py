@@ -75,6 +75,45 @@ def spark_round_vec(x, r: int):
     return out
 
 
+def _parse_vectors(vcol, n: int, dims: int | None):
+    """(row_ok bool[n], C float64[(n_ok, dims)]) for a batch's vector
+    column — C rows in ascending batch-row order, values bit-identical
+    to the to_pylist path (float64 roundtrips exactly; narrower
+    numerics widen exactly as ``np.array(list, float64)`` would).
+
+    Fast path (the catalog shape — no row/element nulls, every row
+    exactly ``dims`` long): one flatten + reshape instead of n Python
+    list conversions."""
+    import numpy as np
+
+    if dims is None:
+        return np.zeros(n, dtype=bool), None
+    if vcol.null_count == 0:
+        flat = vcol.flatten()
+        if flat.null_count == 0 and len(flat) == n * dims:
+            lengths = vcol.value_lengths().to_numpy(zero_copy_only=False)
+            if (lengths == dims).all():
+                C = flat.to_numpy(zero_copy_only=False)
+                if C.dtype != np.float64:
+                    C = C.astype(np.float64)
+                return np.ones(n, dtype=bool), C.reshape(n, dims)
+    vecs = vcol.to_pylist()
+    row_ok = np.zeros(n, dtype=bool)
+    for i, v in enumerate(vecs):
+        row_ok[i] = (
+            v is not None
+            and len(v) == dims
+            and all(x is not None for x in v)
+        )
+    ok = np.nonzero(row_ok)[0]
+    C = (
+        np.array([vecs[i] for i in ok], dtype=np.float64)
+        if len(ok)
+        else None
+    )
+    return row_ok, C
+
+
 def brute_scored_arrow(
     corpus: DataFrame,
     queries: DataFrame,
@@ -86,6 +125,7 @@ def brute_scored_arrow(
     out_query: str = "query_id",
     out_cand: str = "neighbor_id",
     out_cos: str = "cosine",
+    max_query_rows: int = 200_000,
 ) -> DataFrame:
     """The scored frame of the brute broadcast-cross-join family:
     one row per (corpus row, query) pair —
@@ -96,6 +136,12 @@ def brute_scored_arrow(
     expression form (see module docstring). With ``label_col`` the
     boolean ``_same`` column (NULL-propagating label equality) is
     included; ``exclude_self`` drops id-equal pairs before emission.
+
+    ``max_query_rows`` guards the driver collect (r13): the query side
+    rides the task closure — same scale posture as the JVM form's
+    broadcast, but a broadcast at least fails at the 8 GB relation cap,
+    whereas an unguarded collect would OOM the driver first. A query
+    side over the bound fails fast with the scale-route remedies.
     """
     import numpy as np
     import pyarrow as pa
@@ -107,7 +153,21 @@ def brute_scored_arrow(
     q_cols = [F.col(id_col), F.col(vec_col)]
     if label_col is not None:
         q_cols.append(F.col(label_col))
+    # plain parallel collect (a limit() here would become a sequential
+    # executeTake ramp — measured slower on selective query filters);
+    # the length check still fails fast with the actionable remedy
+    # before the rows are baked into every task's closure, and
+    # spark.driver.maxResultSize bounds the collect itself.
     q_rows = queries.select(*q_cols).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            "brute_scored_arrow collects the query side to the driver "
+            "(the JVM form broadcasts it — both require a small query "
+            f"set): got more than {max_query_rows} rows. Route large "
+            "query sets through the IVF/LSH scale paths (ivf_topk / "
+            "lsh_bucketed_topk / *_ivf miners) or raise max_query_rows "
+            "explicitly if the driver truly has the memory."
+        )
     q_ids = [int(r[id_col]) for r in q_rows]
     q_vecs = [
         None if r[vec_col] is None else list(r[vec_col]) for r in q_rows
@@ -148,42 +208,41 @@ def brute_scored_arrow(
     has_label = label_col is not None
 
     def fn(batches):
-        if m == 0 or dims is None:
-            # no (valid) queries: the cross join emits rows only for
-            # query rows that exist; invalid-only query sets still fan
-            # out with NULL cosines — handled by the generic path below
-            pass
-        Q = None
-        nq = None
-        if dims is not None:
-            valid_idx = [j for j in range(m) if q_valid[j]]
-            if valid_idx:
-                Q = np.array(
-                    [q_vecs[j] for j in valid_idx], dtype=np.float64
-                )
-                nq = np.zeros(len(valid_idx), dtype=np.float64)
-                for d in range(dims):
-                    nq += Q[:, d] * Q[:, d]
-                nq = np.sqrt(nq)
+        # r13 (guide §4.2): the pair-assembly below is fully vectorized —
+        # the r12 form built the output with a per-PAIR Python loop
+        # (append × n·m), which dominated the whole mapInArrow at every
+        # scale (no-Spark A/B: 326 → 16 ms per 51,200 pairs, 20×).
+        # Emission order (corpus-row outer, query inner), NULL/NaN/label
+        # three-valued semantics and every double are bit-identical
+        # (tests/test_cosine_arrow.py + the adversarial no-JVM harness).
+        valid_j = np.array(
+            [j for j in range(m) if q_valid[j]], dtype=np.int64
+        )
+        Q = nq = None
+        if dims is not None and len(valid_j):
+            Q = np.array([q_vecs[j] for j in valid_j], dtype=np.float64)
+            nq = np.zeros(len(valid_j), dtype=np.float64)
+            for d in range(dims):
+                nq += Q[:, d] * Q[:, d]
+            nq = np.sqrt(nq)
+        q_arr = np.asarray(q_ids, dtype=np.int64)
+        if has_label:
+            ql_arr = np.empty(m, dtype=object)
+            for j, x in enumerate(q_labels):
+                ql_arr[j] = x
+            ql_null = np.array([x is None for x in q_labels], dtype=bool)
         for batch in batches:
-            cids = batch.column(0).to_pylist()
-            vecs = batch.column(1).to_pylist()
-            labels = batch.column(2).to_pylist() if has_label else None
-            n = len(cids)
-            row_ok = np.zeros(n, dtype=bool)
-            for i, v in enumerate(vecs):
-                row_ok[i] = (
-                    v is not None
-                    and dims is not None
-                    and len(v) == dims
-                    and all(x is not None for x in v)
-                )
+            n = batch.num_rows
+            if n == 0:
+                continue
+            idc = batch.column(0)
+            c_null = idc.is_null().to_numpy(zero_copy_only=False)
+            cids = idc.fill_null(0).to_numpy(zero_copy_only=False)
+            cids = cids.astype(np.int64, copy=False)
+            row_ok, C = _parse_vectors(batch.column(1), n, dims)
             ok_idx = np.nonzero(row_ok)[0]
-            cos_ok = None
+            cos_ok = null_mask = None
             if Q is not None and len(ok_idx):
-                C = np.array(
-                    [vecs[i] for i in ok_idx], dtype=np.float64
-                )
                 acc = np.zeros((len(ok_idx), Q.shape[0]), dtype=np.float64)
                 nc = np.zeros(len(ok_idx), dtype=np.float64)
                 for d in range(dims):
@@ -192,54 +251,66 @@ def brute_scored_arrow(
                     nc += cd * cd
                 nc = np.sqrt(nc)
                 denom = nc[:, None] * nq[None, :]
-                with np.errstate(divide="ignore", invalid="ignore"):
+                with np.errstate(
+                    divide="ignore", invalid="ignore", over="ignore"
+                ):
                     raw = acc / denom
                 cos_ok = spark_round_vec(raw, round_to)
                 null_mask = denom == 0.0  # try_divide: NULL on /0 only
-            # assemble output columns pair-major (corpus-row outer)
-            o_q: list[int] = []
-            o_c: list[int] = []
-            o_s: list[bool | None] = []
-            o_v: list[float | None] = []
-            pos_of = {}
-            if Q is not None:
-                pos_of = {
-                    j: p
-                    for p, j in enumerate(
-                        [j for j in range(m) if q_valid[j]]
-                    )
-                }
-            row_pos = {int(i): p for p, i in enumerate(ok_idx)}
-            for i in range(n):
-                cid = cids[i]
-                for j in range(m):
-                    qid = q_ids[j]
-                    if exclude_self and cid == qid:
-                        continue
-                    o_q.append(qid)
-                    o_c.append(cid)
+            flat_q = np.tile(q_arr, n)
+            flat_c = np.repeat(cids, m)
+            flat_cn = np.repeat(c_null, m)
+            cos_full = np.zeros((n, m), dtype=np.float64)
+            nul_full = np.ones((n, m), dtype=bool)
+            if cos_ok is not None:
+                sc = np.ix_(ok_idx, valid_j)
+                cos_full[sc] = cos_ok
+                nul_full[sc] = null_mask
+            flat_cos = cos_full.ravel()
+            flat_nul = nul_full.ravel()
+            if has_label:
+                labels = batch.column(2).to_pylist()
+                cl_arr = np.empty(n, dtype=object)
+                for i, x in enumerate(labels):
+                    cl_arr[i] = x
+                cl_null = np.array(
+                    [x is None for x in labels], dtype=bool
+                )
+                same = np.asarray(
+                    cl_arr[:, None] == ql_arr[None, :], dtype=bool
+                )
+                flat_same = same.ravel()
+                flat_same_nul = (
+                    cl_null[:, None] | ql_null[None, :]
+                ).ravel()
+            if exclude_self:
+                # a NULL corpus id never equals a query id (the old
+                # loop's `cid == qid` with cid=None) — keep those pairs
+                keep = (flat_c != flat_q) | flat_cn
+                if not keep.all():
+                    flat_q = flat_q[keep]
+                    flat_c = flat_c[keep]
+                    flat_cn = flat_cn[keep]
+                    flat_cos = flat_cos[keep]
+                    flat_nul = flat_nul[keep]
                     if has_label:
-                        cl, ql = labels[i], q_labels[j]
-                        o_s.append(
-                            None
-                            if cl is None or ql is None
-                            else cl == ql
-                        )
-                    if row_ok[i] and q_valid[j]:
-                        p, pq = row_pos[i], pos_of[j]
-                        if null_mask[p, pq]:
-                            o_v.append(None)
-                        else:
-                            o_v.append(float(cos_ok[p, pq]))
-                    else:
-                        o_v.append(None)
+                        flat_same = flat_same[keep]
+                        flat_same_nul = flat_same_nul[keep]
             arrays = [
-                pa.array(o_q, type=pa.int64()),
-                pa.array(o_c, type=pa.int64()),
+                pa.array(flat_q, type=pa.int64()),
+                pa.array(
+                    flat_c,
+                    type=pa.int64(),
+                    mask=flat_cn if flat_cn.any() else None,
+                ),
             ]
             if has_label:
-                arrays.append(pa.array(o_s, type=pa.bool_()))
-            arrays.append(pa.array(o_v, type=pa.float64()))
+                arrays.append(
+                    pa.array(flat_same, type=pa.bool_(), mask=flat_same_nul)
+                )
+            arrays.append(
+                pa.array(flat_cos, type=pa.float64(), mask=flat_nul)
+            )
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
     return base.mapInArrow(fn, schema=out_schema)

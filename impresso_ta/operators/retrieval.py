@@ -213,9 +213,15 @@ def mmr_rerank(
     from impresso_ta.operators.similarity import cosine, cosine_topk
 
     scale = 10 ** round_to
+    # engine pinned to "arrow": MMR rerank's query set is large by
+    # contract (every query being reranked), so pair volume is
+    # queries×corpus regardless of corpus size — the r13 size-router
+    # only sees the corpus estimate and would route small corpora to
+    # the interpreted JVM scorer (measured r12: 13.5 s expr vs ~4 s
+    # arrow at sf1 for this operator's 200-query shape).
     cands = cosine_topk(
         corpus, queries, k=n_candidates, id_col=id_col, vec_col=vec_col,
-        round_to=round_to,
+        round_to=round_to, engine="arrow",
     )
     # cosine() returns NULL for zero-norm vectors by contract (degenerate
     # rows must not crash the job) and cosine_topk ranks NULLs last —

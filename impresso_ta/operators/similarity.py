@@ -52,6 +52,43 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+#: auto-router threshold: corpora whose estimated scan size is below
+#: this stay on the JVM expression engine (the Python boundary's FIXED
+#: cost dominates tiny pair volumes); above it the Arrow scorer wins
+#: (interpreted-lambda cost grows with pair volume, the boundary cost
+#: does not). Conf-overridable: spark.impresso_ta.brute.arrowMinBytes.
+_AUTO_ARROW_MIN_BYTES = 64 * 1024 * 1024
+
+
+def _brute_engine_auto(corpus: DataFrame) -> str:
+    """Route the brute cosine scorer by the corpus' OPTIMIZER SIZE
+    ESTIMATE (plan stats — free, no job; for a parquet scan this is the
+    file bytes, ~8 MB at sf1's 20k×64-dim embeddings).
+
+    r13 evidence (interleaved same-session min-of-4, k=3/5-query shape):
+    sf0.1 expr 0.507 s vs arrow 0.65, sf1 expr 0.541 vs arrow 0.701 —
+    at small-m/small-corpus shapes the JVM form wins by the boundary's
+    fixed cost; the r12 §8 arrow wins came from LARGE pair volumes
+    (mining shapes with hundreds of queries), whose call sites pass
+    ``engine="arrow"`` explicitly. Filters do NOT shrink the estimate
+    (no CBO column stats), so the route is conservative toward "arrow"
+    exactly when the corpus files are big — the 100 TB posture."""
+    try:
+        est = int(
+            str(corpus._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes())
+        )
+    except Exception:
+        return "arrow"
+    thr = int(
+        corpus.sparkSession.conf.get(
+            "spark.impresso_ta.brute.arrowMinBytes",
+            str(_AUTO_ARROW_MIN_BYTES),
+        )
+    )
+    return "expr" if est < thr else "arrow"
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -59,7 +96,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
-    engine: str = "arrow",
+    engine: str = "auto",
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
@@ -67,12 +104,18 @@ def cosine_topk(
     shuffled — only the (n_queries × k) result aggregates.
     Deterministic ordering: (cosine desc, neighbor id asc).
 
-    ``engine="arrow"`` (default, r12): the scored frame comes from
-    ``cosine_arrow.brute_scored_arrow`` — numpy with the JVM's exact
-    IEEE operation sequence instead of ~3·dims interpreted lambda ops
-    per pair (guide §4.2; bit parity in tests/test_cosine_arrow.py).
-    ``engine="expr"`` keeps the pure JVM broadcast cross join.
+    ``engine="auto"`` (default, r13): route by the corpus' estimated
+    scan size (:func:`_brute_engine_auto`) — ``expr`` below ~64 MB
+    (conf-overridable), ``arrow`` above. Both engines are bit-identical
+    (tests/test_cosine_arrow.py), so the route can never change a
+    result, only its plan. ``engine="arrow"`` forces the r12
+    ``cosine_arrow.brute_scored_arrow`` numpy scorer (the right call
+    when the QUERY set is large — pair volume is corpus×queries and
+    the estimate only sees the corpus); ``engine="expr"`` forces the
+    pure JVM broadcast cross join.
     """
+    if engine == "auto":
+        engine = _brute_engine_auto(corpus)
     if engine == "arrow":
         from impresso_ta.operators.cosine_arrow import brute_scored_arrow
 
@@ -925,6 +968,11 @@ def _seq_sq_norms(m):
 _NORM_LO = 1e-150
 _NORM_HI = 1e150
 
+# Driver-collect guard for the Arrow screen's bench side (r13): the
+# operator's contract is a SMALL benchmark suite; past this bound the
+# collect fails fast instead of OOMing the driver.
+_MAX_BENCH_ROWS = 200_000
+
 
 def _spark_pair_hit(tv, bv, cutoff: float) -> bool:
     """Bit-exact emulation of one EXISTS element for degenerate pairs:
@@ -986,8 +1034,22 @@ def _semantic_decontamination_arrow(
     cutoff = ge_round_cutoff(threshold, round_to)
     eps = 1e-9  # >> the ~1e-14 GEMM-vs-sequential fp divergence bound
 
+    # r13 guard: the bench side is collected to the driver (small by
+    # the operator's contract — the JVM form folds it into ONE broadcast
+    # row, which would hit the 8 GB relation cap; an unguarded collect
+    # would OOM the driver with no actionable error first).
+    bench_rows = bench.select(vec_col).collect()
+    if len(bench_rows) > _MAX_BENCH_ROWS:
+        raise ValueError(
+            "semantic_decontamination collects the benchmark side to "
+            f"the driver: got more than {_MAX_BENCH_ROWS} rows. A "
+            "benchmark suite is contractually small; for a huge screen "
+            "set use semantic_decontamination_lsh (bucketed scale "
+            "route) instead."
+        )
+
     by_len: dict[int, list] = {}
-    for r in bench.select(vec_col).collect():
+    for r in bench_rows:
         v = r[0]
         # NULL vectors / NULL elements / empty vectors: dot folds to
         # NULL against every train row — can never hit, drop here

@@ -91,10 +91,10 @@ def test_ivf_assign_broadcast_strategy_is_shuffle_free(spark):
 def test_cosine_topk_corpus_never_shuffled_by_join(spark):
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     qs = e.filter(F.col("vec_id") % 53 == 0)
-    topk = cosine_topk(e, qs, k=3)
+    # r12 arrow engine: the queries ride the Arrow task closure — no
+    # join at all; the only shuffle is the final tiny window
+    topk = cosine_topk(e, qs, k=3, engine="arrow")
     plan = _plan(topk)
-    # r12: the queries ride the Arrow task closure — no join at all;
-    # the only shuffle is the final tiny window over scored rows
     assert "MapInArrow" in plan
     assert "Join" not in plan
     assert _shuffles(topk) == 1
@@ -103,6 +103,21 @@ def test_cosine_topk_corpus_never_shuffled_by_join(spark):
     expr = cosine_topk(e, qs, k=3, engine="expr")
     assert "BroadcastExchange" in _plan(expr)
     assert _shuffles(expr) == 1
+
+
+def test_cosine_topk_auto_routes_by_corpus_size(spark):
+    # r13: the default engine routes by the corpus' optimizer size
+    # estimate — tiny test corpus → expr; with the threshold conf
+    # lowered to 1 byte the same call routes to arrow.
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = e.filter(F.col("vec_id") % 53 == 0)
+    assert "BroadcastExchange" in _plan(cosine_topk(e, qs, k=3))
+    key = "spark.impresso_ta.brute.arrowMinBytes"
+    spark.conf.set(key, "1")
+    try:
+        assert "MapInArrow" in _plan(cosine_topk(e, qs, k=3))
+    finally:
+        spark.conf.unset(key)
 
 
 def test_multi_join_queries_broadcast_everything(spark):
