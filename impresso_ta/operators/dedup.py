@@ -1815,12 +1815,20 @@ def jaccard_prefix_pairs(
     # localCheckpoint: the ckpt LogicalRDD hides stats and the five
     # consumers lose their broadcast joins — measured right back at
     # ~120 s (see the cache docstring note)
+    # r13: ONE collect_list — the verify below intersects hs_ranked
+    # directly (array_intersect hashes its inputs, so element ORDER is
+    # irrelevant and the rank-sorted array is the same multiset the old
+    # h-sorted `hs` column held; n_common is provably identical). The
+    # dropped second collect halves the ObjectHashAggregate payload,
+    # the persisted bytes, and the array bytes every verify join ships.
+    # (r12 had rejected deriving `hs` by re-SORTING hs_ranked — the
+    # interpreted array_sort cost more than the second collect; using
+    # the array as-is has no such cost.)
     sets = ranked.groupBy("doc_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("df", "h"))),
             lambda s: s["h"],
         ).alias("hs_ranked"),
-        F.sort_array(F.collect_list("h")).alias("hs"),
         F.count("*").alias("n"),
     )
     if cache:
@@ -1901,12 +1909,12 @@ def jaccard_prefix_pairs(
         )
         .select("doc_a", "doc_b")
     )
-    sides = sets.select("doc_id", "hs", "n")
+    sides = sets.select("doc_id", "hs_ranked", "n")
     return (
         cand.join(
             sides.select(
                 F.col("doc_id").alias("doc_a"),
-                F.col("hs").alias("hs_a"),
+                F.col("hs_ranked").alias("hs_a"),
                 F.col("n").alias("n_a"),
             ),
             "doc_a",
@@ -1914,7 +1922,7 @@ def jaccard_prefix_pairs(
         .join(
             sides.select(
                 F.col("doc_id").alias("doc_b"),
-                F.col("hs").alias("hs_b"),
+                F.col("hs_ranked").alias("hs_b"),
                 F.col("n").alias("n_b"),
             ),
             "doc_b",
