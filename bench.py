@@ -236,6 +236,12 @@ MIN_OF_3 = {
     # if the movement survives (PLANS.md "Watch items for r12").
     "dedup_exact_substring",
     "corpus_prepare_pipeline",
+    # r12 driver row moved 0.81x with NO code change (word_shingles
+    # refactor expression-identical; isolated min-of-3 in-band) — the
+    # recurring in-suite session-migration class; promoted per the
+    # bench's own precedent (VERDICT r12 "What's wrong" #4,
+    # additions-only).
+    "corpus_contamination",
 }
 
 
@@ -298,6 +304,16 @@ def main() -> None:
     # warm-up: touch every table so JVM/parquet-footer costs are excluded
     for name in catalog.TABLES:
         catalog.t(spark, sf_dir, name).count()
+    # r13 (additions-only, VERDICT r12 item 8): fork the session's
+    # Python workers BEFORE any timed run — the one-time worker spawn
+    # (~25 s across 32 cores) otherwise lands inside whichever Arrow
+    # query runs first and pollutes in-suite attribution. min-of-N
+    # already excluded it from every recorded number (run 1 pays, the
+    # min doesn't), so recorded timings stay methodologically
+    # comparable; this only de-noises run-1 samples and total wall time.
+    from impresso_ta.session import warm_python_workers
+
+    warm_python_workers(spark)
 
     def timed(build, runs: int = 2) -> float:
         # min of N runs, cache cleared between queries: isolates each

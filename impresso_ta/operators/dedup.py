@@ -949,7 +949,12 @@ def connected_components(
                     F.col("label"), F.coalesce("neigh_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # r13: LAZY — the changed-row count right below is the
+            # round's action; it computes the round AND materializes
+            # the checkpoint blocks in one job (the eager form paid a
+            # separate materialization job per round). Logical-plan
+            # truncation is identical (LogicalRDD boundary either way).
+            .localCheckpoint(eager=False)
         )
         changed = updated.filter(F.col("label") < F.col("old_label")).count()
         labels = updated.select("node", "label")

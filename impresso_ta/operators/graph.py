@@ -129,7 +129,14 @@ def connected_components(
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
-        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        # r13 (job-floor batching): LAZY localCheckpoint — the signature
+        # aggregate right below is a full-partition action, so it both
+        # computes the round AND materializes the checkpoint blocks in
+        # ONE job; the eager form paid a separate materialization job
+        # per round (2 jobs/round -> 1 on a driver-floor-bound graph).
+        # The logical-plan truncation (the reason the checkpoint exists)
+        # is identical — LogicalRDD wraps the marked RDD either way.
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         # (count, xor-of-hashes): order-immune set signature that cannot
         # overflow (bit_xor, unlike sum, is closed over BIGINT).
         sig_row = nxt.agg(
@@ -218,6 +225,11 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e_deg = e.join(outdeg, "src").localCheckpoint()  # reused every step
     ranks = nodes.select("node", F.lit(base).cast("long").alias("r"))
+    # r13: per-iteration checkpoints are LAZY — the LogicalRDD boundary
+    # truncates the logical plan exactly as before (planning stays O(1)
+    # per step), but no per-iteration materialization job runs; the
+    # consumer's single action computes the chain, caching each marked
+    # step's blocks as it goes (iterations jobs -> 0 inside the loop).
     for _ in range(iterations):
         sums = (
             e_deg.join(ranks, e_deg["src"] == ranks["node"])
@@ -239,7 +251,7 @@ def pagerank(
                     )
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 
@@ -346,11 +358,16 @@ def bfs_distances(
             .select(F.col("v").alias("node"))
             .distinct()
         )
+        # r13: lazy checkpoint + count() — ONE job per hop computes the
+        # frontier, materializes its checkpoint blocks AND answers the
+        # emptiness check (the eager form paid checkpoint + take = 2-3
+        # jobs/hop); `settled` is lazily checkpointed and its blocks
+        # materialize inside the NEXT hop's count (or the consumer).
         fresh = reached.join(settled, "node", "left_anti").select(
             "node", F.lit(hop).cast("int").alias("dist")
-        ).localCheckpoint()
-        if not fresh.take(1):
+        ).localCheckpoint(eager=False)
+        if fresh.count() == 0:
             break
-        settled = settled.union(fresh).localCheckpoint()
+        settled = settled.union(fresh).localCheckpoint(eager=False)
         frontier = fresh.select("node")
     return settled

@@ -53,6 +53,31 @@ DEFAULT_CONFS: dict[str, str] = {
 }
 
 
+def warm_python_workers(spark: SparkSession, partitions: int | None = None) -> None:
+    """Spawn the session's Python workers ahead of timed/latency-bound
+    work (r13, VERDICT r12 item 8): the first ``mapInArrow``/pandas-UDF
+    stage of a session pays the one-time worker fork+import cost
+    (~25 s across 32 cores measured in r12) — a cold single-query
+    session charges it to whatever query runs first. One no-op
+    ``mapInArrow`` over ``partitions`` single-row tasks (default:
+    ``defaultParallelism``) forks a worker per core up front; with
+    ``spark.python.worker.reuse`` (the default) every later Arrow-path
+    stage reuses them. Costs nothing it wouldn't cost later: the spawn
+    is moved, not added."""
+    n = partitions or spark.sparkContext.defaultParallelism
+
+    def _noop(batches):
+        yield from batches
+
+    (
+        spark.range(n, numPartitions=n)
+        .mapInArrow(_noop, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
 def get_spark(
     app_name: str = "impresso_ta",
     master: str | None = None,

@@ -32,3 +32,10 @@ def test_semantic_decontamination_bench_guard(spark, monkeypatch):
         similarity._semantic_decontamination_arrow(
             emb, emb, vec_col="embedding", threshold=0.9, round_to=4
         )
+
+
+def test_warm_python_workers_runs(spark):
+    from impresso_ta.session import warm_python_workers
+
+    warm_python_workers(spark)          # default partition count
+    warm_python_workers(spark, partitions=2)
