@@ -45,6 +45,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -458,6 +459,93 @@ def scorecard_flags_arrow(
             ]
             for j in range(n_extra):
                 arrays.append(batch.column(2 + j))
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    return base.mapInArrow(fn, schema=out_schema)
+
+
+def _lm_grams_py(text: str) -> list[str]:
+    """Python twin of the bigram-LM gram stream: ``explode(_gram_array
+    (tokens(text), 2))`` BEFORE its ``contains(' ')`` filter — a document
+    with fewer than 2 tokens yields its lone token as ONE degenerate
+    space-free "gram" (``concat_ws`` drops the null zip padding), which
+    downstream consumers filter for the model but keep for the
+    vocabulary derivation. Tokens come from :func:`arrowkit.java_tokens`
+    (bit-exact ``F.split(F.trim(text), r"\\s+")``); tokens can never
+    contain ``\\s``, so ``w1 + " " + w2`` is injective and the gram's
+    parts recover the exact token pair."""
+    toks = java_tokens(text)
+    if len(toks) < 2:
+        return toks
+    return [a + " " + b for a, b in zip(toks, toks[1:])]
+
+
+def bigram_lm_gram_counts_arrow(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Bigram occurrence counts in one Arrow pass (guide §4.2) —
+    replaces the tokenize + interpreted ``zip_with``/``concat_ws`` gram
+    assembly + explode subtree of :func:`text_analysis.bigram_lm_scores`.
+
+    ``id_col=None`` → corpus mode: ONE aggregated Counter per Arrow
+    batch emitted as (g, c) partials — the JVM's map-side-combined
+    ``groupBy(g).sum(c)`` collapses them to the identical corpus
+    counts (the bigram key space is vocabulary²-bounded, so partials
+    are tiny). With ``id_col`` → per-document (id, g, c) rows for the
+    scoring side. Both modes emit the DEGENERATE lone-token gram of
+    sub-bigram documents (see :func:`_lm_grams_py`) so the vocabulary
+    — distinct words = distinct gram parts, including lone tokens — is
+    derivable downstream without a third corpus pass. Counts are exact
+    ints; NULL text emits nothing (explode-of-NULL semantics).
+    """
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from impresso_ta.operators.partitioning import spread_small_input
+
+    per_doc = id_col is not None
+    fields = (
+        [StructField(id_col, LongType())] if per_doc else []
+    ) + [StructField("g", StringType()), StructField("c", LongType())]
+    out_schema = StructType(fields)
+    arrow_schema = to_arrow_schema(out_schema)
+    sel = (
+        [F.col(id_col).cast("long").alias(id_col)] if per_doc else []
+    ) + [F.col(text_col)]
+    base = spread_small_input(docs.select(*sel))
+    t_idx = 1 if per_doc else 0
+
+    def fn(batches):
+        for batch in batches:
+            texts = batch.column(t_idx).to_pylist()
+            if per_doc:
+                ids = batch.column(0).to_pylist()
+                o_id, o_g, o_c = [], [], []
+                for i, text in zip(ids, texts):
+                    if text is None:
+                        continue
+                    for g, c in Counter(_lm_grams_py(text)).items():
+                        o_id.append(i)
+                        o_g.append(g)
+                        o_c.append(c)
+                arrays = [
+                    pa.array(o_id, type=pa.int64()),
+                    pa.array(o_g, type=pa.string()),
+                    pa.array(o_c, type=pa.int64()),
+                ]
+            else:
+                counts = Counter()
+                for text in texts:
+                    if text is None:
+                        continue
+                    counts.update(_lm_grams_py(text))
+                arrays = [
+                    pa.array(list(counts.keys()), type=pa.string()),
+                    pa.array(list(counts.values()), type=pa.int64()),
+                ]
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
     return base.mapInArrow(fn, schema=out_schema)

@@ -182,3 +182,59 @@ def test_spark_round4_matches_spark(spark):
     got = df.select(F.round("x", 4).alias("r")).collect()
     for v, row in zip(vals, got):
         assert tx.spark_round4(v) == row["r"], v.hex()
+
+
+def test_bigram_lm_scores_parity(spark, docs):
+    expr = ta.bigram_lm_scores(docs, engine="expr")
+    arrow = ta.bigram_lm_scores(docs, engine="arrow")
+    _assert_frames_equal(expr, arrow)
+
+
+def test_bigram_lm_gram_counts_match_expr_explode(spark, docs):
+    # the arrow gram stream (BEFORE the contains-space filter) must be
+    # the exact multiset the JVM explode produces, including the
+    # degenerate lone-token grams of sub-bigram documents
+    expr_grams = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(ta._gram_array(ta.tokens(F.col("text")), 2)).alias(
+                "g"
+            ),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    arrow_grams = tx.bigram_lm_gram_counts_arrow(
+        docs, "text", id_col="doc_id"
+    )
+    ra = {(r["doc_id"], r["g"]): r["c"] for r in expr_grams.collect()}
+    rb = {(r["doc_id"], r["g"]): r["c"] for r in arrow_grams.collect()}
+    assert ra == rb
+    # corpus mode: map-side partials aggregate to the identical totals
+    corpus = {
+        r["g"]: r["t"]
+        for r in tx.bigram_lm_gram_counts_arrow(docs, "text")
+        .groupBy("g")
+        .agg(F.sum("c").alias("t"))
+        .collect()
+    }
+    per_doc_totals = {}
+    for (_, g), c in rb.items():
+        per_doc_totals[g] = per_doc_totals.get(g, 0) + c
+    assert corpus == per_doc_totals
+
+
+def test_bigram_lm_auto_routes_by_size(spark, docs, tmp_path):
+    # in-memory frames have no usable size estimate → conservative arrow
+    assert ta._lm_engine_auto(docs) == "arrow"
+    # a parquet-backed tiny frame routes to the JVM expression engine
+    # (Python-boundary fixed cost); the conf override flips the route
+    path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(path)
+    small = spark.read.parquet(path)
+    assert ta._lm_engine_auto(small) == "expr"
+    spark.conf.set("spark.impresso_ta.lm.arrowMinBytes", "1")
+    try:
+        assert ta._lm_engine_auto(small) == "arrow"
+    finally:
+        spark.conf.unset("spark.impresso_ta.lm.arrowMinBytes")
