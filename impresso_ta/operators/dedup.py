@@ -296,7 +296,12 @@ def _minhash_parts(
     callers) pay nothing for it. The streaming gate and
     ``minhash_band_state`` keep ``engine="expr"``: their parts triple is
     shared/persisted by contract and the expression form is the
-    streaming-safe reference."""
+    streaming-safe reference.
+
+    ``cache_shingles`` only affects ``engine="expr"``: the arrow path
+    never evaluates the returned shingle frame, so the flag is a no-op
+    there by construction (ADVICE r12 — documented rather than warned;
+    callers combining both get the arrow plan they asked for)."""
     rows = num_perm // bands
     sh = _explode_shingle_hashes(docs, id_col, text_col, k)
     if engine == "arrow":
@@ -683,7 +688,15 @@ def incremental_minhash_dedup(
         # pass (same array_intersect semantics as minhash_lsh_pairs —
         # shingles are distinct strings per doc, so the hash-multiset
         # intersection equals the join-counted matches up to the 48-bit
-        # collisions every consumer already accepts)
+        # collisions every consumer already accepts).
+        # Engine-parity caveat (ADVICE r12): array_intersect is SET-
+        # valued while the expr path join-counts the h multiset, so if
+        # two DISTINCT shingles of one doc collide at 48 bits the two
+        # engines' n_common differ by the collision count —
+        # astronomically rare (birthday bound ≈ n²/2^49 per doc) and
+        # identical on every oracle corpus; parity is modulo within-doc
+        # 48-bit collisions, not strictly bit-identical on adversarial
+        # input.
         common = (
             candidates.join(
                 sigs_n.select(

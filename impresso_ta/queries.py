@@ -5473,6 +5473,12 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # op order, bit-identical per-dim means (A/B-verified at sf1), tiny
     # plan. The per-element algebra mirrors linalg.quantize_embeddings /
     # dequantize_expr exactly (incl. the hi==lo -> code 0 branch).
+    # Fixed-64-dim assumption (ADVICE r12): posexplode emits one row
+    # per PRESENT element, so an embedding shorter than 64 dims yields
+    # no rows for its missing positions, where the old zip_with form
+    # emitted null-mean rows. Identical on the well-formed 64-dim
+    # catalog data (A/B + oracle verified); a corpus with ragged
+    # embeddings would need the zip_with form back.
     los = F.array(*[F.lit(float(lo)) for lo, _ in stats])
     his = F.array(*[F.lit(float(hi)) for _, hi in stats])
     rngs = F.array(*[F.lit(hi - lo) for lo, hi in stats])
